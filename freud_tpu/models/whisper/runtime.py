@@ -1,0 +1,133 @@
+"""High-level Whisper runtime: capture, substitution, transcription.
+
+Functional replacement for the reference's hook-based trio
+(``WhisperActivationCache``, ``WhisperSubbedActivation``,
+``activations_from_audio`` — src/models/hooked_model.py:86-195). One runtime
+object owns the params and a cache of jitted programs keyed by the static
+(capture, substitute, batch-shape) signature:
+
+* ``activations(mels)`` — **encoder-only** forward returning the captured
+  layer. The reference runs a full autoregressive ``model.decode`` just to
+  fire an encoder hook (hooked_model.py:103-110); collection here never
+  touches the decoder (the structural win called out in SURVEY.md §3.2).
+* ``transcribe(mels, substitute=...)`` — encoder (optionally with a layer's
+  output replaced) + greedy decoder, for transcript-bearing paths
+  (validation, /manipulate_feature).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperDims
+from .decoding import greedy_decode
+from .load import load_model
+from .model import Params, encoder_forward
+from .tokenizer import decode_text, special_tokens
+
+
+class WhisperRuntime:
+    """Jit-cached Whisper forward passes for one model + capture layer."""
+
+    def __init__(
+        self,
+        model_name: str,
+        layer_name: Optional[str] = None,
+        compute_dtype=jnp.float32,
+        max_new_tokens: int = 224,
+    ):
+        self.model_name = model_name
+        self.layer_name = layer_name
+        self.compute_dtype = compute_dtype
+        self.max_new_tokens = max_new_tokens
+        self.params, self.dims = load_model(model_name)
+        self._st = special_tokens(self.dims.n_vocab)
+
+        capture = (layer_name,) if layer_name else ()
+
+        @partial(jax.jit, static_argnames=("sub_layer",))
+        def _encode(params, mels, sub_layer=None, sub_value=None):
+            substitute = {sub_layer: sub_value} if sub_layer else None
+            encoded, caps = encoder_forward(
+                params, self.dims, mels, capture=capture, substitute=substitute,
+                compute_dtype=compute_dtype,
+            )
+            return encoded, caps
+
+        self._encode = _encode
+
+    # -- capture ------------------------------------------------------------
+
+    def activations(self, mels: jnp.ndarray) -> jnp.ndarray:
+        """Captured activations at ``layer_name`` for (b, n_mels, 3000) mels."""
+        if self.layer_name is None:
+            raise ValueError("runtime was built without a capture layer")
+        mels = self._batch(mels)
+        _, caps = self._encode(self.params, mels)
+        return caps[self.layer_name]
+
+    def encode(self, mels: jnp.ndarray) -> jnp.ndarray:
+        return self._encode(self.params, self._batch(mels))[0]
+
+    # -- transcription ------------------------------------------------------
+
+    def _prompt(self, batch: int) -> tuple[jnp.ndarray, int]:
+        seq = self._st.sot_sequence(lang_index=0, timestamps=True)
+        arr = jnp.asarray(np.tile(np.asarray(seq, np.int32), (batch, 1)))
+        return arr, len(seq)
+
+    def transcribe(
+        self,
+        mels: jnp.ndarray,
+        substitute_layer: Optional[str] = None,
+        substitute_value: Optional[jnp.ndarray] = None,
+    ) -> list[str]:
+        """Greedy transcripts; optionally splice a replacement activation in.
+
+        Capability parity with ``WhisperSubbedActivation.forward``
+        (hooked_model.py:137-149): when ``substitute_layer`` is given, that
+        layer's output is replaced by ``substitute_value`` for the encode.
+        """
+        mels = self._batch(mels)
+        if substitute_layer is not None:
+            sub = jnp.asarray(substitute_value)
+            if sub.ndim == 2:
+                sub = sub[None]
+            encoded, _ = self._encode(
+                self.params, mels, sub_layer=substitute_layer, sub_value=sub
+            )
+        else:
+            encoded, _ = self._encode(self.params, mels)
+        prompt, n_prompt = self._prompt(encoded.shape[0])
+        tokens = greedy_decode(
+            self.params, self.dims, encoded, prompt, n_prompt,
+            max_new=self.max_new_tokens,
+        )
+        tokens = np.asarray(tokens)
+        return [decode_text(row, self.dims.n_vocab) for row in tokens]
+
+    def transcribe_one(self, mels, **kw) -> str:
+        return self.transcribe(mels, **kw)[0]
+
+    # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _batch(mels: jnp.ndarray) -> jnp.ndarray:
+        mels = jnp.asarray(mels)
+        return mels[None] if mels.ndim == 2 else mels
+
+    @property
+    def activation_width(self) -> int:
+        """Feature dimension at the capture layer (d_model or 4·d_model)."""
+        if self.layer_name and self.layer_name.endswith((".mlp.0", ".mlp.1")):
+            return 4 * self.dims.n_audio_state
+        return self.dims.n_audio_state
+
+
+def init_runtime(model_name: str, layer_name: Optional[str] = None, **kw) -> WhisperRuntime:
+    return WhisperRuntime(model_name, layer_name, **kw)
