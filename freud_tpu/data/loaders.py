@@ -1,0 +1,205 @@
+"""Activation loaders: on-the-fly (Whisper→SAE) and memory-mapped.
+
+Capability parity with the reference's two loaders
+(src/dataset/activations.py:34-113 fly, 116-206 mmap), rebuilt for the TPU
+pipeline:
+
+* ``FlyActivationLoader`` — audio batches stream through the native decoder →
+  on-device mel → **encoder-only** capture → (optional) SAE encode, entirely
+  on device. The reference instead runs a full autoregressive decode per
+  batch to trigger its hook and bounces activations device→CPU→device when an
+  SAE is attached (hooked_model.py:103-115, activations.py:95-101); here the
+  SAE encode consumes the captured activation without leaving the chip.
+* ``MemoryMappedActivationLoader`` — host-side mmap gather of shuffled batch
+  indices feeding jnp arrays; length = ⌊N/batch⌋ like the reference's
+  DataLoader with drop_last.
+
+Yield contracts match the reference: dense → (activations, filenames);
+L1 SAE → (latent, filenames); TopK SAE → (top_acts, top_indices, filenames).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import profiling
+from ..constants import SAMPLE_RATE, TIMESTEP_S, get_n_mels
+from ..models.sae import config as sae_config
+from ..models.sae import l1 as l1_mod
+from ..models.sae import serialize as sae_serialize
+from ..models.sae import topk as topk_mod
+from ..models.whisper import WhisperRuntime
+from .audio_dataset import AudioBatchPipeline
+from .store import ActivationStoreReader
+
+
+def load_sae(checkpoint: str):
+    """(variant, cfg, activation_size, params) from a trainer checkpoint."""
+    return sae_serialize.sae_from_checkpoint(checkpoint)
+
+
+class FlyActivationLoader:
+    """Compute Whisper (and optionally SAE) activations on the fly."""
+
+    def __init__(
+        self,
+        data_path: str,
+        whisper_model: str,
+        sae_checkpoint: Optional[str],
+        layer_name: str,
+        batch_size: int,
+        subset_size: Optional[int] = None,
+        drop_last: bool = False,
+        shuffle: bool = False,  # kept for API parity; file order is deterministic
+        compute_dtype=jnp.float32,
+    ):
+        self.layer_name = layer_name
+        self.runtime = WhisperRuntime(whisper_model, layer_name, compute_dtype=compute_dtype)
+        self.batch_size = batch_size
+        self.sae = None
+        self.activation_type = "tensor"
+        if sae_checkpoint:
+            variant, cfg, act_size, params = load_sae(sae_checkpoint)
+            self.sae = (variant, cfg, params)
+            if variant == "topk":
+                self.activation_type = "indexed"
+        self.pipeline = AudioBatchPipeline(
+            data_path,
+            batch_size,
+            get_n_mels(whisper_model),
+            subset_size=subset_size,
+            drop_last=drop_last,
+        )
+        self._encode_jit = self._build_encode()
+        self.activation_shape = self._probe_shape()
+
+    def _build_encode(self):
+        runtime = self.runtime
+        sae = self.sae
+
+        @jax.jit
+        def fn(params, sae_params, mels):
+            _, caps = runtime._encode(params, mels)
+            acts = caps[runtime.layer_name]
+            if sae is None:
+                return (acts,)
+            variant, cfg, _ = sae
+            if variant == "l1":
+                return (l1_mod.encode(sae_params, acts).latent,)
+            enc = topk_mod.encode(sae_params, acts, cfg)
+            return (enc.top_acts, enc.top_indices)
+
+        return fn
+
+    def _sae_params(self):
+        return self.sae[2] if self.sae else None
+
+    def _probe_shape(self):
+        """Activation shape per sample, reported like the reference
+        (fly loader shape probe, src/dataset/activations.py:73-88): dense →
+        (T, width); L1 → (T, n_dict); TopK → (T, n_dict) even though stored
+        rows are (T, k) indexed pairs."""
+        t = 1500
+        if self.sae is None:
+            return (t, self.runtime.activation_width)
+        variant, cfg, params = self.sae
+        n_dict = sae_config.get_n_dict_components(
+            self.runtime.activation_width, cfg.expansion_factor, cfg.n_dict_components
+        )
+        return (t, n_dict)
+
+    @property
+    def dataset_length(self) -> int:
+        return self.pipeline.dataset_length
+
+    def __len__(self) -> int:
+        return len(self.pipeline)
+
+    def __iter__(self) -> Iterator[tuple]:
+        for mels, filenames, lengths in self.pipeline:
+            with profiling.span("encoder_capture"):
+                outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
+            yield (*outs, filenames)
+
+    def iter_with_lengths(self) -> Iterator[tuple]:
+        """Like __iter__ but also yields per-file true activation frame counts."""
+        for mels, filenames, lengths in self.pipeline:
+            with profiling.span("encoder_capture"):
+                outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
+            n_frames = np.minimum(
+                (lengths / SAMPLE_RATE / TIMESTEP_S).astype(np.int64), 1500
+            )
+            yield (*outs, filenames, n_frames)
+
+
+class MemoryMappedActivationLoader:
+    """Batched reader over a collected activation store."""
+
+    def __init__(
+        self,
+        data_path: str,
+        layer_name: str,
+        batch_size: int,
+        subset_size: Optional[int] = None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.reader = ActivationStoreReader(data_path, layer_name, subset_size)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.activation_shape = self.reader.activation_shape
+        self.activation_type = self.reader.activation_type
+        self.tensor_shape = self.reader.tensor_shape
+        self.dataset_length = len(self.reader)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        # reference MemoryMappedActivationDataLoader.__len__ floors
+        # (src/dataset/activations.py:205-206)
+        return self.dataset_length // self.batch_size
+
+    def __iter__(self) -> Iterator[tuple]:
+        order = np.arange(self.dataset_length)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = len(self) * self.batch_size if self.drop_last else self.dataset_length
+        for i in range(0, stop, self.batch_size):
+            idx = order[i : i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            with profiling.span("mmap_batch"):
+                yield self.reader.batch(idx)
+
+
+def init_dataloader(
+    from_disk: bool,
+    data_path: str,
+    whisper_model: str,
+    sae_checkpoint: Optional[str],
+    layer_name: str,
+    batch_size: int,
+    subset_size: Optional[int] = None,
+    shuffle: bool = False,
+    drop_last: bool = False,
+):
+    """(loader, feat_dim, dataset_len) — reference init_dataloader shape
+    (src/scripts/train_sae.py:32-67)."""
+    if from_disk:
+        loader = MemoryMappedActivationLoader(
+            data_path, layer_name, batch_size,
+            subset_size=subset_size, shuffle=shuffle, drop_last=drop_last,
+        )
+    else:
+        loader = FlyActivationLoader(
+            data_path, whisper_model, sae_checkpoint, layer_name, batch_size,
+            subset_size=subset_size, drop_last=drop_last,
+        )
+    feat_dim = loader.activation_shape[-1]
+    return loader, feat_dim, loader.dataset_length

@@ -1,0 +1,109 @@
+"""Activation collection CLI.
+
+Config-schema parity with the reference (src/scripts/collect_activations.py:
+139-161; configs/features/*.json keys data_path / layer_name / whisper_model /
+sae_model / batch_size / device / out_folder / dl_max_workers / collect_max)
+and identical output artifacts ({layer}_metadata.json + dense or indexed
+``.npy`` stores). The pipeline itself is the TPU redesign: native batched
+decode → on-device mel → encoder-only capture (no autoregressive decode, no
+host round trip before the SAE) → streamed append to the memory-mappable
+store. ``device`` is accepted for config compatibility and ignored — placement
+is JAX's.
+
+Usage: python -m freud_tpu.scripts.collect_activations --config cfg.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+from .. import profiling
+from ..constants import CHUNK_LENGTH
+from ..data.loaders import FlyActivationLoader
+from ..data.store import ActivationStoreWriter
+
+
+def get_activations(
+    data_path: str,
+    layer_name: str,
+    whisper_model: str,
+    sae_model: Optional[str],
+    batch_size: int,
+    out_folder: str,
+    collect_max: Optional[int] = None,
+    verbose: bool = True,
+) -> dict:
+    loader = FlyActivationLoader(
+        data_path=data_path,
+        whisper_model=whisper_model,
+        sae_checkpoint=sae_model,
+        layer_name=layer_name,
+        batch_size=batch_size,
+        subset_size=collect_max,
+    )
+
+    writer: Optional[ActivationStoreWriter] = None
+    n_files = 0
+    t0 = time.perf_counter()
+    for batch in loader.iter_with_lengths():
+        *arrays, filenames, n_frames = batch
+        arrays = [np.asarray(a) for a in arrays]
+        if writer is None:
+            writer = ActivationStoreWriter(
+                out_folder,
+                layer_name,
+                tensor_shape=arrays[0].shape[1:],
+                activation_shape=loader.activation_shape,
+                indexed=loader.activation_type == "indexed",
+            )
+        with profiling.span("store_append"):
+            writer.append_batch(filenames, *arrays, n_frames=n_frames)
+        n_files += len(filenames)
+        if verbose:
+            dt = time.perf_counter() - t0
+            rtfx = n_files * CHUNK_LENGTH / max(dt, 1e-9)
+            print(
+                f"\rcollected {n_files}/{loader.dataset_length} files "
+                f"({rtfx:.0f}x realtime)",
+                end="",
+                flush=True,
+            )
+    if writer is not None:
+        writer.close()
+    elapsed = time.perf_counter() - t0
+    if verbose:
+        print()
+        print(profiling.report())
+    return {
+        "n_files": n_files,
+        "elapsed_s": elapsed,
+        "rtfx": n_files * CHUNK_LENGTH / max(elapsed, 1e-9),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, required=True,
+                        help="Path to feature configuration file")
+    args = parser.parse_args(argv)
+    with open(args.config) as f:
+        config = json.load(f)
+    stats = get_activations(
+        data_path=config["data_path"],
+        layer_name=config["layer_name"],
+        whisper_model=config["whisper_model"],
+        sae_model=config.get("sae_model"),
+        batch_size=config["batch_size"],
+        out_folder=config["out_folder"],
+        collect_max=config.get("collect_max"),
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
