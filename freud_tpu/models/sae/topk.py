@@ -190,7 +190,11 @@ def update_fired_counters(
         .at[top_indices.reshape(-1)]
         .set(True)
     )
-    return jnp.where(did_fire, 0, num_frames_since_fired + frames_in_batch)
+    # Saturate below int32 overflow: dead_mask only tests `> threshold`, so
+    # clamping far above any realistic threshold preserves semantics while the
+    # counter stays a TPU-native int32.
+    aged = jnp.minimum(num_frames_since_fired + frames_in_batch, 2**30)
+    return jnp.where(did_fire, 0, aged)
 
 
 def param_count(params: TopKParams) -> int:

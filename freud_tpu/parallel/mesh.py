@@ -1,0 +1,78 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-process single-device with no distributed code at all
+(SURVEY.md §2 parallelism inventory); scaling here is introduced the JAX way:
+one ``Mesh`` over the chips with a ``data`` axis (batch sharding for SAE
+training and collection) and a ``model`` axis (dictionary/feature sharding for
+very large SAEs). Collectives are never written by hand — parameters and
+batches carry ``NamedSharding`` annotations and XLA inserts the
+all-reduce/all-gather pattern over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """A (data × model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 (files/batch) over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def dict_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
+    """Shard a parameter's dictionary axis over the model axis."""
+    spec = [None] * ndim
+    spec[axis] = MODEL_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def put_batch(mesh: Mesh, *arrays):
+    """Device-put host arrays with batch (axis 0) sharded over ``data``.
+
+    Batches not divisible by the data axis fall back to replicated placement
+    (correct, just unsharded) rather than failing — validation tails and tiny
+    smoke batches hit this.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    out = tuple(
+        jax.device_put(
+            a,
+            batch_sharding(mesh, np.ndim(a))
+            if np.shape(a)[0] % n_data == 0
+            else replicated(mesh),
+        )
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
+def divisible_batch(batch: int, mesh: Mesh) -> bool:
+    return batch % mesh.shape[DATA_AXIS] == 0

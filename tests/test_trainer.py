@@ -1,0 +1,189 @@
+"""Trainer tests: optimizer/schedule parity vs torch, end-to-end training, resume."""
+
+import json
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from freud_tpu.train.optim import make_optimizer, make_schedule
+
+
+def test_cosine_schedule_matches_torch():
+    import torch
+
+    lr, steps = 4e-4, 100
+    sched = make_schedule("cosine", lr, steps, {})
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps, eta_min=0)
+    for t in range(steps):
+        assert abs(float(sched(t)) - tsched.get_last_lr()[0]) < 1e-9
+        opt.step()
+        tsched.step()
+
+
+def test_linear_schedule_warmup():
+    sched = make_schedule("linear", 1e-3, 100, {"num_warmup_steps": 10})
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 5e-4) < 1e-9
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert abs(float(sched(55)) - 1e-3 * 45 / 90) < 1e-9
+    assert float(sched(100)) == 0.0
+
+
+@pytest.mark.parametrize("name,make_torch", [
+    ("radam", lambda params, lr: __import__("torch").optim.RAdam(params, lr=lr, eps=1e-5)),
+    ("adam", lambda params, lr: __import__("torch").optim.Adam(params, lr=lr)),
+])
+def test_optimizer_matches_torch(name, make_torch):
+    """Run 8 steps of both stacks on identical quadratic grads."""
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    lr, steps = 1e-2, 8
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(6).astype(np.float32)
+    target = rng.standard_normal(6).astype(np.float32)
+
+    tx, _ = make_optimizer(name, "cosine", lr, steps, clip_thresh=1.0)
+    w = jnp.asarray(w0)
+    state = tx.init(w)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = make_torch([tw], lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, T_max=steps, eta_min=0)
+
+    for _ in range(steps):
+        grad = 2 * (w - jnp.asarray(target))
+        updates, state = tx.update(grad, state, w)
+        w = optax.apply_updates(w, updates)
+
+        topt.zero_grad()
+        loss = ((tw - torch.from_numpy(target)) ** 2).sum()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([tw], 1.0)
+        topt.step()
+        tsched.step()
+
+    np.testing.assert_allclose(np.asarray(w), tw.detach().numpy(), rtol=2e-4, atol=2e-5)
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+def _make_store(tmp_path, n_files=24, T=16, d=8, layer="encoder.blocks.1"):
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    rng = np.random.default_rng(0)
+    # activations with low-rank structure an SAE can learn
+    basis = rng.standard_normal((3, d)).astype(np.float32)
+    codes = rng.standard_normal((n_files, T, 3)).astype(np.float32)
+    data = codes @ basis
+    w = ActivationStoreWriter(tmp_path, layer, (T, d), (T, d))
+    w.append_batch([f"f{i}.wav" for i in range(n_files)], data,
+                   n_frames=[T] * n_files)
+    w.close()
+    return data
+
+
+@pytest.mark.parametrize("variant,ae_cfg", [
+    ("l1", {"n_dict_components": 16, "recon_alpha": 100.0}),
+    ("topk", {"expansion_factor": 4, "k": 3, "auxk_alpha": 0.03125,
+              "dead_feature_threshold": 1000.0}),
+])
+def test_train_end_to_end(tmp_path, variant, ae_cfg):
+    from freud_tpu.models.sae import sae_from_checkpoint
+    from freud_tpu.train.trainer import train
+
+    store_dir = tmp_path / "acts"
+    store_dir.mkdir()
+    _make_store(store_dir)
+    run_dir = tmp_path / "run"
+
+    stats = train(
+        seed=0,
+        train_folder=str(store_dir),
+        val_folder=str(store_dir),
+        run_dir=str(run_dir),
+        lr=1e-3,
+        weight_decay=0.0,
+        steps=6,
+        clip_thresh=1.0,
+        batch_size=8,
+        log_tb_every=2,
+        save_every=3,
+        val_every=4,
+        whisper_config={"model": "test:tiny", "layer_name": "encoder.blocks.1"},
+        optimizer="radam" if variant == "l1" else "adam",
+        scheduler="cosine" if variant == "l1" else "linear",
+        scheduler_params={} if variant == "l1" else {"num_warmup_steps": 2},
+        autoencoder_variant=variant,
+        autoencoder_config=ae_cfg,
+        from_disk=True,
+        enable_transcripts=False,
+        verbose=False,
+    )
+    assert stats["steps"] == 6
+    ckpts = sorted(p.name for p in (run_dir / "checkpoints").glob("*.pth"))
+    assert "step3.pth" in ckpts and "step6.pth" in ckpts and "bestval.pth" in ckpts
+
+    v, cfg, act_size, params = sae_from_checkpoint(str(run_dir / "checkpoints/step6.pth"))
+    assert v == variant and act_size == 8
+
+    import torch
+
+    ckpt = torch.load(run_dir / "checkpoints/step6.pth", map_location="cpu",
+                      weights_only=False)
+    assert ckpt["step"] == 6
+    assert ckpt["hparams"]["whisper_config"]["layer_name"] == "encoder.blocks.1"
+    # TensorBoard event file written
+    assert list(Path(run_dir).glob("events.out.tfevents.*"))
+
+
+def test_train_loss_decreases(tmp_path):
+    from freud_tpu.train.trainer import SAETrainer
+
+    rng = np.random.default_rng(1)
+    basis = rng.standard_normal((3, 8)).astype(np.float32)
+    trainer = SAETrainer(
+        "l1", {"n_dict_components": 16, "recon_alpha": 10.0}, 8,
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": 5}, lr=3e-3, steps=60,
+    )
+    recons = []
+    for _ in range(60):
+        codes = rng.standard_normal((16, 12, 3)).astype(np.float32)
+        m = trainer.train_step(codes @ basis)
+        recons.append(float(m["loss_recon"]))
+    assert np.mean(recons[-10:]) < 0.7 * np.mean(recons[:10])
+
+
+def test_resume_roundtrip(tmp_path):
+    from freud_tpu.train.trainer import SAETrainer
+
+    rng = np.random.default_rng(2)
+    data = [rng.standard_normal((4, 6, 8)).astype(np.float32) for _ in range(6)]
+    cfg = {"expansion_factor": 2, "k": 2, "dead_feature_threshold": 10.0,
+           "auxk_alpha": 0.1}
+
+    a = SAETrainer("topk", cfg, 8, optimizer="adam", scheduler="linear",
+                   scheduler_params={"num_warmup_steps": 2}, lr=1e-3, steps=10)
+    for b in data[:3]:
+        a.train_step(b)
+    path = str(tmp_path / "ck.pth")
+    a.save(path, a.hparams())
+    for b in data[3:]:
+        a.train_step(b)
+
+    b_tr = SAETrainer("topk", cfg, 8, optimizer="adam", scheduler="linear",
+                      scheduler_params={"num_warmup_steps": 2}, lr=1e-3, steps=10)
+    b_tr.load(path)
+    assert b_tr.step == 3
+    for b in data[3:]:
+        b_tr.train_step(b)
+    # identical continuation
+    for pa, pb in zip(a.params, b_tr.params):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5, atol=1e-6)
