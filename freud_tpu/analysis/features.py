@@ -1,0 +1,147 @@
+"""Per-clip feature analysis: top features and on-the-fly manipulation.
+
+Behavioral parity with the reference's ``top_activations_for_audio`` and
+``manipulate_latent`` (src/utils/activations.py:135-296), as jitted
+device-side programs:
+
+* top features — the reference collects per-timestep top-k pairs and
+  iteratively dedups them into the global top-n distinct features ranked by
+  their observed maxima (its own sanity assert pins each reported value to
+  the feature's trace max, activations.py:204-206). Equivalent closed form
+  used here: per-feature max over the trimmed trace → ``lax.top_k`` → gather
+  the winning traces.
+* manipulation — scale one feature in the latent (L1: dense slice; TopK: edit
+  where the index appears; raw: edit the activation channel), decode both the
+  standard and manipulated reconstructions, splice each back into the encoder
+  via substitution, and return the three transcripts + both trimmed traces.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import mels_from_array
+from ..constants import SAMPLE_RATE, TIMESTEP_S
+from ..models.sae import config as sae_config
+from ..models.sae import l1 as l1_mod
+from ..models.sae import topk as topk_mod
+from ..models.whisper import WhisperRuntime
+
+
+def activation_length_from_samples(n_samples: int) -> int:
+    """Encoder frames covering an audio clip (reference activations.py:32-38)."""
+    return min(int(n_samples / SAMPLE_RATE / TIMESTEP_S), 1500)
+
+
+class FeatureAnalyzer:
+    """Owns a WhisperRuntime + optional SAE for the upload/manipulate paths."""
+
+    def __init__(self, runtime: WhisperRuntime, sae: Optional[tuple] = None):
+        """``sae`` is (variant, cfg, params) as produced by loaders.load_sae."""
+        self.runtime = runtime
+        self.sae = sae
+
+    @property
+    def n_features(self) -> int:
+        if self.sae is None:
+            return self.runtime.activation_width
+        variant, cfg, _ = self.sae
+        return sae_config.get_n_dict_components(
+            self.runtime.activation_width, cfg.expansion_factor, cfg.n_dict_components
+        )
+
+    # ---------------------------------------------------------- top features
+
+    def top_features_for_audio(self, audio: np.ndarray, top_n: int):
+        """(feature_indices, traces): top-n features of an uploaded clip."""
+        mel = mels_from_array(audio, self.runtime.dims.n_mels)
+        acts = self.runtime.activations(mel)[0]  # (T, width)
+        true_len = activation_length_from_samples(len(audio))
+
+        if self.sae is not None:
+            variant, cfg, params = self.sae
+            if variant == "l1":
+                latent = l1_mod.encode(params, acts).latent
+            else:
+                enc = topk_mod.encode(params, acts, cfg)
+                latent = topk_mod.dense_latent(
+                    enc.top_acts, enc.top_indices, self.n_features
+                )
+        else:
+            latent = acts
+
+        latent = np.asarray(latent)[:true_len]  # (T', n_features)
+        per_feature_max = latent.max(axis=0)
+        vals, idx = jax.lax.top_k(jnp.asarray(per_feature_max), top_n)
+        idx = np.asarray(idx)
+        traces = [latent[:, i] for i in idx]
+        return [int(i) for i in idx], traces
+
+    # ---------------------------------------------------------- manipulation
+
+    def manipulate(
+        self, audio: np.ndarray, feat_idx: int, manipulation_factor: float
+    ):
+        """(baseline_text, manipulated_text, standard_text,
+        standard_trace, manipulated_trace)."""
+        rt = self.runtime
+        mel = mels_from_array(audio, rt.dims.n_mels)
+        acts = rt.activations(mel)  # (1, T, width)
+        true_len = activation_length_from_samples(len(audio))
+
+        if self.sae is not None:
+            variant, cfg, params = self.sae
+            if variant == "l1":
+                latent = l1_mod.encode(params, acts).latent
+                standard_trace = np.asarray(latent[0, :, feat_idx])
+                manipulated = latent.at[:, :, feat_idx].multiply(manipulation_factor)
+                standard_decoded = l1_mod.decode(
+                    l1_mod.normalize_columns(params), latent
+                )
+                manipulated_decoded = l1_mod.decode(
+                    l1_mod.normalize_columns(params), manipulated
+                )
+            else:
+                enc = topk_mod.encode(params, acts, cfg)
+                hit = enc.top_indices == feat_idx
+                manipulated_acts = jnp.where(
+                    hit, enc.top_acts * manipulation_factor, enc.top_acts
+                )
+                standard_decoded = topk_mod.decode(
+                    params, enc.top_acts, enc.top_indices
+                )
+                manipulated_decoded = topk_mod.decode(
+                    params, manipulated_acts, enc.top_indices
+                )
+                standard_trace = np.asarray(
+                    jnp.sum(jnp.where(hit, enc.top_acts, 0.0), axis=-1)[0]
+                )
+            baseline_text = rt.transcribe_one(mel)
+        else:
+            standard_trace = np.asarray(acts[0, :, feat_idx])
+            manipulated_decoded = jnp.asarray(acts).at[:, :, feat_idx].multiply(
+                manipulation_factor
+            )
+            standard_decoded = acts
+            baseline_text = None
+
+        manipulated_trace = standard_trace * manipulation_factor
+
+        layer = rt.layer_name
+        manipulated_text = rt.transcribe_one(
+            mel, substitute_layer=layer, substitute_value=manipulated_decoded
+        )
+        standard_text = rt.transcribe_one(
+            mel, substitute_layer=layer, substitute_value=standard_decoded
+        )
+        return (
+            baseline_text,
+            manipulated_text,
+            standard_text,
+            standard_trace[:true_len],
+            manipulated_trace[:true_len],
+        )

@@ -1,0 +1,150 @@
+"""Dataset-wide activation search (top-activating files for a feature).
+
+Behavioral parity with the reference's ``top_activations``
+(src/utils/activations.py:60-132): scan every file, trim each activation
+trace to the file's true duration, rank files by (abs-)max activation with an
+optional [min, max] filter, return the top-n (file, trimmed trace, max value,
+max time) plus per-file maxima for the histogram.
+
+TPU redesign of the reference's hot loop (which densifies indexed rows in
+nested Python loops, reads an audio header per file, and re-sorts a Python
+list per append):
+
+* chunks of the store stream to the device; per-file trimmed max / argmax /
+  signed-max are one jitted masked-reduction over the (chunk, time) block;
+* true lengths come from store metadata ``n_frames`` written at collection
+  time (fallback: one native header read per file, off the hot path);
+* top-n selection merges per-chunk device results on the host; only the
+  winning n rows are re-read for their full traces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.decode import audio_duration_s
+from ..constants import TIMESTEP_S
+from ..data.loaders import FlyActivationLoader, MemoryMappedActivationLoader
+
+
+@partial(jax.jit, static_argnames=("feature_idx",))
+def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx: int):
+    """(C, T, F) chunk → per-file (signed_max, plain_argmax) of feature trace."""
+    trace = chunk[:, :, feature_idx]  # (C, T)
+    t = jnp.arange(trace.shape[1])[None, :]
+    valid = t < n_frames[:, None]
+    masked = jnp.where(valid, trace, -jnp.inf)
+    abs_masked = jnp.where(valid, jnp.abs(trace), -jnp.inf)
+    plain_max = jnp.max(masked, axis=1)
+    plain_argmax = jnp.argmax(masked, axis=1)
+    abs_argmax = jnp.argmax(abs_masked, axis=1)
+    signed_at_absmax = jnp.take_along_axis(trace, abs_argmax[:, None], axis=1)[:, 0]
+    return plain_max, plain_argmax, signed_at_absmax
+
+
+@partial(jax.jit, static_argnames=("feature_idx",))
+def _densify_indexed(vals: jnp.ndarray, idx: jnp.ndarray, feature_idx: int):
+    """(C, T, k) indexed rows → (C, T) dense trace of one feature."""
+    return jnp.sum(jnp.where(idx == feature_idx, vals, 0.0), axis=-1)
+
+
+def _true_lengths(loader, filenames: list[str], start: int) -> np.ndarray:
+    reader = getattr(loader, "reader", None)
+    if reader is not None and reader.n_frames is not None:
+        return np.asarray(reader.n_frames[start : start + len(filenames)], np.int32)
+    out = np.empty(len(filenames), np.int32)
+    for i, f in enumerate(filenames):
+        try:
+            out[i] = min(int(audio_duration_s(f) / TIMESTEP_S), 1500)
+        except Exception:
+            out[i] = 1500
+    return out
+
+
+def top_activations(
+    loader: MemoryMappedActivationLoader | FlyActivationLoader,
+    feature_idx: int,
+    n_files: int,
+    max_val: Optional[float] = None,
+    min_val: Optional[float] = None,
+    absolute_magnitude: bool = False,
+    return_max_per_file: bool = True,
+):
+    """Returns ([(file, trimmed_trace, max_value, max_time_s)], max_per_file)."""
+    entries = []  # (value_for_ranking, file, n_frames, trace_source)
+    max_per_file: list[float] = []
+    offset = 0
+
+    for batch in loader:
+        if loader.activation_type == "tensor":
+            chunk, filenames = batch
+            chunk = jnp.asarray(np.asarray(chunk, np.float32))
+            trace_chunk = None
+        else:
+            vals, idx, filenames = batch
+            trace = _densify_indexed(
+                jnp.asarray(np.asarray(vals, np.float32)),
+                jnp.asarray(np.asarray(idx)),
+                feature_idx,
+            )
+            chunk = trace[:, :, None]
+            trace_chunk = np.asarray(trace)
+        n_frames = _true_lengths(loader, filenames, offset)
+        offset += len(filenames)
+
+        fidx = feature_idx if loader.activation_type == "tensor" else 0
+        plain_max, plain_argmax, signed_at_absmax = (
+            np.asarray(a)
+            for a in _dense_stats(chunk, jnp.asarray(n_frames), fidx)
+        )
+
+        for j, fname in enumerate(filenames):
+            if absolute_magnitude:
+                signed = float(signed_at_absmax[j])
+                allowed = _passes(signed, min_val, max_val)
+                value = abs(signed)
+            else:
+                value = float(plain_max[j])
+                allowed = _passes(value, min_val, max_val)
+            if return_max_per_file:
+                max_per_file.append(
+                    float(signed_at_absmax[j]) if absolute_magnitude else value
+                )
+            if allowed:
+                if loader.activation_type == "tensor" and hasattr(loader, "reader"):
+                    # lazy: re-read only winning rows from the mmap at the end
+                    source = (loader, offset - len(filenames) + j, feature_idx)
+                elif loader.activation_type == "tensor":
+                    source = np.asarray(chunk[j, :, feature_idx])
+                else:
+                    source = trace_chunk[j]
+                entries.append(
+                    (value, fname, int(n_frames[j]),
+                     float(plain_argmax[j]) * TIMESTEP_S, source)
+                )
+        entries.sort(key=lambda e: e[0], reverse=True)
+        entries = entries[:n_files]
+
+    results = []
+    for value, fname, nf, max_time, source in entries:
+        if isinstance(source, tuple):
+            ldr, row, feat = source
+            arr = ldr.reader.batch(np.asarray([row]))[0][0]  # (T, F)
+            trace = np.asarray(arr[:, feat])
+        else:
+            trace = np.asarray(source)
+        results.append((fname, trace[:nf], value, max_time))
+    return results, (max_per_file if return_max_per_file else None)
+
+
+def _passes(value: float, min_val: Optional[float], max_val: Optional[float]) -> bool:
+    if max_val is not None and value > max_val:
+        return False
+    if min_val is not None and value < min_val:
+        return False
+    return True

@@ -1,0 +1,294 @@
+"""GUI backend HTTP API.
+
+Endpoint/schema parity with the reference Flask server
+(src/scripts/gui_server.py:146-264) so the stock React GUI works unchanged:
+
+  GET  /status                 {"status", "n_features", "layer_name",
+                                "allow_audio_upload"}
+  GET  /top_files              {"top_files", "activations", "max_per_file"}
+  GET  /audio/<path>           audio file bytes
+  POST /top_features?top_n     {"top_indices", "top_activations"}
+  POST /manipulate_feature     {"baseline_text", "manipulated_text",
+       ?feat_idx&manipulation_factor
+                                "standard_text", "standard_activations",
+                                "manipulated_activations"}
+
+Implementation is stdlib ``http.server`` (threaded) with permissive CORS —
+no Flask dependency. Device work is serialized behind one lock (the
+reference's dev server is equally single-flight).
+
+Divergence (documented, SURVEY.md §7): the reference's ``/audio/<path>``
+serves ANY absolute filesystem path (gui_server.py:187-189). The route shape
+is kept, but paths must resolve inside the configured dataset roots unless
+``allow_any_audio_path`` is set.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import threading
+import urllib.parse
+from email.parser import BytesParser
+from email.policy import HTTP
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..analysis.features import FeatureAnalyzer
+from ..analysis.search import top_activations
+from ..audio.decode import load_audio
+from ..data.loaders import FlyActivationLoader, MemoryMappedActivationLoader, load_sae
+from ..models.whisper import WhisperRuntime
+
+_MIME = {
+    ".flac": "audio/flac",
+    ".wav": "audio/wav",
+    ".mp3": "audio/mpeg",
+    ".ogg": "audio/ogg",
+    ".m4a": "audio/mp4",
+}
+
+
+class GuiState:
+    """Server-owned models + search closure (reference GlobalState,
+    gui_server.py:35-42)."""
+
+    def __init__(
+        self,
+        config: dict,
+        from_disk: bool = False,
+        files_to_search: Optional[int] = None,
+        no_audio_upload: bool = False,
+        allow_any_audio_path: bool = False,
+    ):
+        layer_name = config["layer_name"]
+        whisper_model = config["whisper_model"]
+        sae_checkpoint = config.get("sae_model") or None
+
+        if from_disk:
+            self.loader = MemoryMappedActivationLoader(
+                config["out_folder"], layer_name, config["batch_size"],
+                subset_size=files_to_search,
+            )
+        else:
+            self.loader = FlyActivationLoader(
+                config["data_path"], whisper_model, sae_checkpoint, layer_name,
+                config["batch_size"], subset_size=files_to_search,
+            )
+        if from_disk:
+            self.runtime = WhisperRuntime(whisper_model, layer_name)
+            sae = load_sae(sae_checkpoint) if sae_checkpoint else None
+        else:
+            self.runtime = self.loader.runtime
+            sae = None
+            if self.loader.sae is not None:
+                variant, cfg, params = self.loader.sae
+                sae = (variant, cfg, 0, params)
+        self.sae = None if sae is None else (sae[0], sae[1], sae[3])
+        self.analyzer = FeatureAnalyzer(self.runtime, self.sae)
+        self.layer_name = layer_name
+        self.n_features = self.loader.activation_shape[-1]
+        self.allow_audio_upload = not no_audio_upload
+        self.allow_any_audio_path = allow_any_audio_path
+        self.audio_roots = [
+            os.path.abspath(p)
+            for p in (config.get("data_path"), config.get("out_folder"))
+            if p
+        ]
+        self.lock = threading.Lock()
+
+    def audio_path_allowed(self, path: str) -> bool:
+        if self.allow_any_audio_path:
+            return True
+        real = os.path.realpath(path)
+        return any(
+            os.path.commonpath([real, root]) == root
+            for root in self.audio_roots
+            if os.path.exists(root)
+        )
+
+    def top_files(self, feature_idx, n_files, max_val, min_val, absolute_magnitude):
+        results, max_per_file = top_activations(
+            self.loader, feature_idx, n_files, max_val, min_val,
+            absolute_magnitude, return_max_per_file=True,
+        )
+        return {
+            "top_files": [r[0] for r in results],
+            "activations": [np.asarray(r[1]).tolist() for r in results],
+            "max_per_file": max_per_file,
+        }
+
+
+def decode_uploaded_audio(data: bytes, filename: str = "upload") -> np.ndarray:
+    """Decode uploaded bytes to 16 kHz mono float32 via the native decoder."""
+    suffix = Path(filename).suffix or ".wav"
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+        f.write(data)
+        tmp = f.name
+    try:
+        return load_audio(tmp)
+    finally:
+        os.unlink(tmp)
+
+
+def parse_multipart(content_type: str, body: bytes):
+    """{name: (filename, bytes)} from a multipart/form-data body."""
+    header = f"Content-Type: {content_type}\r\n\r\n".encode()
+    msg = BytesParser(policy=HTTP).parsebytes(header + body)
+    out = {}
+    if msg.is_multipart():
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            if name:
+                out[name] = (part.get_filename() or "", part.get_payload(decode=True))
+    return out
+
+
+def make_handler(state: GuiState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        # ---- helpers ----
+        def _send_json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _query(self):
+            parsed = urllib.parse.urlparse(self.path)
+            return parsed.path, dict(urllib.parse.parse_qsl(parsed.query))
+
+        # ---- routes ----
+        def do_OPTIONS(self):
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_GET(self):
+            path, q = self._query()
+            if path == "/status":
+                self._send_json(
+                    {
+                        "status": "Initialization complete",
+                        "n_features": int(state.n_features),
+                        "layer_name": state.layer_name,
+                        "allow_audio_upload": state.allow_audio_upload,
+                    }
+                )
+            elif path == "/top_files":
+                args = {
+                    "feature_idx": int(q.get("feature_idx", 0)),
+                    "n_files": int(q.get("n_files", 10)),
+                    "max_val": float(q["max_val"]) if q.get("max_val") else None,
+                    "min_val": float(q["min_val"]) if q.get("min_val") else None,
+                    "absolute_magnitude": q.get("absolute_magnitude", "")
+                    not in ("", "false", "False", "0"),
+                }
+                with state.lock:
+                    self._send_json(state.top_files(**args))
+            elif path.startswith("/audio/"):
+                fname = urllib.parse.unquote(path[len("/audio/") :])
+                fpath = "/" + fname if not fname.startswith("/") else fname
+                if not state.audio_path_allowed(fpath):
+                    self._send_json({"error": "path outside dataset roots"}, 403)
+                    return
+                if not os.path.exists(fpath):
+                    self._send_json({"error": "not found"}, 404)
+                    return
+                with open(fpath, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                mime = _MIME.get(Path(fpath).suffix.lower(), "audio/flac")
+                self.send_header("Content-Type", mime)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._send_json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            path, q = self._query()
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if path not in ("/top_features", "/manipulate_feature"):
+                self._send_json({"error": "not found"}, 404)
+                return
+            if not state.allow_audio_upload:
+                self._send_json({"error": "audio upload disabled"}, 403)
+                return
+            try:
+                parts = parse_multipart(self.headers.get("Content-Type", ""), body)
+                if "audio" not in parts:
+                    raise ValueError("No audio file provided")
+                filename, payload = parts["audio"]
+                if not payload:
+                    raise ValueError("No selected file")
+                audio = decode_uploaded_audio(payload, filename)
+            except (ValueError, RuntimeError) as e:
+                self._send_json({"error": str(e)}, 400)
+                return
+
+            if path == "/top_features":
+                top_n = int(q.get("top_n", 32))
+                with state.lock:
+                    idx, traces = state.analyzer.top_features_for_audio(audio, top_n)
+                self._send_json(
+                    {
+                        "top_indices": idx,
+                        "top_activations": [np.asarray(t).tolist() for t in traces],
+                    }
+                )
+            else:
+                feat_idx = int(q.get("feat_idx", 0))
+                factor = float(q.get("manipulation_factor", 1.5))
+                with state.lock:
+                    (
+                        baseline_text, manipulated_text, standard_text,
+                        standard_acts, manipulated_acts,
+                    ) = state.analyzer.manipulate(audio, feat_idx, factor)
+                self._send_json(
+                    {
+                        "baseline_text": baseline_text,
+                        "manipulated_text": manipulated_text,
+                        "standard_text": standard_text,
+                        "standard_activations": np.asarray(standard_acts).tolist(),
+                        "manipulated_activations": np.asarray(manipulated_acts).tolist(),
+                    }
+                )
+
+    return Handler
+
+
+def create_server(state: GuiState, host: str = "0.0.0.0", port: int = 5555):
+    return ThreadingHTTPServer((host, port), make_handler(state))
+
+
+def serve_forever(
+    config: dict,
+    from_disk: bool = False,
+    files_to_search: Optional[int] = None,
+    no_audio_upload: bool = False,
+    host: str = "0.0.0.0",
+    port: int = 5555,
+):
+    state = GuiState(config, from_disk, files_to_search, no_audio_upload)
+    print("GUI data initialized.")
+    server = create_server(state, host, port)
+    print(f"Serving on http://{host}:{port}")
+    server.serve_forever()

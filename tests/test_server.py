@@ -1,0 +1,165 @@
+"""HTTP contract tests pinning the five endpoint schemas (SURVEY.md §2/§4)."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from freud_tpu.scripts.collect_activations import get_activations
+from freud_tpu.server.app import GuiState, create_server
+
+
+def _write_wav(path, audio):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srv")
+    audio_dir = tmp / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        _write_wav(audio_dir / f"c{i}.wav",
+                   (rng.standard_normal(8000) * 0.1).astype(np.float32))
+    out = tmp / "acts"
+    get_activations(
+        data_path=str(audio_dir), layer_name="encoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(out), verbose=False,
+    )
+    config = {
+        "whisper_model": "test:tiny",
+        "sae_model": None,
+        "layer_name": "encoder.blocks.1",
+        "batch_size": 2,
+        "data_path": str(audio_dir),
+        "out_folder": str(out),
+        "dl_max_workers": 0,
+    }
+    state = GuiState(config, from_disk=True)
+    state.runtime.max_new_tokens = 3
+    server = create_server(state, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", audio_dir
+    server.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_multipart(url, audio_bytes, filename="u.wav"):
+    boundary = "testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="audio"; filename="{filename}"\r\n'
+        f"Content-Type: audio/wav\r\n\r\n"
+    ).encode() + audio_bytes + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _wav_bytes(seconds=0.5):
+    buf = io.BytesIO()
+    audio = (np.random.default_rng(1).standard_normal(int(16000 * seconds)) * 0.1)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_status(served):
+    base, _ = served
+    code, body = _get(base + "/status")
+    assert code == 200
+    assert body["status"] == "Initialization complete"
+    assert body["n_features"] == 384
+    assert body["layer_name"] == "encoder.blocks.1"
+    assert body["allow_audio_upload"] is True
+
+
+def test_top_files(served):
+    base, _ = served
+    code, body = _get(base + "/top_files?feature_idx=5&n_files=2")
+    assert code == 200
+    assert set(body) == {"top_files", "activations", "max_per_file"}
+    assert len(body["top_files"]) == 2
+    assert len(body["activations"]) == 2
+    assert len(body["max_per_file"]) == 4
+    assert all(isinstance(f, str) for f in body["top_files"])
+    # 0.5 s clips → 25-frame trimmed traces
+    assert len(body["activations"][0]) == 25
+
+
+def test_audio_route(served):
+    base, audio_dir = served
+    target = str(audio_dir / "c0.wav")
+    with urllib.request.urlopen(base + "/audio" + target, timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert len(r.read()) > 100
+
+
+def test_audio_route_blocks_escapes(served):
+    base, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/audio/etc/passwd", timeout=60)
+    assert ei.value.code == 403
+
+
+def test_top_features(served):
+    base, _ = served
+    code, body = _post_multipart(base + "/top_features?top_n=4", _wav_bytes())
+    assert code == 200
+    assert set(body) == {"top_indices", "top_activations"}
+    assert len(body["top_indices"]) == 4
+    assert len(body["top_activations"]) == 4
+    assert len(body["top_activations"][0]) == 25
+
+
+def test_top_features_bad_upload(served):
+    base, _ = served
+    code, body = _post_multipart(base + "/top_features", b"")
+    assert code == 400
+    assert "error" in body
+
+
+def test_manipulate_feature(served):
+    base, _ = served
+    code, body = _post_multipart(
+        base + "/manipulate_feature?feat_idx=3&manipulation_factor=2.0",
+        _wav_bytes(),
+    )
+    assert code == 200
+    assert set(body) == {
+        "baseline_text", "manipulated_text", "standard_text",
+        "standard_activations", "manipulated_activations",
+    }
+    assert body["baseline_text"] is None  # no SAE configured
+    assert isinstance(body["manipulated_text"], str)
+    np.testing.assert_allclose(
+        np.asarray(body["manipulated_activations"]),
+        2.0 * np.asarray(body["standard_activations"]),
+        rtol=1e-5, atol=1e-6,
+    )
