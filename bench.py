@@ -1,0 +1,119 @@
+"""Benchmark: the two headline metrics (BASELINE.json).
+
+1. Whisper-tiny block-2 activation-collection throughput, as RTFx (audio
+   seconds processed per wall second) of the on-device pipeline
+   (mel → encoder → capture). North-star target: ≥100× realtime per chip.
+2. tiny_l1 SAE training steps/sec/chip (batch 100 × 1500 × 384, n_dict 200,
+   RAdam + cosine — the configs/train/tiny_l1.json recipe).
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", ...extra}
+vs_baseline is RTFx / 100 (the north-star target; the reference publishes no
+numbers of its own — BASELINE.md).
+
+Random weights are used (identical FLOPs/memory traffic to pretrained; no
+network in this environment). Run with no JAX_PLATFORMS override to use the
+TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import freud_tpu  # noqa: F401  (platform/compile-cache setup)
+import jax
+import jax.numpy as jnp
+
+
+def bench_collection(batch: int = 64, iters: int = 8, warmup: int = 2) -> dict:
+    from freud_tpu.audio.mel import log_mel_spectrogram
+    from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
+
+    dims = dims_for("tiny")
+    params = init_params(dims, seed=0)
+    layer = "encoder.blocks.2"
+
+    # The pipeline returns the activations PLUS an in-jit checksum scalar;
+    # fetching the checksum forces execution without a separate slice program
+    # (block_until_ready is unreliable on tunneled backends) and without
+    # pulling the full activation tensor over the measurement path.
+    @jax.jit
+    def pipeline(params, audio):
+        mels = log_mel_spectrogram(audio, dims.n_mels)
+        _, caps = encoder_forward(params, dims, mels, capture=(layer,))
+        acts = caps[layer]
+        return acts, jnp.sum(acts[:, 0, 0])
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.1)
+
+    for _ in range(warmup):
+        float(pipeline(params, audio)[1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, checksum = pipeline(params, audio)
+    float(checksum)  # device executes in order; last checksum ⇒ all done
+    elapsed = time.perf_counter() - t0
+    audio_seconds = batch * iters * 30.0
+    return {
+        "rtfx": audio_seconds / elapsed,
+        "files_per_sec": batch * iters / elapsed,
+        "elapsed_s": elapsed,
+        "batch": batch,
+    }
+
+
+def bench_sae_train(batch: int = 100, iters: int = 20, warmup: int = 3) -> dict:
+    from freud_tpu.train.trainer import SAETrainer
+
+    trainer = SAETrainer(
+        "l1",
+        {"n_dict_components": 200, "recon_alpha": 1e4},
+        384,
+        optimizer="radam",
+        scheduler="cosine",
+        lr=4e-4,
+        steps=100_000,
+        clip_thresh=1.0,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 1500, 384)).astype(np.float32))
+
+    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
+    for _ in range(warmup):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])  # force (in-order device execution)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    elapsed = time.perf_counter() - t0
+    return {
+        "steps_per_sec": iters / elapsed,
+        "elapsed_s": elapsed,
+        "batch": batch,
+        "final_loss": float(m["loss"]),
+    }
+
+
+def main():
+    backend = jax.default_backend()
+    coll = bench_collection()
+    sae = bench_sae_train()
+    result = {
+        "metric": "whisper_tiny_block2_collection_rtfx",
+        "value": round(coll["rtfx"], 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(coll["rtfx"] / 100.0, 3),
+        "tiny_l1_steps_per_sec": round(sae["steps_per_sec"], 2),
+        "collection_files_per_sec": round(coll["files_per_sec"], 2),
+        "backend": backend,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

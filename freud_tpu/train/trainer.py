@@ -75,6 +75,7 @@ class SAETrainer:
         clip_thresh: float = 1.0,
         seed: int = 0,
         mesh=None,
+        shard_dict: bool = False,
     ):
         assert variant in ("l1", "topk"), (
             f"Invalid autoencoder variant: {variant}, must be 'l1' or 'topk'"
@@ -101,14 +102,30 @@ class SAETrainer:
             weight_decay=weight_decay, clip_thresh=clip_thresh,
             scheduler_params=scheduler_params,
         )
-        self.opt_state = self.tx.init(self.params)
         self.num_frames_since_fired = jnp.zeros((self.n_dict_components,), jnp.int32)
         self.step = 0
         self.best_val_loss = float("inf")
 
         self._replicate = mesh_lib.replicated(self.mesh)
-        self.params = jax.device_put(self.params, self._replicate)
-        self.opt_state = jax.device_put(self.opt_state, self._replicate)
+        self._param_sharding = self._replicate
+        if shard_dict:
+            # Tensor-parallel over the dictionary axis (model axis of the
+            # mesh): L1 W is (act, n_dict) → shard axis 1; TopK weights are
+            # (n_dict, d_in) → shard axis 0. XLA inserts the gathers/psums.
+            if variant == "l1":
+                self._param_sharding = type(self.params)(
+                    W=mesh_lib.dict_sharding(self.mesh, 1, 2),
+                    encoder_bias=mesh_lib.dict_sharding(self.mesh, 0, 1),
+                )
+            else:
+                self._param_sharding = type(self.params)(
+                    encoder_weight=mesh_lib.dict_sharding(self.mesh, 0, 2),
+                    encoder_bias=mesh_lib.dict_sharding(self.mesh, 0, 1),
+                    W_dec=mesh_lib.dict_sharding(self.mesh, 0, 2),
+                    b_dec=self._replicate,
+                )
+        self.params = jax.device_put(self.params, self._param_sharding)
+        self.opt_state = self.tx.init(self.params)
 
         self._train_step = self._build_train_step()
         self._val_step = self._build_val_step()
@@ -253,8 +270,11 @@ class SAETrainer:
         params, opt_state, step, best, ckpt = load_trainer_checkpoint(
             path, self.variant, jax.device_get(self.opt_state)
         )
-        self.params = jax.device_put(params, self._replicate)
-        self.opt_state = jax.device_put(opt_state, self._replicate)
+        self.params = jax.device_put(params, self._param_sharding)
+        # place restored opt-state leaves with the same shardings as the
+        # freshly initialized template state
+        shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state)
+        self.opt_state = jax.device_put(opt_state, shardings)
         self.step = step
         self.best_val_loss = best
         if "num_frames_since_fired" in ckpt:
