@@ -125,7 +125,22 @@ class SAETrainer:
                     b_dec=self._replicate,
                 )
         self.params = jax.device_put(self.params, self._param_sharding)
-        self.opt_state = self.tx.init(self.params)
+        # Explicitly place every opt-state leaf: moment buffers share their
+        # parameter's sharding (matched by shape), scalars are replicated.
+        shape_to_sharding = {
+            tuple(np.shape(p)): p.sharding
+            for p in jax.tree_util.tree_leaves(self.params)
+        }
+        raw_state = self.tx.init(self.params)
+        self.opt_state = jax.device_put(
+            raw_state,
+            jax.tree_util.tree_map(
+                lambda leaf: shape_to_sharding.get(
+                    tuple(np.shape(leaf)), self._replicate
+                ),
+                raw_state,
+            ),
+        )
 
         self._train_step = self._build_train_step()
         self._val_step = self._build_val_step()
