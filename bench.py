@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 
 def bench_collection(batch: int = 64, iters: int = 8, warmup: int = 2) -> dict:
-    from freud_tpu.audio.mel import log_mel_spectrogram
+    from freud_tpu.audio.mel import batched_log_mel
     from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
 
     dims = dims_for("tiny")
@@ -42,7 +42,7 @@ def bench_collection(batch: int = 64, iters: int = 8, warmup: int = 2) -> dict:
     # pulling the full activation tensor over the measurement path.
     @jax.jit
     def pipeline(params, audio):
-        mels = log_mel_spectrogram(audio, dims.n_mels)
+        mels = batched_log_mel(audio, dims.n_mels)
         _, caps = encoder_forward(params, dims, mels, capture=(layer,))
         acts = caps[layer]
         return acts, jnp.sum(acts[:, 0, 0])

@@ -123,6 +123,19 @@ def trim_audio(
     return array[int(sample_rate * start_time) : int(sample_rate * end_time)]
 
 
+def batched_log_mel(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """Backend-dispatched log-mel: fused Pallas kernel on TPU, XLA elsewhere.
+
+    Both paths are numerically equivalent (tests/test_mel_pallas.py); the
+    Pallas kernel keeps framing/power entirely in VMEM.
+    """
+    if jax.default_backend() == "tpu":
+        from ..ops.mel_pallas import log_mel_spectrogram_pallas
+
+        return log_mel_spectrogram_pallas(audio, n_mels)
+    return log_mel_spectrogram(audio, n_mels)
+
+
 @jax.jit
 def _mels_jit_80(audio):
     return log_mel_spectrogram(audio, 80)

@@ -26,7 +26,7 @@ import numpy as np
 from ..constants import N_SAMPLES, is_audio_file
 from .. import profiling
 from ..audio.decode import load_audio_batch
-from ..audio.mel import log_mel_spectrogram
+from ..audio.mel import batched_log_mel
 
 
 def list_audio_files(folder: str) -> list[str]:
@@ -61,7 +61,7 @@ class AudioBatchPipeline:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.compute_mels = compute_mels
-        self._mel_fn = jax.jit(lambda a: log_mel_spectrogram(a, n_mels))
+        self._mel_fn = jax.jit(lambda a: batched_log_mel(a, n_mels))
 
     def __len__(self) -> int:
         n = len(self.files)

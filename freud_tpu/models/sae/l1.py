@@ -65,16 +65,29 @@ def normalize_columns(params: L1Params) -> L1Params:
     return params._replace(W=params.W / jnp.maximum(norm, 1e-12))
 
 
-def encode(params: L1Params, x: jnp.ndarray, *, pre_normalized: bool = False) -> L1EncoderOutput:
-    """ReLU(x @ W + b) on unit-norm columns → latent (…, n_dict)."""
+def encode(
+    params: L1Params, x: jnp.ndarray, *, pre_normalized: bool = False,
+    matmul_dtype=None,
+) -> L1EncoderOutput:
+    """ReLU(x @ W + b) on unit-norm columns → latent (…, n_dict).
+
+    ``matmul_dtype=jnp.bfloat16`` runs the matmul in reduced precision (the
+    analogue of the reference trainer's CUDA autocast, train_sae.py:431).
+    """
     if not pre_normalized:
         params = normalize_columns(params)
-    c = jax.nn.relu(x @ params.W + params.encoder_bias)
+    W, b = params.W, params.encoder_bias
+    if matmul_dtype is not None:
+        x, W = x.astype(matmul_dtype), W.astype(matmul_dtype)
+    c = jax.nn.relu(x @ W + b.astype(x.dtype))
     return L1EncoderOutput(latent=c)
 
 
-def decode(params: L1Params, latent: jnp.ndarray) -> jnp.ndarray:
-    return latent @ params.W.T
+def decode(params: L1Params, latent: jnp.ndarray, matmul_dtype=None) -> jnp.ndarray:
+    W = params.W
+    if matmul_dtype is not None:
+        W, latent = W.astype(matmul_dtype), latent.astype(matmul_dtype)
+    return latent @ W.T
 
 
 def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, ignored_value: float = -1.0):
@@ -86,14 +99,15 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, ignored_value: float = -1
 
 def forward(
     params: L1Params, x: jnp.ndarray, cfg: L1AutoEncoderConfig,
-    *, pre_normalized: bool = False,
+    *, pre_normalized: bool = False, matmul_dtype=None,
 ) -> L1ForwardOutput:
     if not pre_normalized:
         params = normalize_columns(params)
-    c = encode(params, x, pre_normalized=True).latent
-    x_hat = decode(params, c)
-    # mean over (batch, time) of the per-frame L1 norm of the latent.
-    l1 = jnp.mean(jnp.sum(jnp.abs(c), axis=-1))
+    c = encode(params, x, pre_normalized=True, matmul_dtype=matmul_dtype).latent
+    x_hat = decode(params, c, matmul_dtype=matmul_dtype).astype(x.dtype)
+    # losses in f32 (autocast-style: matmuls reduced, reductions full)
+    c32 = c.astype(jnp.float32)
+    l1 = jnp.mean(jnp.sum(jnp.abs(c32), axis=-1))
     recon = cfg.recon_alpha * masked_mse(x_hat, x)
     return L1ForwardOutput(
         sae_out=x_hat, encoded=L1EncoderOutput(c), l1_loss=l1,

@@ -91,9 +91,12 @@ def remove_gradient_parallel_to_decoder_directions(
     return W_dec_grad - parallel * W_dec
 
 
-def pre_acts(params: TopKParams, x: jnp.ndarray) -> jnp.ndarray:
+def pre_acts(params: TopKParams, x: jnp.ndarray, matmul_dtype=None) -> jnp.ndarray:
     sae_in = x - params.b_dec
-    return jax.nn.relu(sae_in @ params.encoder_weight.T + params.encoder_bias)
+    W = params.encoder_weight
+    if matmul_dtype is not None:
+        sae_in, W = sae_in.astype(matmul_dtype), W.astype(matmul_dtype)
+    return jax.nn.relu(sae_in @ W.T + params.encoder_bias.astype(sae_in.dtype))
 
 
 def select_topk(latents: jnp.ndarray, k: int) -> TopKEncoderOutput:
@@ -133,10 +136,11 @@ def forward(
     x: jnp.ndarray,
     cfg: TopKAutoEncoderConfig,
     dead_mask: Optional[jnp.ndarray] = None,
+    matmul_dtype=None,
 ) -> TopKForwardOutput:
-    acts = pre_acts(params, x)
+    acts = pre_acts(params, x, matmul_dtype=matmul_dtype)
     top = select_topk(acts, cfg.k)
-    sae_out = decode(params, top.top_acts, top.top_indices)
+    sae_out = decode(params, top.top_acts, top.top_indices).astype(x.dtype)
     e = sae_out - x
 
     tv = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)

@@ -181,7 +181,15 @@ def make_handler(state: GuiState):
 
         def do_GET(self):
             path, q = self._query()
-            if path == "/status":
+            if path in ("/", "/index.html"):
+                page = Path(__file__).parent / "static" / "index.html"
+                data = page.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif path == "/status":
                 self._send_json(
                     {
                         "status": "Initialization complete",

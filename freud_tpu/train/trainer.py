@@ -76,6 +76,7 @@ class SAETrainer:
         seed: int = 0,
         mesh=None,
         shard_dict: bool = False,
+        amp: bool = True,
     ):
         assert variant in ("l1", "topk"), (
             f"Invalid autoencoder variant: {variant}, must be 'l1' or 'topk'"
@@ -88,6 +89,7 @@ class SAETrainer:
         self.dead_feature_threshold = float(
             autoencoder_config.get("dead_feature_threshold", 1e6)
         )
+        self.amp = amp
 
         if variant == "l1":
             self.params = l1_mod.init_l1(activation_size, self.cfg, seed=seed)
@@ -150,6 +152,9 @@ class SAETrainer:
     def _build_train_step(self):
         cfg, tx, variant = self.cfg, self.tx, self.variant
         threshold = self.dead_feature_threshold
+        # bf16 matmuls in the train step — the analogue of the reference's
+        # CUDA autocast (train_sae.py:431); losses/updates stay f32.
+        mm_dtype = jnp.bfloat16 if self.amp else None
 
         if variant == "l1":
 
@@ -157,7 +162,9 @@ class SAETrainer:
                 params = l1_mod.normalize_columns(params)
 
                 def loss_fn(p):
-                    out = l1_mod.forward(p, batch, cfg, pre_normalized=True)
+                    out = l1_mod.forward(
+                        p, batch, cfg, pre_normalized=True, matmul_dtype=mm_dtype
+                    )
                     return out.reconstruction_loss + out.l1_loss, out
 
                 (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -176,7 +183,9 @@ class SAETrainer:
                 dead_mask = counter > threshold
 
                 def loss_fn(p):
-                    out = topk_mod.forward(p, batch, cfg, dead_mask=dead_mask)
+                    out = topk_mod.forward(
+                        p, batch, cfg, dead_mask=dead_mask, matmul_dtype=mm_dtype
+                    )
                     return out.fvu + out.auxk_loss + out.multi_topk_fvu / 8, out
 
                 (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -1,0 +1,30 @@
+"""Pallas fused mel kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from freud_tpu.audio.mel import log_mel_spectrogram
+from freud_tpu.constants import N_FRAMES, N_SAMPLES
+from freud_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_pallas_mel_matches_xla(n_mels):
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, N_SAMPLES)).astype(np.float32) * 0.1
+    interpret = jax.default_backend() == "cpu"
+    got = np.asarray(log_mel_spectrogram_pallas(audio, n_mels, interpret=interpret))
+    want = np.asarray(log_mel_spectrogram(audio, n_mels))
+    assert got.shape == (2, n_mels, N_FRAMES)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_mel_single_clip():
+    audio = np.zeros(N_SAMPLES, np.float32)
+    audio[1000:2000] = 0.5
+    interpret = jax.default_backend() == "cpu"
+    got = np.asarray(log_mel_spectrogram_pallas(audio, 80, interpret=interpret))
+    want = np.asarray(log_mel_spectrogram(audio, 80))
+    assert got.shape == (80, N_FRAMES)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
