@@ -104,6 +104,31 @@ def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv):
     return logits[:, 0, :], jnp.stack(new_k), jnp.stack(new_v)
 
 
+@partial(jax.jit, static_argnames=("dims",))
+def detect_language(
+    params: Params, dims: WhisperDims, encoded: jnp.ndarray
+) -> jnp.ndarray:
+    """(b,) language indices: one decoder step from <|sot|>, argmax over the
+    language-token band (the reference's default DecodingOptions path —
+    ``language=None`` triggers detection inside ``model.decode``)."""
+    st = special_tokens(dims.n_vocab)
+    b = encoded.shape[0]
+    L, d = dims.n_text_layer, dims.n_text_state
+    cross = precompute_cross_kv(params, dims, encoded)
+    cross_k = jnp.stack([k for k, _ in cross])
+    cross_v = jnp.stack([v for _, v in cross])
+    self_k = jnp.zeros((L, b, 1, d), encoded.dtype)
+    self_v = jnp.zeros((L, b, 1, d), encoded.dtype)
+    token = jnp.full((b,), st.sot, jnp.int32)
+    logits, _, _ = _decode_step(
+        params, dims, token, 0, self_k, self_v, (cross_k, cross_v)
+    )
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits, st.lang_base, st.n_langs, axis=-1
+    )
+    return jnp.argmax(lang_logits, axis=-1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new"))
 def greedy_decode(
     params: Params,

@@ -112,16 +112,127 @@ def params_from_openai_state_dict(sd: dict, dims: WhisperDims) -> Params:
     return {"encoder": encoder, "decoder": decoder}
 
 
+def _hf_linear(sd, key):
+    p = {"w": _t(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        p["b"] = _t(sd[f"{key}.bias"])
+    return p
+
+
+def _hf_ln(sd, key):
+    return {"g": _t(sd[f"{key}.weight"]), "b": _t(sd[f"{key}.bias"])}
+
+
+def _hf_block(sd, prefix, cross: bool):
+    p = {
+        "attn_ln": _hf_ln(sd, f"{prefix}.self_attn_layer_norm"),
+        "attn": {
+            "q": _hf_linear(sd, f"{prefix}.self_attn.q_proj"),
+            "k": _hf_linear(sd, f"{prefix}.self_attn.k_proj"),
+            "v": _hf_linear(sd, f"{prefix}.self_attn.v_proj"),
+            "out": _hf_linear(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "mlp_ln": _hf_ln(sd, f"{prefix}.final_layer_norm"),
+        "mlp": {
+            "fc1": _hf_linear(sd, f"{prefix}.fc1"),
+            "fc2": _hf_linear(sd, f"{prefix}.fc2"),
+        },
+    }
+    if cross:
+        p["cross_attn_ln"] = _hf_ln(sd, f"{prefix}.encoder_attn_layer_norm")
+        p["cross_attn"] = {
+            "q": _hf_linear(sd, f"{prefix}.encoder_attn.q_proj"),
+            "k": _hf_linear(sd, f"{prefix}.encoder_attn.k_proj"),
+            "v": _hf_linear(sd, f"{prefix}.encoder_attn.v_proj"),
+            "out": _hf_linear(sd, f"{prefix}.encoder_attn.out_proj"),
+        }
+    return p
+
+
+def params_from_hf_state_dict(sd: dict, dims: WhisperDims) -> Params:
+    """Convert a HuggingFace-transformers Whisper state dict to our pytree."""
+    enc, dec = "model.encoder", "model.decoder"
+    if f"{enc}.conv1.weight" not in sd and "encoder.conv1.weight" in sd:
+        enc, dec = "encoder", "decoder"
+    encoder = {
+        "conv1": {
+            "w": _t(sd[f"{enc}.conv1.weight"]).transpose(2, 1, 0),
+            "b": _t(sd[f"{enc}.conv1.bias"]),
+        },
+        "conv2": {
+            "w": _t(sd[f"{enc}.conv2.weight"]).transpose(2, 1, 0),
+            "b": _t(sd[f"{enc}.conv2.bias"]),
+        },
+        "pos": _t(sd[f"{enc}.embed_positions.weight"]),
+        "blocks": [
+            _hf_block(sd, f"{enc}.layers.{i}", cross=False)
+            for i in range(dims.n_audio_layer)
+        ],
+        "ln_post": _hf_ln(sd, f"{enc}.layer_norm"),
+    }
+    decoder = {
+        "tok_emb": _t(sd[f"{dec}.embed_tokens.weight"]),
+        "pos": _t(sd[f"{dec}.embed_positions.weight"]),
+        "blocks": [
+            _hf_block(sd, f"{dec}.layers.{i}", cross=True)
+            for i in range(dims.n_text_layer)
+        ],
+        "ln": _hf_ln(sd, f"{dec}.layer_norm"),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def load_hf_dir(path: Path) -> tuple[Params, WhisperDims]:
+    """Load a local HuggingFace Whisper checkpoint directory
+    (config.json + model.safetensors / pytorch_model.bin)."""
+    import json
+
+    with open(path / "config.json") as f:
+        hf_cfg = json.load(f)
+    dims = WhisperDims(
+        n_mels=hf_cfg["num_mel_bins"],
+        n_audio_ctx=hf_cfg.get("max_source_positions", 1500),
+        n_audio_state=hf_cfg["d_model"],
+        n_audio_head=hf_cfg["encoder_attention_heads"],
+        n_audio_layer=hf_cfg["encoder_layers"],
+        n_vocab=hf_cfg["vocab_size"],
+        n_text_ctx=hf_cfg.get("max_target_positions", 448),
+        n_text_state=hf_cfg["d_model"],
+        n_text_head=hf_cfg["decoder_attention_heads"],
+        n_text_layer=hf_cfg["decoder_layers"],
+    )
+    st_path = path / "model.safetensors"
+    if st_path.exists():
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(
+                path / "pytorch_model.bin", map_location="cpu", weights_only=True
+            ).items()
+        }
+    return params_from_hf_state_dict(sd, dims), dims
+
+
 def load_model(name: str) -> tuple[Params, WhisperDims]:
     """Resolve a model name to (params, dims).
 
     ``random:NAME`` / ``test:NAME`` → seeded random init with NAME's geometry
-    (test: shrinks to 2 layers). A bare name loads the OpenAI ``.pt``
-    checkpoint from $FREUD_WHISPER_DIR or ~/.cache/whisper.
+    (test: shrinks to 2 layers). A path to a HuggingFace checkpoint directory
+    loads that. A bare name loads the OpenAI ``.pt`` checkpoint from
+    $FREUD_WHISPER_DIR or ~/.cache/whisper.
     """
     if name.startswith(("random:", "test:")):
         dims = dims_for(name)
         return init_params(dims, seed=0), dims
+
+    as_path = Path(name).expanduser()
+    if as_path.is_dir() and (as_path / "config.json").exists():
+        return load_hf_dir(as_path)
 
     if name not in MODEL_DIMS:
         raise ValueError(f"Unknown whisper model: {name!r}")

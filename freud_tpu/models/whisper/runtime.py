@@ -25,10 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import WhisperDims
-from .decoding import greedy_decode
+from .decoding import detect_language, greedy_decode
 from .load import load_model
 from .model import Params, encoder_forward
-from .tokenizer import decode_text, special_tokens
+from .tokenizer import decode_text, language_index, special_tokens
 
 
 class WhisperRuntime:
@@ -40,11 +40,16 @@ class WhisperRuntime:
         layer_name: Optional[str] = None,
         compute_dtype=jnp.float32,
         max_new_tokens: int = 224,
+        language: Optional[str] = None,
     ):
+        """``language=None`` auto-detects per clip (multilingual models only),
+        mirroring the reference's default DecodingOptions; pass a code like
+        ``"en"`` to pin it and skip the detection step."""
         self.model_name = model_name
         self.layer_name = layer_name
         self.compute_dtype = compute_dtype
         self.max_new_tokens = max_new_tokens
+        self.language = language
         self.params, self.dims = load_model(model_name)
         self._st = special_tokens(self.dims.n_vocab)
 
@@ -76,10 +81,19 @@ class WhisperRuntime:
 
     # -- transcription ------------------------------------------------------
 
-    def _prompt(self, batch: int) -> tuple[jnp.ndarray, int]:
+    def _prompt(self, encoded: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        batch = encoded.shape[0]
         seq = self._st.sot_sequence(lang_index=0, timestamps=True)
-        arr = jnp.asarray(np.tile(np.asarray(seq, np.int32), (batch, 1)))
-        return arr, len(seq)
+        arr = np.tile(np.asarray(seq, np.int32), (batch, 1))
+        if self._st.multilingual:
+            if self.language is None:
+                lang_idx = np.asarray(detect_language(self.params, self.dims, encoded))
+            else:
+                lang_idx = np.full(
+                    (batch,), language_index(self.language, self.dims.n_vocab)
+                )
+            arr[:, 1] = self._st.lang_base + lang_idx
+        return jnp.asarray(arr), len(seq)
 
     def transcribe(
         self,
@@ -103,7 +117,7 @@ class WhisperRuntime:
             )
         else:
             encoded, _ = self._encode(self.params, mels)
-        prompt, n_prompt = self._prompt(encoded.shape[0])
+        prompt, n_prompt = self._prompt(encoded)
         tokens = greedy_decode(
             self.params, self.dims, encoded, prompt, n_prompt,
             max_new=self.max_new_tokens,

@@ -17,9 +17,32 @@ from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
 
-# 99 languages in the original multilingual vocab; large-v3 adds yue.
+# Language-token order of the multilingual vocab (public Whisper layout);
+# index i ⇒ token id lang_base + i. large-v3 appends "yue".
+LANGUAGES = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+)
 _N_LANGS_V2 = 99
 _N_LANGS_V3 = 100
+
+
+def language_index(code: str, n_vocab: int) -> int:
+    st = special_tokens(n_vocab)
+    try:
+        idx = LANGUAGES.index(code)
+    except ValueError:
+        raise ValueError(f"Unknown language code {code!r}")
+    if idx >= st.n_langs:
+        raise ValueError(f"{code!r} not in this model's {st.n_langs}-language vocab")
+    return idx
 
 
 @dataclass(frozen=True)
