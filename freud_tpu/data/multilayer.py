@@ -1,0 +1,99 @@
+"""Multi-layer activation collection: N capture points in ONE encoder pass.
+
+New capability beyond the reference (BASELINE.json's "Whisper Small
+multi-layer collection + per-layer SAE sweep" configuration): the reference
+would run the full hooked forward once per layer; here the functional capture
+API returns every requested intermediate from a single jitted encoder
+forward, and the collection writer streams each layer to its own
+reference-format store.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from .. import profiling
+from ..constants import SAMPLE_RATE, TIMESTEP_S, get_n_mels
+from ..models.whisper import WhisperRuntime, encoder_forward
+from .audio_dataset import AudioBatchPipeline
+from .store import ActivationStoreWriter
+
+
+class MultiLayerActivationLoader:
+    """Yields ({layer: activations}, filenames, n_frames) per audio batch."""
+
+    def __init__(
+        self,
+        data_path: str,
+        whisper_model: str,
+        layer_names: Sequence[str],
+        batch_size: int,
+        subset_size: Optional[int] = None,
+        compute_dtype=None,
+    ):
+        self.layer_names = tuple(layer_names)
+        self.runtime = WhisperRuntime(whisper_model, None)
+        dims = self.runtime.dims
+        capture = self.layer_names
+
+        @jax.jit
+        def encode(params, mels):
+            _, caps = encoder_forward(params, dims, mels, capture=capture)
+            return caps
+
+        self._encode = encode
+        self.pipeline = AudioBatchPipeline(
+            data_path, batch_size, get_n_mels(whisper_model),
+            subset_size=subset_size,
+        )
+
+    @property
+    def dataset_length(self) -> int:
+        return self.pipeline.dataset_length
+
+    def __iter__(self):
+        for mels, filenames, lengths in self.pipeline:
+            with profiling.span("multilayer_capture"):
+                caps = self._encode(self.runtime.params, mels)
+            n_frames = np.minimum(
+                (lengths / SAMPLE_RATE / TIMESTEP_S).astype(np.int64), 1500
+            )
+            yield caps, filenames, n_frames
+
+
+def collect_multilayer(
+    data_path: str,
+    layer_names: Sequence[str],
+    whisper_model: str,
+    batch_size: int,
+    out_folder: str,
+    collect_max: Optional[int] = None,
+    verbose: bool = True,
+) -> dict:
+    """One encoder pass per batch, one reference-format store per layer."""
+    loader = MultiLayerActivationLoader(
+        data_path, whisper_model, layer_names, batch_size, subset_size=collect_max
+    )
+    writers: dict[str, ActivationStoreWriter] = {}
+    n_files = 0
+    for caps, filenames, n_frames in loader:
+        for layer in loader.layer_names:
+            arr = np.asarray(caps[layer])
+            if layer not in writers:
+                writers[layer] = ActivationStoreWriter(
+                    out_folder, layer,
+                    tensor_shape=arr.shape[1:], activation_shape=arr.shape[1:],
+                )
+            writers[layer].append_batch(filenames, arr, n_frames=n_frames)
+        n_files += len(filenames)
+        if verbose:
+            print(f"\rcollected {n_files}/{loader.dataset_length} files "
+                  f"x {len(loader.layer_names)} layers", end="", flush=True)
+    for w in writers.values():
+        w.close()
+    if verbose:
+        print()
+    return {"n_files": n_files, "layers": list(loader.layer_names)}

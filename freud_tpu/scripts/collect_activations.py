@@ -93,6 +93,20 @@ def main(argv=None):
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = json.load(f)
+    if isinstance(config["layer_name"], list):
+        # multi-layer extension: one encoder pass, one store per layer
+        from ..data.multilayer import collect_multilayer
+
+        stats = collect_multilayer(
+            data_path=config["data_path"],
+            layer_names=config["layer_name"],
+            whisper_model=config["whisper_model"],
+            batch_size=config["batch_size"],
+            out_folder=config["out_folder"],
+            collect_max=config.get("collect_max"),
+        )
+        print(json.dumps(stats))
+        return
     stats = get_activations(
         data_path=config["data_path"],
         layer_name=config["layer_name"],

@@ -1,0 +1,101 @@
+"""Multi-layer collection + concurrent SAE sweep tests."""
+
+import wave
+
+import numpy as np
+
+from freud_tpu.data.multilayer import collect_multilayer
+from freud_tpu.data.store import ActivationStoreReader, ActivationStoreWriter
+from freud_tpu.train.sweep import SAESweepTrainer, train_sweep
+
+
+def _write_wavs(folder, n, seconds=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    folder.mkdir(exist_ok=True)
+    for i in range(n):
+        audio = (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(np.float32)
+        with wave.open(str(folder / f"c{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((audio * 32767).astype(np.int16).tobytes())
+
+
+def test_multilayer_collection(tmp_path):
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 3)
+    layers = ["encoder.blocks.0", "encoder.blocks.1", "encoder.blocks.1.mlp.1"]
+    out = tmp_path / "acts"
+    stats = collect_multilayer(
+        str(audio), layers, "test:tiny", batch_size=2, out_folder=str(out),
+        verbose=False,
+    )
+    assert stats["n_files"] == 3
+    for layer in layers:
+        r = ActivationStoreReader(out, layer)
+        assert len(r) == 3
+        width = 4 * 384 if layer.endswith("mlp.1") else 384
+        assert r.tensor_shape == (1500, width)
+    # single-pass capture equals single-layer capture
+    from freud_tpu.data.loaders import FlyActivationLoader
+
+    single = FlyActivationLoader(str(audio), "test:tiny", None,
+                                 "encoder.blocks.1", batch_size=3)
+    acts, names = next(iter(single))
+    r = ActivationStoreReader(out, "encoder.blocks.1")
+    arr, name0 = r[0]
+    idx = names.index(name0)
+    np.testing.assert_allclose(arr, np.asarray(acts)[idx], atol=2e-5, rtol=1e-4)
+
+
+def test_sweep_trainer_matches_independent_training(tmp_path):
+    """Each sweep member must evolve exactly like a solo trainer with its seed."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    rng = np.random.default_rng(0)
+    cfg = {"n_dict_components": 12, "recon_alpha": 10.0}
+    data = rng.standard_normal((3, 4, 6, 8)).astype(np.float32)  # (K,B,T,d)
+
+    sweep = SAESweepTrainer("l1", cfg, 8, 3, optimizer="adam",
+                            scheduler="linear",
+                            scheduler_params={"num_warmup_steps": 1},
+                            lr=1e-3, steps=5, amp=False)
+    for _ in range(3):
+        m = sweep.train_step(data)
+    assert np.asarray(m["loss"]).shape == (3,)
+
+    solo = SAETrainer("l1", cfg, 8, optimizer="adam", scheduler="linear",
+                      scheduler_params={"num_warmup_steps": 1}, lr=1e-3,
+                      steps=5, seed=1, amp=False)
+    for _ in range(3):
+        solo_m = solo.train_step(data[1])
+    member_W = np.asarray(sweep.params.W[1])
+    np.testing.assert_allclose(member_W, np.asarray(solo.params.W),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(m["loss"])[1]),
+                               float(solo_m["loss"]), rtol=1e-5)
+
+
+def test_train_sweep_end_to_end(tmp_path):
+    rng = np.random.default_rng(1)
+    layers = ["encoder.blocks.0", "encoder.blocks.1"]
+    for layer in layers:
+        w = ActivationStoreWriter(tmp_path, layer, (6, 8), (6, 8))
+        w.append_batch([f"{layer}-f{i}" for i in range(12)],
+                       rng.standard_normal((12, 6, 8)).astype(np.float32))
+        w.close()
+    stats = train_sweep(
+        str(tmp_path), layers, "topk",
+        {"expansion_factor": 2, "k": 2, "dead_feature_threshold": 100.0},
+        steps=4, batch_size=4, out_dir=str(tmp_path / "sweep"),
+        scheduler_params={"num_warmup_steps": 1}, verbose=False,
+    )
+    assert stats["steps"] == 4
+    from freud_tpu.models.sae import sae_from_checkpoint
+
+    for layer in layers:
+        v, cfg, act, params = sae_from_checkpoint(
+            str(tmp_path / "sweep" / f"{layer}.pth")
+        )
+        assert v == "topk" and act == 8
+        assert params.encoder_weight.shape == (16, 8)
