@@ -1,0 +1,51 @@
+"""Multi-host initialization for TPU pods/slices.
+
+The reference has no distributed backend at all (SURVEY.md §5.8). The
+TPU-native equivalent is trivial by design: call ``initialize()`` once per
+host process before any mesh construction; JAX wires the hosts into one
+global device list (ICI within a slice, DCN across slices), and every
+``freud_tpu.parallel.mesh`` helper then spans the full pod. Collectives stay
+XLA-inserted — there is no custom comm layer to configure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op on single-process runs).
+
+    On Cloud TPU the arguments auto-detect from the metadata server; set them
+    explicitly (or via JAX_COORDINATOR_ADDRESS etc.) elsewhere.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:
+        if num_processes not in (None, 1):
+            raise
+        # single-process environments (tests, one chip) proceed un-distributed
+        if os.environ.get("FREUD_DEBUG_DIST"):
+            print(f"jax.distributed not initialized: {e}")
+
+
+def process_info() -> dict:
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
