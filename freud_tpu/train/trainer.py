@@ -77,7 +77,11 @@ class SAETrainer:
         mesh=None,
         shard_dict: bool = False,
         amp: bool = True,
+        fused: Optional[bool] = None,
     ):
+        """``fused`` selects the single-pass Pallas train-step kernel for the
+        L1 variant (freud_tpu.ops.sae_fused) — default: on for single-device
+        L1 training, off when the batch is sharded across a mesh."""
         assert variant in ("l1", "topk"), (
             f"Invalid autoencoder variant: {variant}, must be 'l1' or 'topk'"
         )
@@ -90,6 +94,9 @@ class SAETrainer:
             autoencoder_config.get("dead_feature_threshold", 1e6)
         )
         self.amp = amp
+        if fused is None:
+            fused = variant == "l1" and len(jax.devices()) == 1 and not shard_dict
+        self.fused = bool(fused) and variant == "l1" and not shard_dict
 
         if variant == "l1":
             self.params = l1_mod.init_l1(activation_size, self.cfg, seed=seed)
@@ -156,7 +163,27 @@ class SAETrainer:
         # CUDA autocast (train_sae.py:431); losses/updates stay f32.
         mm_dtype = jnp.bfloat16 if self.amp else None
 
-        if variant == "l1":
+        if variant == "l1" and self.fused:
+            from ..ops.sae_fused import fused_l1_value_and_grad
+
+            recon_alpha = float(self.cfg.recon_alpha)
+            interpret = jax.default_backend() == "cpu"
+
+            def step_fn(params, opt_state, counter, batch):
+                params = l1_mod.normalize_columns(params)
+                (loss, (loss_recon, loss_l1)), grads = fused_l1_value_and_grad(
+                    params, batch, recon_alpha, interpret=interpret
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                metrics = {
+                    "loss": loss,
+                    "loss_recon": loss_recon,
+                    "loss_l1": loss_l1,
+                }
+                return params, opt_state, counter, metrics
+
+        elif variant == "l1":
 
             def step_fn(params, opt_state, counter, batch):
                 params = l1_mod.normalize_columns(params)
@@ -257,7 +284,10 @@ class SAETrainer:
     # -------------------------------------------------------------- public
 
     def train_step(self, batch: np.ndarray) -> dict:
-        batch = mesh_lib.put_batch(self.mesh, batch)
+        if self.fused:
+            batch = jnp.asarray(batch)  # single-device kernel path
+        else:
+            batch = mesh_lib.put_batch(self.mesh, batch)
         self.params, self.opt_state, self.num_frames_since_fired, metrics = (
             self._train_step(
                 self.params, self.opt_state, self.num_frames_since_fired, batch
@@ -436,7 +466,12 @@ def train(
     mesh=None,
     enable_transcripts: bool = True,
     verbose: bool = True,
+    device_cache_files: int = 0,
 ) -> dict:
+    """``device_cache_files > 0`` (with ``from_disk``) trains from a
+    device-resident shuffle cache of that many files — batches become
+    on-device gathers with background refresh instead of per-step H2D
+    transfers (freud_tpu.data.device_cache)."""
     set_seeds(seed)
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
@@ -508,78 +543,93 @@ def train(
     t_start = time.perf_counter()
     steps_done_at_start = trainer.step
 
-    while trainer.step < steps:
-        for batch in _prefetch(iter(loader)):
-            *arrays, _names = batch
-            x = np.asarray(arrays[0], np.float32)
-            with profiling.span("train_step"):
-                metrics = trainer.train_step(x)
+    cache = None
+    if device_cache_files and from_disk:
+        from ..data.device_cache import DeviceShuffleCache
 
-            if trainer.step % log_tb_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                tb.add_scalar("train/loss", m["loss"], trainer.step)
-                if autoencoder_variant == "l1":
-                    tb.add_scalar("train/loss_recon", m["loss_recon"], trainer.step)
-                    tb.add_scalar("train/loss_l1", m["loss_l1"], trainer.step)
-                else:
-                    tb.add_scalar("train/fvu", m["fvu"], trainer.step)
-                    tb.add_scalar("train/auxk_loss", m["auxk_loss"], trainer.step)
-                    tb.add_scalar("train/multi_topk_fvu", m["multi_topk_fvu"], trainer.step)
-                    tb.add_scalar("train/dead_pct", m["dead_pct"], trainer.step)
-                tb.add_scalar("train/lr", trainer.current_lr(), trainer.step)
-                if verbose:
-                    print(f"step {trainer.step}: loss {m['loss']:.4f}")
+        cache = DeviceShuffleCache(
+            train_folder, layer_name, device_cache_files, seed=seed
+        )
 
-            if trainer.step % save_every == 0:
-                trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
+    def batch_stream():
+        if cache is not None:
+            while True:
+                yield cache.next_batch(batch_size)
+        while True:
+            for b in _prefetch(iter(loader)):
+                yield np.asarray(b[0], np.float32)
 
-            if trainer.step % val_every == 0:
-                (
-                    losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
-                ) = validate(
-                    trainer, val_folder, layer_name, whisper_model, from_disk,
-                    not logged_base_transcripts, transcriber=transcriber,
+    for x in batch_stream():
+        with profiling.span("train_step"):
+            metrics = trainer.train_step(x)
+
+        if trainer.step % log_tb_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            tb.add_scalar("train/loss", m["loss"], trainer.step)
+            if autoencoder_variant == "l1":
+                tb.add_scalar("train/loss_recon", m["loss_recon"], trainer.step)
+                tb.add_scalar("train/loss_l1", m["loss_l1"], trainer.step)
+            else:
+                tb.add_scalar("train/fvu", m["fvu"], trainer.step)
+                tb.add_scalar("train/auxk_loss", m["auxk_loss"], trainer.step)
+                tb.add_scalar("train/multi_topk_fvu", m["multi_topk_fvu"], trainer.step)
+                tb.add_scalar("train/dead_pct", m["dead_pct"], trainer.step)
+            tb.add_scalar("train/lr", trainer.current_lr(), trainer.step)
+            if verbose:
+                print(f"step {trainer.step}: loss {m['loss']:.4f}")
+
+        if trainer.step % save_every == 0:
+            trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
+
+        if trainer.step % val_every == 0:
+            (
+                losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
+            ) = validate(
+                trainer, val_folder, layer_name, whisper_model, from_disk,
+                not logged_base_transcripts, transcriber=transcriber,
+            )
+            logged_base_transcripts = True
+            if autoencoder_variant == "l1":
+                tb.add_scalar("val/loss_recon", losses_dict["recon"], trainer.step)
+                tb.add_scalar("val/loss_l1", losses_dict["l1"], trainer.step)
+            else:
+                tb.add_scalar("val/fvu", losses_dict["fvu"], trainer.step)
+                tb.add_scalar("val/auxk_loss", losses_dict["auxk_loss"], trainer.step)
+                tb.add_scalar("val/multi_topk_fvu", losses_dict["multi_topk_fvu"], trainer.step)
+            tb.add_scalar("val/mse", losses_dict["mse"], trainer.step)
+            tb.add_histogram("val/encoded/magnitude_maxes", mag_maxes, trainer.step)
+            tb.add_histogram("val/encoded/magnitude_stds", mag_stds, trainer.step)
+            num_dead = int(np.count_nonzero(mag_maxes <= 0))
+            tb.add_scalar("val/encoded/num_dead", num_dead, trainer.step)
+            tb.add_scalar(
+                "val/encoded/percent_dead", num_dead / mag_maxes.shape[-1],
+                trainer.step,
+            )
+            for i, t in enumerate(subbed):
+                tb.add_text(f"val/transcripts/reconstructed_{i}", t, trainer.step)
+            for i, t in enumerate(base_ts):
+                tb.add_text(f"val/transcripts/base_{i}", t, trainer.step)
+            for i, fname in enumerate(base_files):
+                audio = load_audio(fname)
+                tb.add_audio(
+                    f"val/transcripts/audio_{i}",
+                    audio.reshape(1, -1), trainer.step, sample_rate=16000,
                 )
-                logged_base_transcripts = True
-                if autoencoder_variant == "l1":
-                    tb.add_scalar("val/loss_recon", losses_dict["recon"], trainer.step)
-                    tb.add_scalar("val/loss_l1", losses_dict["l1"], trainer.step)
-                else:
-                    tb.add_scalar("val/fvu", losses_dict["fvu"], trainer.step)
-                    tb.add_scalar("val/auxk_loss", losses_dict["auxk_loss"], trainer.step)
-                    tb.add_scalar("val/multi_topk_fvu", losses_dict["multi_topk_fvu"], trainer.step)
-                tb.add_scalar("val/mse", losses_dict["mse"], trainer.step)
-                tb.add_histogram("val/encoded/magnitude_maxes", mag_maxes, trainer.step)
-                tb.add_histogram("val/encoded/magnitude_stds", mag_stds, trainer.step)
-                num_dead = int(np.count_nonzero(mag_maxes <= 0))
-                tb.add_scalar("val/encoded/num_dead", num_dead, trainer.step)
-                tb.add_scalar(
-                    "val/encoded/percent_dead", num_dead / mag_maxes.shape[-1],
-                    trainer.step,
-                )
-                for i, t in enumerate(subbed):
-                    tb.add_text(f"val/transcripts/reconstructed_{i}", t, trainer.step)
-                for i, t in enumerate(base_ts):
-                    tb.add_text(f"val/transcripts/base_{i}", t, trainer.step)
-                for i, fname in enumerate(base_files):
-                    audio = load_audio(fname)
-                    tb.add_audio(
-                        f"val/transcripts/audio_{i}",
-                        audio.reshape(1, -1), trainer.step, sample_rate=16000,
-                    )
-                save_loss = (
-                    losses_dict["recon"] if autoencoder_variant == "l1"
-                    else losses_dict["fvu"]
-                )
-                if verbose:
-                    print(f"{trainer.step} validation: {losses_dict}")
-                if save_loss is not None and save_loss < trainer.best_val_loss:
-                    trainer.best_val_loss = float(save_loss)
-                    trainer.save(str(ckpt_dir / "bestval.pth"), hparam_dict)
+            save_loss = (
+                losses_dict["recon"] if autoencoder_variant == "l1"
+                else losses_dict["fvu"]
+            )
+            if verbose:
+                print(f"{trainer.step} validation: {losses_dict}")
+            if save_loss is not None and save_loss < trainer.best_val_loss:
+                trainer.best_val_loss = float(save_loss)
+                trainer.save(str(ckpt_dir / "bestval.pth"), hparam_dict)
 
-            if trainer.step >= steps:
-                break
+        if trainer.step >= steps:
+            break
 
+    if cache is not None:
+        cache.close()
     trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
     elapsed = time.perf_counter() - t_start
     done = trainer.step - steps_done_at_start
