@@ -66,7 +66,7 @@ def bench_collection(batch: int = 64, iters: int = 8, warmup: int = 2) -> dict:
     }
 
 
-def bench_sae_train(batch: int = 100, iters: int = 20, warmup: int = 3) -> dict:
+def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict:
     from freud_tpu.train.trainer import SAETrainer
 
     trainer = SAETrainer(

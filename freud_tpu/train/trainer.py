@@ -80,8 +80,10 @@ class SAETrainer:
         fused: Optional[bool] = None,
     ):
         """``fused`` selects the single-pass Pallas train-step kernel for the
-        L1 variant (freud_tpu.ops.sae_fused) — default: on for single-device
-        L1 training, off when the batch is sharded across a mesh."""
+        L1 variant (freud_tpu.ops.sae_fused). Default off: measured on v5e,
+        XLA's pipelined autodiff step (2.0 ms at tiny_l1 scale) outruns the
+        hand-fused kernel (2.4 ms) despite the kernel's lower HBM traffic —
+        kept as an option and a baseline for future kernel work."""
         assert variant in ("l1", "topk"), (
             f"Invalid autoencoder variant: {variant}, must be 'l1' or 'topk'"
         )
@@ -94,8 +96,6 @@ class SAETrainer:
             autoencoder_config.get("dead_feature_threshold", 1e6)
         )
         self.amp = amp
-        if fused is None:
-            fused = variant == "l1" and len(jax.devices()) == 1 and not shard_dict
         self.fused = bool(fused) and variant == "l1" and not shard_dict
 
         if variant == "l1":
