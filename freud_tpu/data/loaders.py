@@ -20,7 +20,6 @@ L1 SAE → (latent, filenames); TopK SAE → (top_acts, top_indices, filenames).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Iterator, Optional
 
 import jax

@@ -19,11 +19,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (
-    L1AutoEncoderConfig,
-    TopKAutoEncoderConfig,
-    config_for_variant,
-)
+from .config import config_for_variant
 from .l1 import L1Params
 from .topk import TopKParams
 

@@ -24,10 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import WhisperDims
 from .decoding import detect_language, greedy_decode
 from .load import load_model
-from .model import Params, encoder_forward
+from .model import encoder_forward
 from .tokenizer import decode_text, language_index, special_tokens
 
 

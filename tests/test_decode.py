@@ -3,7 +3,6 @@
 import wave
 
 import numpy as np
-import pytest
 
 from freud_tpu.audio.decode import (
     audio_duration_s,

@@ -9,7 +9,6 @@ from freud_tpu.models.sae import (
     init_l1,
     init_topk,
     l1,
-    params_from_state_dict,
     sae_from_checkpoint,
     state_dict_from_params,
     topk,

@@ -3,7 +3,6 @@
 import wave
 
 import numpy as np
-import pytest
 
 from freud_tpu.data.loaders import MemoryMappedActivationLoader
 from freud_tpu.data.store import ActivationStoreReader

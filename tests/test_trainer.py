@@ -1,7 +1,5 @@
 """Trainer tests: optimizer/schedule parity vs torch, end-to-end training, resume."""
 
-import json
-import wave
 from pathlib import Path
 
 import numpy as np
