@@ -153,25 +153,70 @@ def greedy_decode(
     for tok in (st.sot, st.sot_prev, st.no_speech, st.no_timestamps):
         suppress = suppress.at[tok].set(-jnp.inf)
 
+    ts0 = st.timestamp_begin
+    vocab_ids = jnp.arange(dims.n_vocab)
+    is_ts = vocab_ids >= ts0
+    # max_initial_timestamp = 1.0 s → 50 frames (whisper's decode default)
+    max_initial = ts0 + 50
+
     self_k = jnp.zeros((L, b, ctx, d), encoded.dtype)
     self_v = jnp.zeros((L, b, ctx, d), encoded.dtype)
 
     def step(carry, pos):
-        token, sk, sv, finished = carry
+        token, prev, max_ts, sk, sv, finished = carry
         logits, sk, sv = _decode_step(
             params, dims, token, pos, sk, sv, (cross_k, cross_v)
         )
+        logits = logits + suppress
+
+        # --- whisper timestamp rules (model.decode's ApplyTimestampRules) ---
+        last_was_ts = (token >= ts0)[:, None]
+        penult_was_ts = (prev >= ts0)[:, None]
+        at_first = pos + 1 == n_prompt
+        # paired timestamps: <ts> <ts> → text next; lone <ts> → ts/eot next
+        block_ts = last_was_ts & penult_was_ts
+        block_text = last_was_ts & ~penult_was_ts
+        text_mask = (~is_ts) & (vocab_ids != st.eot)
+        logits = jnp.where(block_ts & is_ts[None, :], -jnp.inf, logits)
+        logits = jnp.where(block_text & text_mask[None, :], -jnp.inf, logits)
+        # monotonic timestamps
+        logits = jnp.where(
+            is_ts[None, :] & (vocab_ids[None, :] < max_ts[:, None]), -jnp.inf, logits
+        )
+        # first sampled token: cap the initial timestamp
+        logits = jnp.where(
+            at_first & (vocab_ids > max_initial)[None, :], -jnp.inf, logits
+        )
+        # if total timestamp mass beats the best text token, force a timestamp
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_mass = jax.nn.logsumexp(
+            jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
+        )
+        max_text = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, logprobs), axis=-1)
+        force_ts = (ts_mass > max_text)[:, None]
+        logits = jnp.where(force_ts & ~is_ts[None, :], -jnp.inf, logits)
+
         is_prompt = pos + 1 < n_prompt
         next_tok = jnp.where(
             is_prompt,
             prompt[:, jnp.minimum(pos + 1, n_prompt - 1)],
-            jnp.argmax(logits + suppress, axis=-1).astype(jnp.int32),
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
         )
         next_tok = jnp.where(finished, st.eot, next_tok)
         finished = finished | (next_tok == st.eot) & ~is_prompt
-        return (next_tok, sk, sv, finished), next_tok
+        new_max = jnp.where(
+            (next_tok >= ts0) & ~finished, jnp.maximum(max_ts, next_tok), max_ts
+        )
+        return (next_tok, token, new_max, sk, sv, finished), next_tok
 
-    init = (prompt[:, 0], self_k, self_v, jnp.zeros((b,), bool))
+    init = (
+        prompt[:, 0],
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), ts0, jnp.int32),
+        self_k,
+        self_v,
+        jnp.zeros((b,), bool),
+    )
     _, tokens = jax.lax.scan(step, init, jnp.arange(ctx - 1))
     tokens = jnp.moveaxis(tokens, 0, 1)  # (b, ctx-1)
     return jnp.concatenate([prompt[:, :1], tokens], axis=1)

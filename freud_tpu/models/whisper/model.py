@@ -150,6 +150,46 @@ def _linear(p, x):
     return y + p["b"] if "b" in p else y
 
 
+# Flash-attention policy for full-sequence self-attention. Default OFF:
+# measured on v5e at whisper-tiny geometry (seq 1500, 6 heads, dh 64, batch
+# 64), XLA's fused einsum attention runs 66 ms/batch vs 138 ms for the stock
+# Pallas flash kernel (whose 128-lane tiles force dh 64→128 padding, doubling
+# the QK/AV work). Set True to force flash (useful for long-sequence or
+# large-head variants where the (s × s) score materialization dominates).
+USE_FLASH_ATTENTION: bool | None = False
+
+
+def _flash_self_attention(qh, kh, vh, scale_total):
+    """Pallas TPU flash attention over (b, h, s, dh), padded to kernel tiles."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, s, dh = qh.shape
+    s_pad = -(-s // 512) * 512
+    dh_pad = max(128, -(-dh // 128) * 128)
+
+    def pad(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, s_pad - s), (0, dh_pad - dh)))
+
+    seg = jnp.concatenate(
+        [jnp.ones((b, s), jnp.int32), jnp.zeros((b, s_pad - s), jnp.int32)], axis=1
+    )
+    out = flash_attention(
+        pad(qh), pad(kh), pad(vh),
+        segment_ids=SegmentIds(seg, seg),
+        sm_scale=scale_total,
+    )
+    return out[:, :, :s, :dh]
+
+
+def _flash_enabled(x, dh):
+    if USE_FLASH_ATTENTION is not None:
+        return USE_FLASH_ATTENTION
+    return jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16 and dh >= 128
+
+
 def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
     """Multi-head attention with Whisper's split (d_head)^-0.25 scaling.
 
@@ -163,6 +203,20 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
     source = x if xa is None else xa
     k = _linear(p["k"], source)
     v = _linear(p["v"], source)
+
+    if (
+        mask is None
+        and kv_cache is None
+        and xa is None
+        and len(lead) == 2
+        and _flash_enabled(x, dh)
+    ):
+        def split(t):
+            return jnp.moveaxis(t.reshape(*t.shape[:-1], heads, dh), -2, -3)
+
+        out = _flash_self_attention(split(q), split(k), split(v), dh ** -0.5)
+        out = jnp.moveaxis(out, -3, -2).reshape(*lead, d)
+        return _linear(p["out"], out), None
 
     new_cache = None
     if kv_cache is not None:

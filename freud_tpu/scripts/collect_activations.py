@@ -37,7 +37,14 @@ def get_activations(
     out_folder: str,
     collect_max: Optional[int] = None,
     verbose: bool = True,
+    precision: str = "float32",
 ) -> dict:
+    """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
+    captured activations, substantially higher throughput); the default keeps
+    f32 for reference-tolerance parity."""
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     loader = FlyActivationLoader(
         data_path=data_path,
         whisper_model=whisper_model,
@@ -45,6 +52,7 @@ def get_activations(
         layer_name=layer_name,
         batch_size=batch_size,
         subset_size=collect_max,
+        compute_dtype=compute_dtype,
     )
 
     writer: Optional[ActivationStoreWriter] = None
@@ -115,6 +123,7 @@ def main(argv=None):
         batch_size=config["batch_size"],
         out_folder=config["out_folder"],
         collect_max=config.get("collect_max"),
+        precision=config.get("precision", "float32"),
     )
     print(json.dumps(stats))
 

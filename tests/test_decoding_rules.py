@@ -1,0 +1,53 @@
+"""Structural checks of the timestamp decoding rules (random weights)."""
+
+import numpy as np
+import pytest
+
+from freud_tpu.models.whisper import dims_for, encoder_forward, init_params, special_tokens
+from freud_tpu.models.whisper.decoding import greedy_decode
+
+
+@pytest.fixture(scope="module")
+def decoded():
+    import jax.numpy as jnp
+
+    dims = dims_for("test:tiny")
+    params = init_params(dims, seed=3)
+    mels = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 80, 3000)).astype(np.float32)
+    )
+    encoded, _ = encoder_forward(params, dims, mels)
+    st = special_tokens(dims.n_vocab)
+    prompt = jnp.asarray(
+        np.tile([st.sot, st.lang_base, st.transcribe], (2, 1)).astype(np.int32)
+    )
+    tokens = np.asarray(greedy_decode(params, dims, encoded, prompt, 3, max_new=24))
+    return tokens, st
+
+
+def test_timestamps_monotonic_and_paired(decoded):
+    tokens, st = decoded
+    for row in tokens:
+        gen = row[3:]
+        ts = [int(t) for t in gen if t >= st.timestamp_begin]
+        # monotonic non-decreasing timestamps
+        assert ts == sorted(ts)
+        # no unfinished text after EOT
+        if st.eot in gen:
+            tail = gen[list(gen).index(st.eot):]
+            assert all(t == st.eot for t in tail)
+
+
+def test_first_token_respects_initial_cap(decoded):
+    tokens, st = decoded
+    first = tokens[:, 3]
+    for t in first:
+        if t >= st.timestamp_begin:
+            assert t <= st.timestamp_begin + 50
+
+
+def test_no_suppressed_specials(decoded):
+    tokens, st = decoded
+    gen = tokens[:, 3:]
+    for banned in (st.sot, st.sot_prev, st.no_speech, st.no_timestamps):
+        assert not (gen == banned).any()
