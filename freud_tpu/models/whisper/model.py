@@ -326,6 +326,10 @@ def encoder_forward(
     store: Captures = {}
     tap = partial(_tap, capture=capture, substitute=substitute, store=store)
     p = params["encoder"]
+    if compute_dtype != jnp.float32:
+        # cast weights too — otherwise mixed-dtype matmuls promote back to
+        # f32 and reduced precision never engages
+        p = jax.tree_util.tree_map(lambda a: a.astype(compute_dtype), p)
 
     x = mels.astype(compute_dtype)
     # conv over time: (b, mels, T) -> (b, T, d), kernel layout (k, in, out)
