@@ -150,13 +150,15 @@ def _linear(p, x):
     return y + p["b"] if "b" in p else y
 
 
-# Flash-attention policy for full-sequence self-attention. Default OFF:
-# measured on v5e at whisper-tiny geometry (seq 1500, 6 heads, dh 64, batch
-# 64), XLA's fused einsum attention runs 66 ms/batch vs 138 ms for the stock
-# Pallas flash kernel (whose 128-lane tiles force dh 64→128 padding, doubling
-# the QK/AV work). Set True to force flash (useful for long-sequence or
-# large-head variants where the (s × s) score materialization dominates).
-USE_FLASH_ATTENTION: bool | None = False
+# Full-sequence self-attention implementation:
+#   "auto"   → the K/V-resident Pallas kernel (freud_tpu.ops.attention) on
+#              TPU, einsum elsewhere
+#   "einsum" → XLA path (materializes the (s × s) scores in HBM — ~40 GB per
+#              64-file whisper-tiny encoder batch, the collection bottleneck)
+#   "kernel" → force the Pallas kernel
+#   "flash"  → the stock Pallas flash kernel (measured 2× slower at whisper
+#              geometry: its 128-lane tiles pad head_dim 64 → 128)
+ATTENTION_IMPL: str = "auto"
 
 
 def _flash_self_attention(qh, kh, vh, scale_total):
@@ -184,10 +186,15 @@ def _flash_self_attention(qh, kh, vh, scale_total):
     return out[:, :, :s, :dh]
 
 
-def _flash_enabled(x, dh):
-    if USE_FLASH_ATTENTION is not None:
-        return USE_FLASH_ATTENTION
-    return jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16 and dh >= 128
+def _attention_impl(dtype) -> str:
+    if ATTENTION_IMPL == "auto":
+        # v5e measurements (batch-64 whisper-tiny encoder): f32 is flop-bound
+        # and einsum ties the kernel (65.9 vs 63.4 ms) while staying the
+        # bit-reference; in bf16 the kernel wins 48.7 vs 61.1 ms.
+        if jax.default_backend() == "tpu" and dtype == jnp.bfloat16:
+            return "kernel"
+        return "einsum"
+    return ATTENTION_IMPL
 
 
 def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
@@ -204,17 +211,17 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
     k = _linear(p["k"], source)
     v = _linear(p["v"], source)
 
-    if (
-        mask is None
-        and kv_cache is None
-        and xa is None
-        and len(lead) == 2
-        and _flash_enabled(x, dh)
-    ):
+    impl = _attention_impl(x.dtype)
+    if mask is None and kv_cache is None and xa is None and len(lead) == 2 and impl != "einsum":
         def split(t):
             return jnp.moveaxis(t.reshape(*t.shape[:-1], heads, dh), -2, -3)
 
-        out = _flash_self_attention(split(q), split(k), split(v), dh ** -0.5)
+        if impl == "flash":
+            out = _flash_self_attention(split(q), split(k), split(v), dh ** -0.5)
+        else:
+            from ...ops.attention import whisper_attention
+
+            out = whisper_attention(split(q), split(k), split(v))
         out = jnp.moveaxis(out, -3, -2).reshape(*lead, d)
         return _linear(p["out"], out), None
 
