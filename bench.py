@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_collection(batch: int = 64, iters: int = 8, warmup: int = 2) -> dict:
+def bench_collection(
+    batch: int = 64, iters: int = 8, warmup: int = 2, dtype=jnp.float32
+) -> dict:
     from freud_tpu.audio.mel import batched_log_mel
     from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
 
@@ -43,9 +45,11 @@ def bench_collection(batch: int = 64, iters: int = 8, warmup: int = 2) -> dict:
     @jax.jit
     def pipeline(params, audio):
         mels = batched_log_mel(audio, dims.n_mels)
-        _, caps = encoder_forward(params, dims, mels, capture=(layer,))
+        _, caps = encoder_forward(
+            params, dims, mels, capture=(layer,), compute_dtype=dtype
+        )
         acts = caps[layer]
-        return acts, jnp.sum(acts[:, 0, 0])
+        return acts, jnp.sum(acts[:, 0, 0].astype(jnp.float32))
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.1)
@@ -102,6 +106,7 @@ def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict
 def main():
     backend = jax.default_backend()
     coll = bench_collection()
+    coll_bf16 = bench_collection(dtype=jnp.bfloat16)
     sae = bench_sae_train()
     result = {
         "metric": "whisper_tiny_block2_collection_rtfx",
@@ -110,6 +115,7 @@ def main():
         "vs_baseline": round(coll["rtfx"] / 100.0, 3),
         "tiny_l1_steps_per_sec": round(sae["steps_per_sec"], 2),
         "collection_files_per_sec": round(coll["files_per_sec"], 2),
+        "collection_rtfx_bf16": round(coll_bf16["rtfx"], 1),
         "backend": backend,
     }
     print(json.dumps(result))
