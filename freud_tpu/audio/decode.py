@@ -53,6 +53,8 @@ def native_lib() -> Optional[ctypes.CDLL]:
     if _lib_checked:
         return _lib
     _lib_checked = True
+    if os.environ.get("FREUD_DISABLE_NATIVE_AUDIO"):
+        return None
     if not _NATIVE_PATH.exists() and not _build_native():
         return None
     try:

@@ -72,7 +72,9 @@ bool decode_file(const char* path, int target_sr, std::vector<float>& out) {
 
   SwrContext* swr = swr_alloc();
   AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-  AVChannelLayout in_layout;
+  // Must be zero-initialized: av_channel_layout_copy() uninits the
+  // destination first, which would free a garbage pointer from dirty stack.
+  AVChannelLayout in_layout = {};
   if (ctx->ch_layout.nb_channels > 0) {
     av_channel_layout_copy(&in_layout, &ctx->ch_layout);
   } else {

@@ -465,6 +465,7 @@ def train(
     dl_max_workers: int = 0,  # accepted for config parity
     mesh=None,
     enable_transcripts: bool = True,
+    max_transcript_tokens: int = 224,
     verbose: bool = True,
     device_cache_files: int = 0,
 ) -> dict:
@@ -526,7 +527,9 @@ def train(
         try:
             from ..models.whisper import WhisperRuntime
 
-            rt = WhisperRuntime(whisper_model, layer_name)
+            rt = WhisperRuntime(
+                whisper_model, layer_name, max_new_tokens=max_transcript_tokens
+            )
 
             def transcriber(mel, substitute_value=None):
                 if substitute_value is None:
