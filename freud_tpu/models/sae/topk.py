@@ -12,8 +12,9 @@ initialized as the encoder weight (rows unit-normalized when
   multi_topk_fvu = FVU of a 4k-sparse decode
 
 TPU adaptations (semantics preserved, shapes static for jit):
-* decode is a gather of k rows of W_dec + weighted sum (k·d_in FLOPs/frame)
-  instead of the reference's dense scatter-then-matmul (n_dict·d_in).
+* decode picks its implementation by the static sparsity regime: row-gather +
+  weighted sum when k·d_in ≤ n_dict (bandwidth-lean inference), dense-scatter
+  + MXU matmul otherwise (training with AuxK — see ``decode``).
 * AuxK always takes a static ``k_aux = d_in // 2`` slots; when fewer latents
   are dead the −inf-masked entries get activation 0 and contribute nothing,
   matching the reference's dynamic ``min(k_aux, num_dead)`` exactly
@@ -108,10 +109,29 @@ def encode(params: TopKParams, x: jnp.ndarray, cfg: TopKAutoEncoderConfig) -> To
     return select_topk(pre_acts(params, x), cfg.k)
 
 
-def decode(params: TopKParams, top_acts: jnp.ndarray, top_indices: jnp.ndarray) -> jnp.ndarray:
-    """Sparse decode: gather k dictionary rows and sum — MXU-free, bandwidth-lean."""
-    rows = jnp.take(params.W_dec, top_indices, axis=0)  # (…, k, d_in)
-    y = jnp.einsum("...k,...kd->...d", top_acts, rows)
+def decode(
+    params: TopKParams, top_acts: jnp.ndarray, top_indices: jnp.ndarray,
+    matmul_dtype=None,
+) -> jnp.ndarray:
+    """Sparse decode, implementation chosen by the static sparsity regime:
+
+    * small k·d_in (inference, small dicts): gather k dictionary rows and
+      weighted-sum — bandwidth-lean, no dense latent.
+    * large k (training with AuxK's k_aux = d_in/2): scatter into the dense
+      latent and matmul on the MXU — XLA materializes the (…, k, d_in) gather
+      otherwise, which OOMs at trainer scale (50×1500×192×384 ≈ 22 GB).
+    """
+    n_dict, d_in = params.W_dec.shape
+    k = top_acts.shape[-1]
+    if k * d_in <= n_dict:
+        rows = jnp.take(params.W_dec, top_indices, axis=0)  # (…, k, d_in)
+        y = jnp.einsum("...k,...kd->...d", top_acts, rows)
+    else:
+        dense = dense_latent(top_acts, top_indices, n_dict)
+        W = params.W_dec
+        if matmul_dtype is not None:
+            dense, W = dense.astype(matmul_dtype), W.astype(matmul_dtype)
+        y = jnp.dot(dense, W, preferred_element_type=jnp.float32)
     return y + params.b_dec
 
 
@@ -131,6 +151,57 @@ def dense_latent(top_acts: jnp.ndarray, top_indices: jnp.ndarray, n_dict: int) -
     ].add(top_acts)
 
 
+def kth_threshold(
+    acts: jnp.ndarray, k: int, mask=None, iters: int = 24
+) -> jnp.ndarray:
+    """Per-position k-th-largest threshold by bisection (TPU-friendly).
+
+    ``lax.top_k`` costs O(k) passes over the lane dimension — at AuxK scale
+    (k_aux = 192 over 6144 latents) that is ~340 ms/step on v5e, while ~24
+    counting passes find the same threshold in ~30 ms. Returns the largest t
+    with count(acts ≥ t) ≥ k; ties can admit slightly more than k entries
+    (AuxK is a "top ~half of dead latents" heuristic — reference
+    topkautoencoder.py:108-129 — so the boundary tie is immaterial).
+    """
+    masked = acts if mask is None else jnp.where(mask, acts, -jnp.inf)
+    finite = jnp.isfinite(masked)
+    lo = jnp.min(jnp.where(finite, masked, jnp.inf), axis=-1, keepdims=True)
+    hi = jnp.max(masked, axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum(masked >= mid, axis=-1, keepdims=True)
+        ok = cnt >= k
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo  # +inf when no finite candidates → selects nothing
+
+
+def _masked_dense_decode(params, acts, threshold, matmul_dtype, select_mask=None):
+    """Decode the latents ≥ per-position ``threshold`` as one MXU matmul.
+
+    TPU-native equivalent of the reference's scatter-then-matmul: selecting
+    the top-k of an already-dense pre-activation tensor is a per-position
+    threshold compare, so the dense sparse-code tensor is a ``where`` (never a
+    scatter — 14M scalar scatter-adds serialize horribly on TPU) and both the
+    decode and its entire backward are plain matmuls. Gradients route to
+    exactly the selected entries, matching the gather/scatter formulation.
+    Tie semantics differ infinitesimally: values exactly equal to the k-th
+    largest are all selected (the reference's topk keeps exactly k).
+    """
+    keep = acts >= threshold
+    if select_mask is not None:
+        keep = keep & select_mask
+    dense = jnp.where(keep, acts, 0.0)
+    W = params.W_dec
+    if matmul_dtype is not None:
+        dense, W = dense.astype(matmul_dtype), W.astype(matmul_dtype)
+    y = jnp.dot(dense, W, preferred_element_type=jnp.float32)
+    return y + params.b_dec
+
+
 def forward(
     params: TopKParams,
     x: jnp.ndarray,
@@ -138,9 +209,30 @@ def forward(
     dead_mask: Optional[jnp.ndarray] = None,
     matmul_dtype=None,
 ) -> TopKForwardOutput:
+    return _forward_impl(params, x, cfg, dead_mask, matmul_dtype)[0]
+
+
+def forward_with_fired(
+    params: TopKParams,
+    x: jnp.ndarray,
+    cfg: TopKAutoEncoderConfig,
+    dead_mask: Optional[jnp.ndarray] = None,
+    matmul_dtype=None,
+):
+    """(forward output, fired) — ``fired[j]`` is True iff latent j was
+    selected anywhere in the batch. A cheap mask reduction for the trainer's
+    dead-feature bookkeeping (a scalar scatter over flattened indices, as the
+    reference does with ``did_fire[...indices] = True``, serializes on TPU)."""
+    return _forward_impl(params, x, cfg, dead_mask, matmul_dtype)
+
+
+def _forward_impl(params, x, cfg, dead_mask, matmul_dtype):
     acts = pre_acts(params, x, matmul_dtype=matmul_dtype)
     top = select_topk(acts, cfg.k)
-    sae_out = decode(params, top.top_acts, top.top_indices).astype(x.dtype)
+    thresh = jnp.min(top.top_acts, axis=-1, keepdims=True)
+    keep = acts >= thresh
+    fired = jnp.any(keep.reshape(-1, keep.shape[-1]), axis=0)
+    sae_out = _masked_dense_decode(params, acts, thresh, matmul_dtype).astype(x.dtype)
     e = sae_out - x
 
     tv = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)
@@ -151,10 +243,11 @@ def forward(
         k_aux = d_in // 2
         num_dead = jnp.sum(dead_mask)
         scale = jnp.minimum(num_dead / k_aux, 1.0)
-        auxk_latents = jnp.where(dead_mask, acts, -jnp.inf)
-        auxk_acts, auxk_idx = jax.lax.top_k(auxk_latents, k_aux)
-        auxk_acts = jnp.where(jnp.isfinite(auxk_acts), auxk_acts, 0.0)
-        e_hat = decode(params, auxk_acts, auxk_idx.astype(jnp.int32))
+        dead = jnp.broadcast_to(dead_mask, acts.shape)
+        aux_thresh = kth_threshold(acts, k_aux, mask=dead)
+        e_hat = _masked_dense_decode(
+            params, acts, aux_thresh, matmul_dtype, select_mask=dead
+        )
         auxk_loss = scale * jnp.sum((e_hat - e) ** 2) / tv
     else:
         auxk_loss = jnp.asarray(0.0, x.dtype)
@@ -162,24 +255,91 @@ def forward(
     fvu = jnp.sum(e * e) / tv
 
     if cfg.multi_topk:
-        multi = select_topk(acts, 4 * cfg.k)
-        multi_out = decode(params, multi.top_acts, multi.top_indices)
+        multi_vals, _ = jax.lax.top_k(acts, 4 * cfg.k)
+        thresh4 = jnp.min(multi_vals, axis=-1, keepdims=True)
+        multi_out = _masked_dense_decode(params, acts, thresh4, matmul_dtype)
         multi_topk_fvu = jnp.sum((multi_out - x) ** 2) / tv
     else:
         multi_topk_fvu = jnp.asarray(0.0, x.dtype)
 
-    return TopKForwardOutput(
+    out = TopKForwardOutput(
         sae_out=sae_out,
         encoded=top,
         fvu=fvu,
         auxk_loss=auxk_loss * cfg.auxk_alpha,
         multi_topk_fvu=multi_topk_fvu,
     )
+    return out, fired
 
 
 def forward_with_mse(params, x, cfg, dead_mask=None):
     out = forward(params, x, cfg, dead_mask)
     return out, jnp.mean((out.sae_out - x) ** 2)
+
+
+def training_losses(
+    params: TopKParams,
+    x: jnp.ndarray,
+    cfg: TopKAutoEncoderConfig,
+    dead_mask: jnp.ndarray,
+    matmul_dtype=None,
+):
+    """Loss terms + fired mask for the TRAIN step, with no lax.top_k at all.
+
+    The train step never consumes the (top_acts, top_indices) pair — only the
+    losses and which latents fired — so selection reduces to per-position
+    thresholds, computed by the single-pass Pallas bisection kernel
+    (freud_tpu.ops.topk_threshold). Numerics match ``forward`` up to
+    measure-zero threshold ties; gradients are identical (selection
+    boundaries carry no gradient in either formulation).
+
+    Returns ({fvu, auxk_loss, multi_topk_fvu}, fired).
+    """
+    from ...ops.topk_threshold import topk_thresholds
+
+    acts = pre_acts(params, x, matmul_dtype=matmul_dtype)
+    n_dict = acts.shape[-1]
+    d_in = x.shape[-1]
+    k_aux = d_in // 2
+    flat = jax.lax.stop_gradient(acts.reshape(-1, n_dict)).astype(jnp.float32)
+    interpret = jax.default_backend() == "cpu"
+    t_main, t_aux = topk_thresholds(
+        flat, dead_mask, cfg.k, k_aux, interpret=interpret
+    )
+    lead = acts.shape[:-1]
+    t_main = t_main.reshape(*lead, 1).astype(acts.dtype)
+    t_aux = t_aux.reshape(*lead, 1).astype(acts.dtype)
+
+    keep = acts >= t_main
+    fired = jnp.any(keep.reshape(-1, n_dict), axis=0)
+    sae_out = _masked_dense_decode(params, acts, t_main, matmul_dtype).astype(x.dtype)
+    e = sae_out - x
+    tv = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)
+    tv = jnp.where(tv == 0, 1.0, tv)
+    fvu = jnp.sum(e * e) / tv
+
+    num_dead = jnp.sum(dead_mask)
+    scale = jnp.minimum(num_dead / k_aux, 1.0)
+    dead = jnp.broadcast_to(dead_mask, acts.shape)
+    e_hat = _masked_dense_decode(params, acts, t_aux, matmul_dtype, select_mask=dead)
+    auxk_loss = cfg.auxk_alpha * scale * jnp.sum((e_hat - e) ** 2) / tv
+
+    if cfg.multi_topk:
+        thresh4 = jax.lax.stop_gradient(kth_threshold(acts, 4 * cfg.k))
+        multi_out = _masked_dense_decode(params, acts, thresh4, matmul_dtype)
+        multi_topk_fvu = jnp.sum((multi_out - x) ** 2) / tv
+    else:
+        multi_topk_fvu = jnp.asarray(0.0, x.dtype)
+
+    return {"fvu": fvu, "auxk_loss": auxk_loss, "multi_topk_fvu": multi_topk_fvu}, fired
+
+
+def age_counters(
+    num_frames_since_fired: jnp.ndarray, fired: jnp.ndarray, frames_in_batch
+) -> jnp.ndarray:
+    """Dead-feature bookkeeping from a fired mask (see update_fired_counters)."""
+    aged = jnp.minimum(num_frames_since_fired + frames_in_batch, 2**30)
+    return jnp.where(fired, 0, aged)
 
 
 def update_fired_counters(

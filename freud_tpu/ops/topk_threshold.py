@@ -1,0 +1,84 @@
+"""Pallas kernel: per-row k-th-largest thresholds by VMEM-resident bisection.
+
+TopK-SAE training needs, per (batch·time) position, the k-th largest
+pre-activation (main sparsity) and the k_aux-th largest among dead latents
+(AuxK). ``lax.top_k`` costs O(k) full passes (≈ 340 ms/step at AuxK scale on
+v5e); XLA-level bisection re-reads the (M, n_dict) tensor from HBM every
+iteration (≈ 44 GB over 24 iterations). This kernel tiles rows into VMEM once
+and runs both bisections on the resident block — one HBM pass total.
+
+Thresholds select ≥ k entries (ties admit extras, measure-zero on real
+activations); they are selection boundaries, not differentiable values —
+callers wrap in stop_gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 128
+_ITERS = 26
+
+
+def _bisect(masked: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Largest t with count(masked ≥ t) ≥ k per row; +inf if nothing finite."""
+    finite = jnp.isfinite(masked)
+    lo = jnp.min(jnp.where(finite, masked, jnp.inf), axis=-1, keepdims=True)
+    hi = jnp.max(masked, axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) * 0.5
+        ok = jnp.sum((masked >= mid).astype(jnp.float32), axis=-1, keepdims=True) >= k
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, _ITERS, body, (lo, hi))
+    return lo
+
+
+def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, *, k_main: int, k_aux: int):
+    a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
+    tmain_ref[...] = _bisect(a, k_main)
+    dead = dead_ref[...] > 0  # (1, n_dict)
+    masked = jnp.where(dead, a, -jnp.inf)
+    taux_ref[...] = _bisect(masked, k_aux)
+
+
+@functools.partial(jax.jit, static_argnames=("k_main", "k_aux", "interpret"))
+def topk_thresholds(
+    acts: jnp.ndarray,  # (M, n_dict)
+    dead_mask: jnp.ndarray,  # (n_dict,) bool
+    k_main: int,
+    k_aux: int,
+    interpret: bool = False,
+):
+    """→ (t_main (M, 1), t_aux (M, 1)), f32."""
+    m, n_dict = acts.shape
+    m_pad = -(-m // ROWS) * ROWS
+    if m_pad != m:
+        acts = jnp.pad(acts, ((0, m_pad - m), (0, 0)))
+    dead = dead_mask.astype(jnp.float32).reshape(1, -1)
+
+    t_main, t_aux = pl.pallas_call(
+        functools.partial(_kernel, k_main=k_main, k_aux=k_aux),
+        grid=(m_pad // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(acts, dead)
+    return t_main[:m], t_aux[:m]

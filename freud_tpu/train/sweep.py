@@ -99,18 +99,21 @@ class SAESweepTrainer:
                 dead_mask = counter > threshold
 
                 def loss_fn(p):
-                    out = topk_mod.forward(
-                        p, batch, cfg, dead_mask=dead_mask, matmul_dtype=mm_dtype
+                    terms, fired = topk_mod.training_losses(
+                        p, batch, cfg, dead_mask, matmul_dtype=mm_dtype
                     )
-                    return out.fvu + out.auxk_loss + out.multi_topk_fvu / 8, out
+                    loss = terms["fvu"] + terms["auxk_loss"] + terms["multi_topk_fvu"] / 8
+                    return loss, (terms, fired)
 
-                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                (loss, (out, fired)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                counter = topk_mod.update_fired_counters(
-                    counter, out.encoded.top_indices, batch.shape[0] * batch.shape[1]
+                counter = topk_mod.age_counters(
+                    counter, fired, batch.shape[0] * batch.shape[1]
                 )
-                return params, opt_state, counter, {"loss": loss, "fvu": out.fvu}
+                return params, opt_state, counter, {"loss": loss, "fvu": out["fvu"]}
 
         self._step = jax.jit(jax.vmap(one), donate_argnums=(0, 1, 2))
 

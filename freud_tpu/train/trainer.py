@@ -210,23 +210,24 @@ class SAETrainer:
                 dead_mask = counter > threshold
 
                 def loss_fn(p):
-                    out = topk_mod.forward(
-                        p, batch, cfg, dead_mask=dead_mask, matmul_dtype=mm_dtype
+                    terms, fired = topk_mod.training_losses(
+                        p, batch, cfg, dead_mask, matmul_dtype=mm_dtype
                     )
-                    return out.fvu + out.auxk_loss + out.multi_topk_fvu / 8, out
+                    loss = terms["fvu"] + terms["auxk_loss"] + terms["multi_topk_fvu"] / 8
+                    return loss, (terms, fired)
 
-                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                (loss, (out, fired)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 frames = batch.shape[0] * batch.shape[1]
-                counter = topk_mod.update_fired_counters(
-                    counter, out.encoded.top_indices, frames
-                )
+                counter = topk_mod.age_counters(counter, fired, frames)
                 metrics = {
                     "loss": loss,
-                    "fvu": out.fvu,
-                    "auxk_loss": out.auxk_loss,
-                    "multi_topk_fvu": out.multi_topk_fvu,
+                    "fvu": out["fvu"],
+                    "auxk_loss": out["auxk_loss"],
+                    "multi_topk_fvu": out["multi_topk_fvu"],
                     "dead_pct": jnp.mean(dead_mask.astype(jnp.float32)),
                 }
                 return params, opt_state, counter, metrics

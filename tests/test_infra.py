@@ -1,0 +1,54 @@
+"""Infrastructure tests: profiling spans, mesh helpers, distributed info."""
+
+import numpy as np
+import pytest
+
+from freud_tpu import profiling
+from freud_tpu.parallel import mesh as mesh_lib
+from freud_tpu.parallel.distributed import initialize, process_info
+
+
+def test_profiling_spans():
+    profiling.reset()
+    with profiling.span("unit_test_stage"):
+        sum(range(1000))
+    with profiling.span("unit_test_stage"):
+        pass
+    s = profiling.stats()
+    assert s["unit_test_stage"]["count"] == 2
+    assert s["unit_test_stage"]["total_s"] >= 0
+    assert "unit_test_stage" in profiling.report()
+    profiling.reset()
+    assert profiling.stats() == {}
+
+
+def test_mesh_shapes():
+    m = mesh_lib.make_mesh()
+    assert m.shape[mesh_lib.DATA_AXIS] * m.shape[mesh_lib.MODEL_AXIS] == 8
+    m2 = mesh_lib.make_mesh(model_parallel=2)
+    assert m2.shape[mesh_lib.MODEL_AXIS] == 2
+    m4 = mesh_lib.make_mesh(n_devices=4)
+    assert m4.shape[mesh_lib.DATA_AXIS] == 4
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(n_devices=6, model_parallel=4)
+
+
+def test_put_batch_sharding():
+    import jax
+
+    m = mesh_lib.make_mesh()
+    x = np.ones((16, 4, 2), np.float32)
+    arr = mesh_lib.put_batch(m, x)
+    assert len(arr.sharding.device_set) == 8
+    # non-divisible batch falls back to replicated, not an error
+    arr2 = mesh_lib.put_batch(m, np.ones((3, 4), np.float32))
+    assert np.asarray(arr2).shape == (3, 4)
+    a, b = mesh_lib.put_batch(m, x, np.ones((16,), np.float32))
+    assert len(b.sharding.device_set) == 8
+
+
+def test_distributed_single_process_noop():
+    initialize()  # must not raise on single-process
+    info = process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8

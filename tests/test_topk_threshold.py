@@ -1,0 +1,88 @@
+"""Threshold-kernel and training_losses parity vs exact top-k formulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freud_tpu.models.sae import TopKAutoEncoderConfig, init_topk, topk
+from freud_tpu.ops.topk_threshold import topk_thresholds
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def test_thresholds_match_exact_topk():
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(np.abs(rng.standard_normal((300, 256))).astype(np.float32))
+    dead = np.zeros(256, bool)
+    dead[rng.choice(256, 40, replace=False)] = True
+    t_main, t_aux = topk_thresholds(acts, jnp.asarray(dead), 8, 16,
+                                    interpret=INTERPRET)
+    # main: exactly 8 selected per row (continuous values, no ties)
+    counts = np.asarray((np.asarray(acts) >= np.asarray(t_main)).sum(axis=1))
+    np.testing.assert_array_equal(counts, 8)
+    # aux: min(16, n_dead=40) = 16 dead latents selected
+    masked = np.where(dead, np.asarray(acts), -np.inf)
+    counts_aux = (masked >= np.asarray(t_aux)).sum(axis=1)
+    np.testing.assert_array_equal(counts_aux, 16)
+    # the selected sets equal exact top-k sets
+    exact_vals, _ = jax.lax.top_k(acts, 8)
+    np.testing.assert_allclose(
+        np.asarray(t_main)[:, 0], np.asarray(exact_vals)[:, -1], rtol=1e-5
+    )
+
+
+def test_thresholds_few_dead():
+    acts = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal((16, 64))
+                              ).astype(np.float32))
+    dead = np.zeros(64, bool)
+    dead[[3, 9]] = True  # fewer dead than k_aux
+    _, t_aux = topk_thresholds(acts, jnp.asarray(dead), 4, 10, interpret=INTERPRET)
+    masked = np.where(dead, np.asarray(acts), -np.inf)
+    counts = (masked >= np.asarray(t_aux)).sum(axis=1)
+    np.testing.assert_array_equal(counts, 2)  # all dead selected
+    # no dead at all → +inf threshold → nothing selected
+    _, t_none = topk_thresholds(acts, jnp.zeros(64, bool), 4, 10,
+                                interpret=INTERPRET)
+    assert np.isinf(np.asarray(t_none)).all()
+
+
+def test_training_losses_match_forward():
+    rng = np.random.default_rng(2)
+    cfg = TopKAutoEncoderConfig(expansion_factor=4, k=5, auxk_alpha=0.25)
+    params = init_topk(16, cfg, seed=0)
+    x = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32))
+    dead = np.zeros(64, bool)
+    dead[[1, 7, 20, 33]] = True
+
+    out = topk.forward(params, x, cfg, dead_mask=jnp.asarray(dead))
+    terms, fired = topk.training_losses(params, x, cfg, jnp.asarray(dead))
+    np.testing.assert_allclose(float(terms["fvu"]), float(out.fvu), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(terms["auxk_loss"]), float(out.auxk_loss), rtol=1e-4, atol=1e-7
+    )
+    # fired agrees with the exact top-k index set
+    idx = np.unique(np.asarray(out.encoded.top_indices).reshape(-1))
+    fired_np = np.asarray(fired)
+    assert set(np.nonzero(fired_np)[0]) == set(idx.tolist())
+
+
+def test_training_losses_gradients_match():
+    rng = np.random.default_rng(3)
+    cfg = TopKAutoEncoderConfig(expansion_factor=2, k=3, auxk_alpha=0.5)
+    params = init_topk(8, cfg, seed=1)
+    x = jnp.asarray(rng.standard_normal((4, 6, 8)).astype(np.float32))
+    dead = jnp.zeros(16, bool).at[2].set(True)
+
+    def loss_exact(p):
+        out = topk.forward(p, x, cfg, dead_mask=dead)
+        return out.fvu + out.auxk_loss + out.multi_topk_fvu / 8
+
+    def loss_fast(p):
+        terms, _ = topk.training_losses(p, x, cfg, dead)
+        return terms["fvu"] + terms["auxk_loss"] + terms["multi_topk_fvu"] / 8
+
+    g1 = jax.grad(loss_exact)(params)
+    g2 = jax.grad(loss_fast)(params)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
