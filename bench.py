@@ -103,17 +103,47 @@ def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict
     }
 
 
+def bench_topk_train(batch: int = 50, iters: int = 60, warmup: int = 3) -> dict:
+    """tiny_topk recipe: expansion 16 (dict 6144), k 32, AuxK live."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    trainer = SAETrainer(
+        "topk",
+        {"expansion_factor": 16, "k": 32, "auxk_alpha": 0.03125,
+         "dead_feature_threshold": 1e6},
+        384,
+        optimizer="adam",
+        scheduler="linear",
+        scheduler_params={"num_warmup_steps": 1000},
+        lr=1e-4,
+        steps=100_000,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 1500, 384)).astype(np.float32))
+    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
+    for _ in range(warmup):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    return {"steps_per_sec": iters / (time.perf_counter() - t0)}
+
+
 def main():
     backend = jax.default_backend()
     coll = bench_collection()
     coll_bf16 = bench_collection(dtype=jnp.bfloat16)
     sae = bench_sae_train()
+    topk = bench_topk_train()
     result = {
         "metric": "whisper_tiny_block2_collection_rtfx",
         "value": round(coll["rtfx"], 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(coll["rtfx"] / 100.0, 3),
         "tiny_l1_steps_per_sec": round(sae["steps_per_sec"], 2),
+        "tiny_topk_steps_per_sec": round(topk["steps_per_sec"], 2),
         "collection_files_per_sec": round(coll["files_per_sec"], 2),
         "collection_rtfx_bf16": round(coll_bf16["rtfx"], 1),
         "backend": backend,
