@@ -52,6 +52,7 @@ class AudioBatchPipeline:
         prefetch: int = 2,
         drop_last: bool = False,
         compute_mels: bool = True,
+        decode_threads: int | None = None,
     ):
         self.files = list_audio_files(folder)
         if subset_size is not None:
@@ -61,6 +62,7 @@ class AudioBatchPipeline:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.compute_mels = compute_mels
+        self.decode_threads = decode_threads
         self._mel_fn = jax.jit(lambda a: batched_log_mel(a, n_mels))
 
     def __len__(self) -> int:
@@ -87,7 +89,9 @@ class AudioBatchPipeline:
         def producer():
             for chunk in batches:
                 with profiling.span("decode_batch"):
-                    buf, lengths = load_audio_batch(chunk, frame_len=N_SAMPLES)
+                    buf, lengths = load_audio_batch(
+                        chunk, frame_len=N_SAMPLES, n_threads=self.decode_threads
+                    )
                 q.put((buf, chunk, lengths))
             q.put(None)
 

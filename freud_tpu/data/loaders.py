@@ -56,6 +56,7 @@ class FlyActivationLoader:
         drop_last: bool = False,
         shuffle: bool = False,  # kept for API parity; file order is deterministic
         compute_dtype=jnp.float32,
+        decode_threads: int | None = None,
     ):
         self.layer_name = layer_name
         self.runtime = WhisperRuntime(whisper_model, layer_name, compute_dtype=compute_dtype)
@@ -73,6 +74,7 @@ class FlyActivationLoader:
             get_n_mels(whisper_model),
             subset_size=subset_size,
             drop_last=drop_last,
+            decode_threads=decode_threads,
         )
         self._encode_jit = self._build_encode()
         self.activation_shape = self._probe_shape()

@@ -38,6 +38,7 @@ def get_activations(
     collect_max: Optional[int] = None,
     verbose: bool = True,
     precision: str = "float32",
+    dl_max_workers: int = 0,
 ) -> dict:
     """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
     captured activations, substantially higher throughput); the default keeps
@@ -53,6 +54,7 @@ def get_activations(
         batch_size=batch_size,
         subset_size=collect_max,
         compute_dtype=compute_dtype,
+        decode_threads=dl_max_workers if dl_max_workers > 0 else None,
     )
 
     writer: Optional[ActivationStoreWriter] = None
@@ -124,6 +126,7 @@ def main(argv=None):
         out_folder=config["out_folder"],
         collect_max=config.get("collect_max"),
         precision=config.get("precision", "float32"),
+        dl_max_workers=config.get("dl_max_workers", 0),
     )
     print(json.dumps(stats))
 
