@@ -128,10 +128,21 @@ class FlyActivationLoader:
             yield (*outs, filenames)
 
     def iter_with_lengths(self) -> Iterator[tuple]:
-        """Like __iter__ but also yields per-file true activation frame counts."""
+        """Like __iter__ but also yields per-file true activation frame counts.
+
+        Files the decoder could not read (length < 0) are dropped from the
+        batch — the reference would abort the whole run on its first ffmpeg
+        failure (audio_utils.py:55-56); collection here degrades per-file."""
         for mels, filenames, lengths in self.pipeline:
             with profiling.span("encoder_capture"):
                 outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
+            ok = lengths >= 0
+            if not ok.all():
+                bad = [f for f, good in zip(filenames, ok) if not good]
+                print(f"skipping {len(bad)} undecodable file(s): {bad[:3]}…")
+                outs = tuple(np.asarray(o)[ok] for o in outs)
+                filenames = [f for f, good in zip(filenames, ok) if good]
+                lengths = lengths[ok]
             n_frames = np.minimum(
                 (lengths / SAMPLE_RATE / TIMESTEP_S).astype(np.int64), 1500
             )

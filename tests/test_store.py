@@ -171,3 +171,23 @@ def test_fly_loader_matches_runtime(tmp_path):
         mel = mels_from_array(load_audio(p), 80)
         direct = np.asarray(rt.activations(mel))[0]
         np.testing.assert_allclose(got[p], direct, atol=2e-5, rtol=1e-4)
+
+
+def test_collection_skips_undecodable_files(tmp_path):
+    from freud_tpu.scripts.collect_activations import get_activations
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wavs(audio_dir, 3, seconds=0.4)
+    (audio_dir / "broken.wav").write_bytes(b"not really a wav file")
+    out = tmp_path / "acts"
+    stats = get_activations(
+        data_path=str(audio_dir), layer_name="encoder.blocks.0",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(out), verbose=False,
+    )
+    assert stats["n_files"] == 3  # broken file dropped, run completes
+    r = ActivationStoreReader(out, "encoder.blocks.0")
+    assert len(r) == 3
+    assert all("broken" not in f for f in r.filenames)
+    assert all(n > 0 for n in r.n_frames)
