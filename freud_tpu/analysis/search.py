@@ -75,7 +75,22 @@ def top_activations(
     absolute_magnitude: bool = False,
     return_max_per_file: bool = True,
 ):
-    """Returns ([(file, trimmed_trace, max_value, max_time_s)], max_per_file)."""
+    """Returns ([(file, trimmed_trace, max_value, max_time_s)], max_per_file).
+
+    When a feature-major index exists next to a dense store
+    (freud_tpu.data.feature_store), the query reads only that feature's
+    (files, time) plane instead of scanning the whole store.
+    """
+    reader = getattr(loader, "reader", None)
+    if reader is not None and reader.activation_type == "tensor":
+        from ..data.feature_store import FeatureMajorReader
+
+        if FeatureMajorReader.exists(reader.data_path, reader.layer_name):
+            return _top_activations_indexed_plane(
+                loader, reader, feature_idx, n_files, max_val, min_val,
+                absolute_magnitude, return_max_per_file,
+            )
+
     entries = []  # (value_for_ranking, file, n_frames, trace_source)
     max_per_file: list[float] = []
     offset = 0
@@ -139,6 +154,53 @@ def top_activations(
         else:
             trace = np.asarray(source)
         results.append((fname, trace[:nf], value, max_time))
+    return results, (max_per_file if return_max_per_file else None)
+
+
+def _top_activations_indexed_plane(
+    loader, reader, feature_idx, n_files, max_val, min_val,
+    absolute_magnitude, return_max_per_file,
+):
+    """Fast path: one feature plane from the feature-major index."""
+    from ..data.feature_store import FeatureMajorReader
+
+    plane = FeatureMajorReader(
+        reader.data_path, reader.layer_name, subset_size=len(reader)
+    ).feature(feature_idx)  # (N, T)
+    filenames = reader.filenames
+    if reader.n_frames is not None:
+        n_frames = np.asarray(reader.n_frames, np.int32)
+    else:
+        n_frames = _true_lengths(loader, filenames, 0)
+
+    plain_max, plain_argmax, signed_at_absmax = (
+        np.asarray(a)
+        for a in _dense_stats(
+            jnp.asarray(plane)[:, :, None], jnp.asarray(n_frames), 0
+        )
+    )
+    max_per_file = []
+    entries = []
+    for j, fname in enumerate(filenames):
+        if absolute_magnitude:
+            signed = float(signed_at_absmax[j])
+            allowed = _passes(signed, min_val, max_val)
+            value = abs(signed)
+        else:
+            value = float(plain_max[j])
+            allowed = _passes(value, min_val, max_val)
+        if return_max_per_file:
+            max_per_file.append(
+                float(signed_at_absmax[j]) if absolute_magnitude else value
+            )
+        if allowed:
+            entries.append((value, fname, int(n_frames[j]),
+                            float(plain_argmax[j]) * TIMESTEP_S, j))
+    entries.sort(key=lambda e: e[0], reverse=True)
+    results = [
+        (fname, plane[row, :nf].copy(), value, max_time)
+        for value, fname, nf, max_time, row in entries[:n_files]
+    ]
     return results, (max_per_file if return_max_per_file else None)
 
 
