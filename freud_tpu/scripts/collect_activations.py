@@ -39,6 +39,7 @@ def get_activations(
     verbose: bool = True,
     precision: str = "float32",
     dl_max_workers: int = 0,
+    build_index: bool = False,
 ) -> dict:
     """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
     captured activations, substantially higher throughput); the default keeps
@@ -85,6 +86,10 @@ def get_activations(
             )
     if writer is not None:
         writer.close()
+    if build_index and writer is not None and not writer.indexed:
+        from ..data.feature_store import build_feature_major_index
+
+        build_feature_major_index(out_folder, layer_name, verbose=verbose)
     elapsed = time.perf_counter() - t0
     if verbose:
         print()
@@ -127,6 +132,7 @@ def main(argv=None):
         collect_max=config.get("collect_max"),
         precision=config.get("precision", "float32"),
         dl_max_workers=config.get("dl_max_workers", 0),
+        build_index=bool(config.get("build_index", False)),
     )
     print(json.dumps(stats))
 
