@@ -127,7 +127,10 @@ class FeatureAnalyzer:
                 manipulation_factor
             )
             standard_decoded = acts
-            baseline_text = None
+            # Reference returns the unmodified-forward transcript in every
+            # path, SAE or not (src/utils/activations.py:241-242); the stock
+            # GUI renders the field.
+            baseline_text = rt.transcribe_one(mel)
 
         manipulated_trace = standard_trace * manipulation_factor
 

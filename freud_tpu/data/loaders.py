@@ -170,24 +170,49 @@ class MemoryMappedActivationLoader:
         self.activation_type = self.reader.activation_type
         self.tensor_shape = self.reader.tensor_shape
         self.dataset_length = len(self.reader)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        # Position state for deterministic resume: the shuffle order is a
+        # pure function of (seed, epoch), so a checkpointed batch count fully
+        # determines the remaining data stream (the reference gets the same
+        # guarantee by pickling torch/numpy RNG states, train_sae.py:265-294).
+        self.epoch = 0
+        self.cursor = 0  # batches already yielded in the current epoch
 
     def __len__(self) -> int:
         # reference MemoryMappedActivationDataLoader.__len__ floors
         # (src/dataset/activations.py:205-206)
         return self.dataset_length // self.batch_size
 
+    @property
+    def batches_per_epoch(self) -> int:
+        n, b = self.dataset_length, self.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(self.dataset_length)
+        return np.random.default_rng((self.seed, epoch)).permutation(
+            self.dataset_length
+        )
+
+    def set_position(self, consumed_batches: int) -> None:
+        """Jump to the state after ``consumed_batches`` total batches."""
+        per = max(self.batches_per_epoch, 1)
+        self.epoch = consumed_batches // per
+        self.cursor = consumed_batches % per
+
     def __iter__(self) -> Iterator[tuple]:
-        order = np.arange(self.dataset_length)
-        if self.shuffle:
-            self._rng.shuffle(order)
+        order = self._epoch_order(self.epoch)
         stop = len(self) * self.batch_size if self.drop_last else self.dataset_length
-        for i in range(0, stop, self.batch_size):
+        for i in range(self.cursor * self.batch_size, stop, self.batch_size):
             idx = order[i : i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 break
             with profiling.span("mmap_batch"):
                 yield self.reader.batch(idx)
+            self.cursor += 1
+        self.epoch += 1
+        self.cursor = 0
 
 
 def init_dataloader(

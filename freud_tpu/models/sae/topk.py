@@ -29,6 +29,7 @@ all shipped configs set multi_topk=false); we always return the k-sparse pair.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -289,19 +290,144 @@ def training_losses(
     The train step never consumes the (top_acts, top_indices) pair — only the
     losses and which latents fired — so selection reduces to per-position
     thresholds, computed by the single-pass Pallas bisection kernel
-    (freud_tpu.ops.topk_threshold). Numerics match ``forward`` up to
-    measure-zero threshold ties; gradients are identical (selection
-    boundaries carry no gradient in either formulation).
+    (freud_tpu.ops.topk_threshold), which also folds the ``fired`` reduction
+    into its resident pass. The backward pass is hand-written (custom_vjp):
+    thresholds are selection boundaries with no gradient, so the whole step is
+    five large matmuls with every elementwise mask fused into an operand read
+    — XLA autodiff of the where-masked formulation additionally materializes
+    the full (M, n_dict) cotangent and a (M, d) input cotangent that only
+    b_dec's gradient needs (reference loss spec:
+    src/models/topkautoencoder.py:93-151). Gradients match autodiff exactly
+    (tests/test_topk_threshold.py::test_training_losses_gradients_match).
 
     Returns ({fvu, auxk_loss, multi_topk_fvu}, fired).
     """
+    if cfg.multi_topk:
+        return _training_losses_xla(params, x, cfg, dead_mask, matmul_dtype)
+    mm_name = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
+    fvu, auxk_loss, fired = _fused_losses(
+        cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), mm_name,
+        params, x, dead_mask.astype(jnp.float32),
+    )
+    return {
+        "fvu": fvu,
+        "auxk_loss": auxk_loss,
+        "multi_topk_fvu": jnp.asarray(0.0, x.dtype),
+    }, fired
+
+
+def _mm(a, b, mm_name, out_dtype=jnp.float32):
+    if mm_name is not None:
+        a, b = a.astype(mm_name), b.astype(mm_name)
+    return jax.lax.dot(a, b, preferred_element_type=out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_losses(k, k_aux, alpha, mm_name, params, x, dead_f):
+    out, _ = _fused_losses_fwd(k, k_aux, alpha, mm_name, params, x, dead_f)
+    return out
+
+
+def _fused_losses_fwd(k, k_aux, alpha, mm_name, params, x, dead_f):
+    from ...ops.topk_threshold import topk_thresholds_fired
+
+    d_in = x.shape[-1]
+    n_dict = params.W_dec.shape[0]
+    x2 = x.reshape(-1, d_in)
+    sae_in = x2 - params.b_dec
+    acts = jax.nn.relu(
+        _mm(sae_in, params.encoder_weight.T, mm_name)
+        .astype(mm_name or x.dtype) + params.encoder_bias.astype(mm_name or x.dtype)
+    )  # (M, n_dict) in matmul dtype — the step's one big resident tensor
+
+    t_main, t_aux, fired = topk_thresholds_fired(
+        acts, dead_f > 0, k, k_aux,
+        interpret=jax.default_backend() == "cpu",
+    )
+    af = acts.astype(jnp.float32)
+    keep_main = af >= t_main
+    keep_aux = (af >= t_aux) & (dead_f > 0)
+    dense_main = jnp.where(keep_main, acts, 0)
+    dense_aux = jnp.where(keep_aux, acts, 0)
+
+    y_main = _mm(dense_main, params.W_dec, mm_name)
+    y_aux = _mm(dense_aux, params.W_dec, mm_name)
+    e = y_main + params.b_dec - x2  # = sae_out − x
+    r = y_aux - y_main + x2  # = ê − e   (b_dec cancels)
+
+    tv = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)
+    tv = jnp.where(tv == 0, 1.0, tv)
+    num_dead = jnp.sum(dead_f)
+    scale = jnp.minimum(num_dead / k_aux, 1.0)
+
+    fvu = jnp.sum(e * e) / tv
+    auxk_loss = alpha * scale * jnp.sum(r * r) / tv
+
+    res = (params, sae_in, acts, t_main, t_aux, dead_f, e, r, tv, scale, x.shape)
+    return (fvu, auxk_loss, fired), res
+
+
+def _fused_losses_bwd(k, k_aux, alpha, mm_name, res, cts):
+    g_fvu, g_aux, _ = cts  # fired is boolean — its cotangent is float0
+    params, sae_in, acts, t_main, t_aux, dead_f, e, r, tv, scale, x_shape = res
+
+    c1 = 2.0 * g_fvu / tv
+    c2 = 2.0 * g_aux * alpha * scale / tv
+    g_main = c1 * e - c2 * r  # ∂L/∂y_main  (M, d)
+    g_auxd = c2 * r  # ∂L/∂y_aux
+
+    af = acts.astype(jnp.float32)
+    keep_main = af >= t_main
+    keep_aux = (af >= t_aux) & (dead_f > 0)
+    dense_main = jnp.where(keep_main, acts, 0)
+    dense_aux = jnp.where(keep_aux, acts, 0)
+
+    # decoder grads — masks fuse into the matmul operand reads
+    dW_dec = _mm(dense_main.T, g_main, mm_name) + _mm(dense_aux.T, g_auxd, mm_name)
+    db_dec = c1 * jnp.sum(e, axis=0)  # Σ(∂L/∂y_main + ∂L/∂y_aux) = c1·Σe
+
+    # route into the latent: only selected entries carry gradient
+    d1 = _mm(g_main, params.W_dec.T, mm_name)
+    d2 = _mm(g_auxd, params.W_dec.T, mm_name)
+    relu_live = af > 0
+    d_acts = (
+        jnp.where(keep_main & relu_live, d1, 0.0)
+        + jnp.where(keep_aux & relu_live, d2, 0.0)
+    )
+
+    # encoder grads; b_dec's encode-path term uses Σ_pos d_acts first, so the
+    # (M, d) input cotangent XLA autodiff would build never materializes
+    dW_enc = _mm(d_acts.T, sae_in, mm_name)
+    db_enc = jnp.sum(d_acts, axis=0)
+    db_dec = db_dec - _mm(db_enc[None, :], params.encoder_weight, mm_name)[0]
+
+    d_params = TopKParams(
+        encoder_weight=dW_enc.astype(params.encoder_weight.dtype),
+        encoder_bias=db_enc.astype(params.encoder_bias.dtype),
+        W_dec=dW_dec.astype(params.W_dec.dtype),
+        b_dec=db_dec.astype(params.b_dec.dtype),
+    )
+    return d_params, jnp.zeros(x_shape, e.dtype), jnp.zeros_like(dead_f)
+
+
+_fused_losses.defvjp(_fused_losses_fwd, _fused_losses_bwd)
+
+
+def _training_losses_xla(
+    params: TopKParams,
+    x: jnp.ndarray,
+    cfg: TopKAutoEncoderConfig,
+    dead_mask: jnp.ndarray,
+    matmul_dtype=None,
+):
+    """XLA-autodiff formulation (kept for multi_topk; same semantics)."""
     from ...ops.topk_threshold import topk_thresholds
 
     acts = pre_acts(params, x, matmul_dtype=matmul_dtype)
     n_dict = acts.shape[-1]
     d_in = x.shape[-1]
     k_aux = d_in // 2
-    flat = jax.lax.stop_gradient(acts.reshape(-1, n_dict)).astype(jnp.float32)
+    flat = jax.lax.stop_gradient(acts.reshape(-1, n_dict))
     interpret = jax.default_backend() == "cpu"
     t_main, t_aux = topk_thresholds(
         flat, dead_mask, cfg.k, k_aux, interpret=interpret

@@ -188,10 +188,11 @@ def _flash_self_attention(qh, kh, vh, scale_total):
 
 def _attention_impl(dtype) -> str:
     if ATTENTION_IMPL == "auto":
-        # v5e measurements (batch-64 whisper-tiny encoder): f32 is flop-bound
-        # and einsum ties the kernel (65.9 vs 63.4 ms) while staying the
-        # bit-reference; in bf16 the kernel wins 48.7 vs 61.1 ms.
-        if jax.default_backend() == "tpu" and dtype == jnp.bfloat16:
+        # The K/V-resident kernel now runs its matmuls in bf16 with f32
+        # accumulation on TPU for BOTH input dtypes — the same truncation
+        # XLA's DEFAULT precision applies to f32 einsum operands on TPU —
+        # so it never loses to einsum while skipping the (s × s) HBM scores.
+        if jax.default_backend() == "tpu":
             return "kernel"
         return "einsum"
     return ATTENTION_IMPL

@@ -41,31 +41,50 @@ def _bisect(masked: jnp.ndarray, k: int) -> jnp.ndarray:
     return lo
 
 
-def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, *, k_main: int, k_aux: int):
+def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
+            *, k_main: int, k_aux: int, valid_rows: int):
+    i = pl.program_id(0)
     a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
-    tmain_ref[...] = _bisect(a, k_main)
+    t_main = _bisect(a, k_main)
+    tmain_ref[...] = t_main
     dead = dead_ref[...] > 0  # (1, n_dict)
     masked = jnp.where(dead, a, -jnp.inf)
     taux_ref[...] = _bisect(masked, k_aux)
 
+    # fired[j] = did latent j cross its row threshold anywhere — the acts
+    # tile is already VMEM-resident, so folding this in here saves the
+    # trainer a full extra HBM pass over (M, n_dict). Padded rows (all-zero,
+    # threshold 0) must not count.
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * a.shape[0]
+    keep = (a >= t_main) & (row < valid_rows)
+    tile_fired = jnp.max(keep.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        fired_ref[...] = tile_fired
+
+    @pl.when(i > 0)
+    def _accum():
+        fired_ref[...] = jnp.maximum(fired_ref[...], tile_fired)
+
 
 @functools.partial(jax.jit, static_argnames=("k_main", "k_aux", "interpret"))
-def topk_thresholds(
-    acts: jnp.ndarray,  # (M, n_dict)
+def topk_thresholds_fired(
+    acts: jnp.ndarray,  # (M, n_dict) — any float dtype (cast to f32 in VMEM)
     dead_mask: jnp.ndarray,  # (n_dict,) bool
     k_main: int,
     k_aux: int,
     interpret: bool = False,
 ):
-    """→ (t_main (M, 1), t_aux (M, 1)), f32."""
+    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool)."""
     m, n_dict = acts.shape
     m_pad = -(-m // ROWS) * ROWS
     if m_pad != m:
         acts = jnp.pad(acts, ((0, m_pad - m), (0, 0)))
     dead = dead_mask.astype(jnp.float32).reshape(1, -1)
 
-    t_main, t_aux = pl.pallas_call(
-        functools.partial(_kernel, k_main=k_main, k_aux=k_aux),
+    t_main, t_aux, fired = pl.pallas_call(
+        functools.partial(_kernel, k_main=k_main, k_aux=k_aux, valid_rows=m),
         grid=(m_pad // ROWS,),
         in_specs=[
             pl.BlockSpec((ROWS, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -74,11 +93,21 @@ def topk_thresholds(
         out_specs=[
             pl.BlockSpec((ROWS, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_dict), jnp.float32),
         ],
         interpret=interpret,
     )(acts, dead)
-    return t_main[:m], t_aux[:m]
+    return t_main[:m], t_aux[:m], fired[0] > 0
+
+
+def topk_thresholds(acts, dead_mask, k_main, k_aux, interpret: bool = False):
+    """→ (t_main (M, 1), t_aux (M, 1)), f32. (fired-less compatibility wrapper)"""
+    t_main, t_aux, _ = topk_thresholds_fired(
+        acts, dead_mask, k_main, k_aux, interpret=interpret
+    )
+    return t_main, t_aux

@@ -16,7 +16,9 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-_DEFAULT_CSV = "/root/reference/src/assets/polyesemantic_count.csv"
+_DEFAULT_CSV = str(
+    Path(__file__).resolve().parent.parent / "assets" / "polyesemantic_count.csv"
+)
 
 
 def plot_histograms(df, out_path: Path, value_col: str, group_col: str) -> None:

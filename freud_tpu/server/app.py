@@ -28,6 +28,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import tempfile
 import threading
 import urllib.parse
@@ -166,6 +167,50 @@ def make_handler(state: GuiState):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_audio(self, fpath):
+            """Serve a file with HTTP Range support (single range form), as
+            Flask's send_file does for the reference (gui_server.py:187-189)
+            — browser <audio>/wavesurfer seek issues `Range: bytes=N-` and
+            breaks on long files without 206 responses."""
+            size = os.path.getsize(fpath)
+            mime = _MIME.get(Path(fpath).suffix.lower(), "audio/flac")
+            start, end = 0, size - 1
+            rng = self.headers.get("Range", "")
+            is_partial = False
+            m = re.fullmatch(r"bytes=(\d*)-(\d*)", rng.strip()) if rng else None
+            if m and (m.group(1) or m.group(2)):
+                if m.group(1):
+                    start = int(m.group(1))
+                    if m.group(2):
+                        end = min(int(m.group(2)), size - 1)
+                else:  # suffix form: last N bytes
+                    start = max(size - int(m.group(2)), 0)
+                if start >= size:
+                    self.send_response(416)
+                    self.send_header("Content-Range", f"bytes */{size}")
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.end_headers()
+                    return
+                is_partial = True
+            length = end - start + 1
+            self.send_response(206 if is_partial else 200)
+            self.send_header("Content-Type", mime)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Accept-Ranges", "bytes")
+            if is_partial:
+                self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+            self.send_header("Content-Length", str(length))
+            self.end_headers()
+            with open(fpath, "rb") as f:
+                f.seek(start)
+                remaining = length
+                while remaining > 0:
+                    chunk = f.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    self.wfile.write(chunk)
+                    remaining -= len(chunk)
+
         def _query(self):
             parsed = urllib.parse.urlparse(self.path)
             return parsed.path, dict(urllib.parse.parse_qsl(parsed.query))
@@ -218,15 +263,7 @@ def make_handler(state: GuiState):
                 if not os.path.exists(fpath):
                     self._send_json({"error": "not found"}, 404)
                     return
-                with open(fpath, "rb") as f:
-                    data = f.read()
-                self.send_response(200)
-                mime = _MIME.get(Path(fpath).suffix.lower(), "audio/flac")
-                self.send_header("Content-Type", mime)
-                self.send_header("Access-Control-Allow-Origin", "*")
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                self._send_audio(fpath)
             else:
                 self._send_json({"error": "not found"}, 404)
 

@@ -347,22 +347,36 @@ class SAETrainer:
 
 
 def _prefetch(iterable, depth: int = 2):
+    """Background-thread prefetch. Closing the generator (GeneratorExit —
+    e.g. the trainer breaking out at ``steps``) unblocks and retires the
+    producer thread instead of leaving it parked on a full queue."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     END = object()
+    stop = threading.Event()
 
     def worker():
         for item in iterable:
-            q.put(item)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
         q.put(END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            yield item
+        t.join()
+    finally:
+        stop.set()
 
 
 def validate(
@@ -522,6 +536,13 @@ def train(
         if verbose:
             print(f"Checkpoint: {start_checkpoint}")
         trainer.load(start_checkpoint)
+        # Deterministic resume: one batch is consumed per step and the
+        # shuffle order is a pure function of (seed, epoch), so the step
+        # count positions the loader exactly where the interrupted run's
+        # stream left off (reference restores pickled RNG states instead,
+        # train_sae.py:265-294).
+        if hasattr(loader, "set_position"):
+            loader.set_position(trainer.step)
 
     transcriber = None
     if enable_transcripts:

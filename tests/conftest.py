@@ -36,6 +36,14 @@ def reference_mel_filters():
 
 @pytest.fixture(scope="session")
 def example_flac():
+    # bundled fixture (freud_tpu/assets) so the suite runs outside this
+    # sandbox; fall back to the reference copy if the package asset is gone
+    bundled = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "freud_tpu", "assets", "example_audio.flac",
+    )
+    if os.path.exists(bundled):
+        return bundled
     path = os.path.join(REFERENCE, "pretrained/example_audio/8280-266249-0065.flac")
     if not os.path.exists(path):
         pytest.skip("example audio unavailable")

@@ -185,3 +185,68 @@ def test_resume_roundtrip(tmp_path):
     # identical continuation
     for pa, pb in zip(a.params, b_tr.params):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5, atol=1e-6)
+
+
+def test_resume_restores_data_order(tmp_path):
+    """An interrupted+resumed train() consumes the identical batch sequence
+    as an uninterrupted run (the reference gets this by restoring pickled
+    RNG states on load, train_sae.py:265-294): final params must match."""
+    from freud_tpu.models.sae import sae_from_checkpoint
+    from freud_tpu.train.trainer import train
+
+    store_dir = tmp_path / "acts"
+    store_dir.mkdir()
+    _make_store(store_dir)
+
+    kwargs = dict(
+        seed=0, train_folder=str(store_dir), val_folder=str(store_dir),
+        lr=1e-3, weight_decay=0.0, clip_thresh=1.0, batch_size=8,
+        log_tb_every=100, save_every=2, val_every=100,
+        whisper_config={"model": "test:tiny", "layer_name": "encoder.blocks.1"},
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": 2},
+        autoencoder_variant="l1",
+        autoencoder_config={"n_dict_components": 16, "recon_alpha": 100.0},
+        from_disk=True, enable_transcripts=False, verbose=False,
+    )
+    # uninterrupted: 5 steps (epoch is 3 batches → resume lands mid-epoch)
+    run_a = tmp_path / "run_a"
+    train(run_dir=str(run_a), steps=5, **kwargs)
+    # interrupted at 2, resumed to 5
+    run_b = tmp_path / "run_b"
+    train(run_dir=str(run_b), steps=2, **kwargs)
+    train(run_dir=str(run_b), steps=5,
+          start_checkpoint=str(run_b / "checkpoints" / "step2.pth"), **kwargs)
+
+    _, _, _, pa = sae_from_checkpoint(str(run_a / "checkpoints" / "step5.pth"))
+    _, _, _, pb = sae_from_checkpoint(str(run_b / "checkpoints" / "step5.pth"))
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_loader_set_position_matches_stream(tmp_path):
+    from freud_tpu.data.loaders import MemoryMappedActivationLoader
+
+    store_dir = tmp_path / "acts"
+    store_dir.mkdir()
+    _make_store(store_dir, n_files=10)
+
+    def batches(loader, n):
+        got = []
+        while len(got) < n:
+            for b in loader:
+                got.append(np.asarray(b[0]))
+                if len(got) >= n:
+                    break
+        return got
+
+    mk = lambda: MemoryMappedActivationLoader(
+        str(store_dir), "encoder.blocks.1", batch_size=3,
+        shuffle=True, drop_last=True, seed=7)
+    full = batches(mk(), 8)  # 3 batches/epoch → crosses epochs, lands mid-epoch
+    resumed = mk()
+    resumed.set_position(5)
+    tail = batches(resumed, 3)
+    for x, y in zip(full[5:], tail):
+        np.testing.assert_array_equal(x, y)
