@@ -112,9 +112,18 @@ def top_activations(
         n_frames = _true_lengths(loader, filenames, offset)
         offset += len(filenames)
 
+        # pad the ragged tail chunk to the bucket shape so the whole scan is
+        # ONE compiled program (a fresh remote compile costs minutes on the
+        # tunneled TPU); padded rows get n_frames 0 and are sliced away
+        n_valid = chunk.shape[0]
+        bucket = getattr(loader, "batch_size", n_valid)
+        if n_valid < bucket:
+            chunk = jnp.pad(chunk, ((0, bucket - n_valid), (0, 0), (0, 0)))
+            n_frames = np.pad(n_frames, (0, bucket - n_valid))
+
         fidx = feature_idx if loader.activation_type == "tensor" else 0
         plain_max, plain_argmax, signed_at_absmax = (
-            np.asarray(a)
+            np.asarray(a)[:n_valid]
             for a in _dense_stats(chunk, jnp.asarray(n_frames), fidx)
         )
 

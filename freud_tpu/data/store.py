@@ -68,6 +68,13 @@ class AppendableNpy:
             self.n_rows = existing.shape[0]
             del existing
             self._header_len = self._measure_header()
+            # Foreign files (np.save / npy-append-array with a tight header)
+            # may lack room for the shape digits to grow; rebase ONCE at open
+            # so every later flush() is an in-place header rewrite.
+            fresh = _header_bytes((0, *self.row_shape), self.dtype)
+            target = len(fresh) + _HEADER_SPARE
+            if self._header_len < target:
+                self._rebase(target)
             self._f = open(self.path, "r+b")
             self._f.seek(0, os.SEEK_END)
         else:
@@ -87,6 +94,26 @@ class AppendableNpy:
                 raise ValueError(f"{self.path} is not NPY v1")
             (hlen,) = struct.unpack("<H", f.read(2))
             return 10 + hlen
+
+    def _rebase(self, new_header_len: int) -> None:
+        """Stream-copy the file with a larger padded header (one-time cost
+        when adopting a store whose header was written without headroom)."""
+        tmp = self.path.with_name(self.path.name + ".rebase.tmp")
+        with open(self.path, "rb") as src, open(tmp, "wb") as dst:
+            src.seek(self._header_len)
+            dst.write(
+                _header_bytes(
+                    (self.n_rows, *self.row_shape), self.dtype,
+                    pad_to=new_header_len,
+                )
+            )
+            while True:
+                chunk = src.read(1 << 24)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        os.replace(tmp, self.path)
+        self._header_len = new_header_len
 
     def append(self, rows: np.ndarray) -> None:
         rows = np.ascontiguousarray(rows, dtype=self.dtype)

@@ -36,30 +36,45 @@ _TAIL = N_FFT - 2 * HOP_LENGTH  # 80
 _LN10 = float(np.log(10.0))
 
 
-def _kernel(a0, a1, a2, basis_ref, mel_ref, out_ref):
-    # bf16x3 (HIGH) carries ~f32 mantissa coverage for audio in [-1, 1) at
-    # half the MXU passes of HIGHEST; measured 12.2 → 6 ms/batch-64 on v5e
-    # with log-mel error < 2e-6 vs the torch.stft golden.
-    hi = jax.lax.Precision.HIGH
-    proj = jnp.dot(
-        a0[0], basis_ref[0:HOP_LENGTH, :],
-        preferred_element_type=jnp.float32, precision=hi,
+def _split_dot(a, b_hi, b_lo):
+    """Limb-split matmul (4 bf16 products ≈ f32): Mosaic rejects
+    lax.Precision.HIGH inside kernels and HIGHEST's 6 true-f32 passes
+    measured 12.2 ms/batch-64 for the whole mel. Splitting each operand into
+    bf16 hi+lo limbs and keeping all four products leaves only the ~2⁻²⁵
+    limb-representation residual — well inside the 3e-4 golden tolerance vs
+    torch.stft (tests/test_mel_pallas.py; dropping lo·lo was measurably NOT
+    enough for near-cancelled DFT bins). Basis limbs precomputed host-side;
+    the audio tile splits on the VPU."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    out += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    out += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    out += jnp.dot(a_lo, b_lo, preferred_element_type=jnp.float32)
+    return out
+
+
+def _kernel(a0, a1, a2, bhi_ref, blo_ref, mel_ref, out_ref):
+    proj = _split_dot(
+        a0[0], bhi_ref[0:HOP_LENGTH, :], blo_ref[0:HOP_LENGTH, :]
     )
-    proj += jnp.dot(
-        a1[0], basis_ref[HOP_LENGTH : 2 * HOP_LENGTH, :],
-        preferred_element_type=jnp.float32, precision=hi,
+    proj += _split_dot(
+        a1[0],
+        bhi_ref[HOP_LENGTH : 2 * HOP_LENGTH, :],
+        blo_ref[HOP_LENGTH : 2 * HOP_LENGTH, :],
     )
-    proj += jnp.dot(
-        a2[0], basis_ref[2 * HOP_LENGTH :, :],
-        preferred_element_type=jnp.float32, precision=hi,
+    proj += _split_dot(
+        a2[0], bhi_ref[2 * HOP_LENGTH :, :], blo_ref[2 * HOP_LENGTH :, :]
     )
 
     re = proj[:, :N_FREQS]
     im = proj[:, N_FREQS:]
     power = re * re + im * im  # (TILE, N_FREQS)
 
+    # the mel projection is tiny (201→n_mels); keep it at true f32
     mel = jnp.dot(
-        power, mel_ref[:], preferred_element_type=jnp.float32, precision=hi,
+        power, mel_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[0] = jnp.log(jnp.maximum(mel, 1e-10)) * (1.0 / _LN10)
 
@@ -84,7 +99,10 @@ def log_mel_spectrogram_pallas(
     band1 = grid_audio[:, 1 : N_FRAMES + 1, :]
     band2 = grid_audio[:, 2 : N_FRAMES + 2, :_TAIL]
 
-    basis = jnp.asarray(_dft_basis())  # (N_FFT, 2*N_FREQS), hann pre-folded
+    basis = _dft_basis()  # (N_FFT, 2*N_FREQS), hann pre-folded — numpy f64/f32
+    basis = np.asarray(basis, np.float32)
+    basis_hi = basis.astype(jnp.bfloat16)
+    basis_lo = (basis - basis_hi.astype(np.float32)).astype(jnp.bfloat16)
     mel_t = jnp.asarray(mel_filterbank(n_mels).T)  # (N_FREQS, n_mels)
 
     log_spec = pl.pallas_call(
@@ -108,6 +126,10 @@ def log_mel_spectrogram_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
+                (N_FFT, 2 * N_FREQS), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (N_FREQS, n_mels), lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
@@ -116,7 +138,7 @@ def log_mel_spectrogram_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, N_FRAMES, n_mels), jnp.float32),
         interpret=interpret,
-    )(band0, band1, band2, basis, mel_t)
+    )(band0, band1, band2, jnp.asarray(basis_hi), jnp.asarray(basis_lo), mel_t)
 
     # whisper epilogue: per-clip dynamic-range floor + affine (fused by XLA)
     gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)

@@ -25,7 +25,7 @@ ROWS = 128
 _ITERS = 26
 
 
-def _bisect(masked: jnp.ndarray, k: int) -> jnp.ndarray:
+def _bisect(masked: jnp.ndarray, k: int, iters: int = _ITERS) -> jnp.ndarray:
     """Largest t with count(masked ≥ t) ≥ k per row; +inf if nothing finite."""
     finite = jnp.isfinite(masked)
     lo = jnp.min(jnp.where(finite, masked, jnp.inf), axis=-1, keepdims=True)
@@ -37,19 +37,19 @@ def _bisect(masked: jnp.ndarray, k: int) -> jnp.ndarray:
         ok = jnp.sum((masked >= mid).astype(jnp.float32), axis=-1, keepdims=True) >= k
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, _ITERS, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     return lo
 
 
 def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
-            *, k_main: int, k_aux: int, valid_rows: int):
+            *, k_main: int, k_aux: int, valid_rows: int, iters: int):
     i = pl.program_id(0)
     a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
-    t_main = _bisect(a, k_main)
+    t_main = _bisect(a, k_main, iters)
     tmain_ref[...] = t_main
     dead = dead_ref[...] > 0  # (1, n_dict)
     masked = jnp.where(dead, a, -jnp.inf)
-    taux_ref[...] = _bisect(masked, k_aux)
+    taux_ref[...] = _bisect(masked, k_aux, iters)
 
     # fired[j] = did latent j cross its row threshold anywhere — the acts
     # tile is already VMEM-resident, so folding this in here saves the
@@ -68,31 +68,36 @@ def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
         fired_ref[...] = jnp.maximum(fired_ref[...], tile_fired)
 
 
-@functools.partial(jax.jit, static_argnames=("k_main", "k_aux", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k_main", "k_aux", "interpret", "rows", "iters")
+)
 def topk_thresholds_fired(
     acts: jnp.ndarray,  # (M, n_dict) — any float dtype (cast to f32 in VMEM)
     dead_mask: jnp.ndarray,  # (n_dict,) bool
     k_main: int,
     k_aux: int,
     interpret: bool = False,
+    rows: int = ROWS,
+    iters: int = _ITERS,
 ):
     """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool)."""
     m, n_dict = acts.shape
-    m_pad = -(-m // ROWS) * ROWS
+    m_pad = -(-m // rows) * rows
     if m_pad != m:
         acts = jnp.pad(acts, ((0, m_pad - m), (0, 0)))
     dead = dead_mask.astype(jnp.float32).reshape(1, -1)
 
     t_main, t_aux, fired = pl.pallas_call(
-        functools.partial(_kernel, k_main=k_main, k_aux=k_aux, valid_rows=m),
-        grid=(m_pad // ROWS,),
+        functools.partial(_kernel, k_main=k_main, k_aux=k_aux, valid_rows=m,
+                          iters=iters),
+        grid=(m_pad // rows,),
         in_specs=[
-            pl.BlockSpec((ROWS, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROWS, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[

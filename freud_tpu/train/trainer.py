@@ -411,11 +411,19 @@ def validate(
             # stores built from a TopK SAE hold (acts, indices); validation
             # operates on dense activations only, as in the reference
             raise ValueError("validation expects dense activation stores")
+        # pad a ragged tail batch to the bucket shape — one compiled program
+        # for the whole set (a second remote compile costs minutes on the
+        # tunneled TPU); padded files are sliced away from every per-file
+        # output below
+        n_valid = x.shape[0]
+        if n_valid < val_batch:
+            x = np.pad(x, ((0, val_batch - n_valid), (0, 0), (0, 0)))
         out = trainer.validate_files(x)
+        out = {k: v[:n_valid] for k, v in out.items()}
         for key in ("recon", "l1", "fvu", "auxk_loss", "multi_topk_fvu", "mse"):
             if key in out:
                 sums[key] = sums.get(key, 0.0) + float(jnp.sum(out[key]))
-        counts += x.shape[0]
+        counts += n_valid
         mags.append(np.asarray(out["mag"]))
 
         if transcriber is not None and n_transcribed < N_TRANSCRIPTS:

@@ -136,5 +136,22 @@ def test_feature_analyzer_no_sae():
     assert an.n_features == 384
     audio = np.zeros(8000, np.float32)
     base, manip, std, s_trace, m_trace = an.manipulate(audio, 3, 0.0)
-    assert base is None  # no sae → no baseline text (reference parity)
+    # reference returns the unmodified-forward transcript in EVERY path,
+    # SAE or not (src/utils/activations.py:241-242)
+    assert isinstance(base, str) and base
     np.testing.assert_allclose(m_trace, 0.0)
+
+
+def test_scan_single_compiled_shape(dense_store):
+    """A non-divisible dataset (12 files, batch 5 → tail of 2) must not
+    compile a second _dense_stats program: the tail chunk is padded to the
+    bucket shape (a fresh remote compile costs minutes on a tunneled TPU)."""
+    from freud_tpu.analysis import search as search_mod
+
+    path, data = dense_store
+    loader = MemoryMappedActivationLoader(path, "L", batch_size=5)
+    search_mod._dense_stats._clear_cache()
+    results, max_per_file = top_activations(loader, 2, 3)
+    assert [r[0] for r in results] == ["/d/f11.wav", "/d/f10.wav", "/d/f9.wav"]
+    assert len(max_per_file) == 12
+    assert search_mod._dense_stats._cache_size() == 1
