@@ -74,12 +74,18 @@ def top_activations(
     min_val: Optional[float] = None,
     absolute_magnitude: bool = False,
     return_max_per_file: bool = True,
+    mesh=None,
 ):
     """Returns ([(file, trimmed_trace, max_value, max_time_s)], max_per_file).
 
     When a feature-major index exists next to a dense store
     (freud_tpu.data.feature_store), the query reads only that feature's
     (files, time) plane instead of scanning the whole store.
+
+    ``mesh``: shard each chunk's file axis over the mesh's data axis —
+    the per-file masked reductions are embarrassingly parallel, so XLA
+    splits the scan across chips with no collectives; the host top-n merge
+    is unchanged (tests/test_search.py pins sharded ≡ single-device).
     """
     reader = getattr(loader, "reader", None)
     if reader is not None and reader.activation_type == "tensor":
@@ -88,7 +94,7 @@ def top_activations(
         if FeatureMajorReader.exists(reader.data_path, reader.layer_name):
             return _top_activations_indexed_plane(
                 loader, reader, feature_idx, n_files, max_val, min_val,
-                absolute_magnitude, return_max_per_file,
+                absolute_magnitude, return_max_per_file, mesh=mesh,
             )
 
     entries = []  # (value_for_ranking, file, n_frames, trace_source)
@@ -120,11 +126,16 @@ def top_activations(
         if n_valid < bucket:
             chunk = jnp.pad(chunk, ((0, bucket - n_valid), (0, 0), (0, 0)))
             n_frames = np.pad(n_frames, (0, bucket - n_valid))
+        nf_dev = jnp.asarray(n_frames)
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            chunk, nf_dev = mesh_lib.put_batch(mesh, chunk, nf_dev)
 
         fidx = feature_idx if loader.activation_type == "tensor" else 0
         plain_max, plain_argmax, signed_at_absmax = (
             np.asarray(a)[:n_valid]
-            for a in _dense_stats(chunk, jnp.asarray(n_frames), fidx)
+            for a in _dense_stats(chunk, nf_dev, fidx)
         )
 
         for j, fname in enumerate(filenames):
@@ -168,7 +179,7 @@ def top_activations(
 
 def _top_activations_indexed_plane(
     loader, reader, feature_idx, n_files, max_val, min_val,
-    absolute_magnitude, return_max_per_file,
+    absolute_magnitude, return_max_per_file, mesh=None,
 ):
     """Fast path: one feature plane from the feature-major index."""
     from ..data.feature_store import FeatureMajorReader
@@ -182,11 +193,22 @@ def _top_activations_indexed_plane(
     else:
         n_frames = _true_lengths(loader, filenames, 0)
 
+    n = plane.shape[0]
+    chunk = jnp.asarray(plane)[:, :, None]
+    nf_dev = jnp.asarray(n_frames)
+    if mesh is not None:
+        from ..parallel import mesh as mesh_lib
+
+        # pad the file axis to the data-axis multiple so the plane shards
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        pad = (-n) % n_data
+        if pad:
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            nf_dev = jnp.pad(nf_dev, (0, pad))
+        chunk, nf_dev = mesh_lib.put_batch(mesh, chunk, nf_dev)
+
     plain_max, plain_argmax, signed_at_absmax = (
-        np.asarray(a)
-        for a in _dense_stats(
-            jnp.asarray(plane)[:, :, None], jnp.asarray(n_frames), 0
-        )
+        np.asarray(a)[:n] for a in _dense_stats(chunk, nf_dev, 0)
     )
     max_per_file = []
     entries = []

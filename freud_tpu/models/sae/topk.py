@@ -329,29 +329,44 @@ def _fused_losses(k, k_aux, alpha, mm_name, params, x, dead_f):
 
 
 def _fused_losses_fwd(k, k_aux, alpha, mm_name, params, x, dead_f):
-    from ...ops.topk_threshold import topk_thresholds_fired
-
     d_in = x.shape[-1]
     n_dict = params.W_dec.shape[0]
     x2 = x.reshape(-1, d_in)
-    sae_in = x2 - params.b_dec
-    acts = jax.nn.relu(
-        _mm(sae_in, params.encoder_weight.T, mm_name)
-        .astype(mm_name or x.dtype) + params.encoder_bias.astype(mm_name or x.dtype)
-    )  # (M, n_dict) in matmul dtype — the step's one big resident tensor
+    interpret = jax.default_backend() == "cpu"
 
-    t_main, t_aux, fired = topk_thresholds_fired(
-        acts, dead_f > 0, k, k_aux,
-        interpret=jax.default_backend() == "cpu",
-    )
-    af = acts.astype(jnp.float32)
-    keep_main = af >= t_main
-    keep_aux = (af >= t_aux) & (dead_f > 0)
-    dense_main = jnp.where(keep_main, acts, 0)
-    dense_aux = jnp.where(keep_aux, acts, 0)
+    if mm_name == "bfloat16":
+        # single-kernel forward: encode + exact integer bisection + both
+        # masked decodes in one pass over x (freud_tpu.ops.topk_fused)
+        from ...ops.topk_fused import topk_sae_forward
 
-    y_main = _mm(dense_main, params.W_dec, mm_name)
-    y_aux = _mm(dense_aux, params.W_dec, mm_name)
+        sae_in = x2 - params.b_dec
+        acts, y_main, y_aux, t_main, t_aux, fired = topk_sae_forward(
+            x2, params.encoder_weight.T, params.encoder_bias,
+            params.b_dec, params.W_dec, dead_f, k, k_aux,
+            interpret=interpret,
+        )
+    else:
+        from ...ops.topk_threshold import topk_thresholds_fired
+
+        sae_in = x2 - params.b_dec
+        acts = jax.nn.relu(
+            _mm(sae_in, params.encoder_weight.T, mm_name)
+            .astype(mm_name or x.dtype)
+            + params.encoder_bias.astype(mm_name or x.dtype)
+        )  # (M, n_dict) in matmul dtype — the step's one big resident tensor
+
+        t_main, t_aux, fired = topk_thresholds_fired(
+            acts, dead_f > 0, k, k_aux, interpret=interpret,
+        )
+        af = acts.astype(jnp.float32)
+        keep_main = af >= t_main
+        keep_aux = (af >= t_aux) & (dead_f > 0)
+        dense_main = jnp.where(keep_main, acts, 0)
+        dense_aux = jnp.where(keep_aux, acts, 0)
+
+        y_main = _mm(dense_main, params.W_dec, mm_name)
+        y_aux = _mm(dense_aux, params.W_dec, mm_name)
+
     e = y_main + params.b_dec - x2  # = sae_out − x
     r = y_aux - y_main + x2  # = ê − e   (b_dec cancels)
 

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import WhisperDims
 from .model import Params, _layer_norm, _linear
@@ -149,9 +150,25 @@ def greedy_decode(
     cross_k = jnp.stack([k for k, _ in cross])
     cross_v = jnp.stack([v for _, v in cross])
 
-    suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
-    for tok in (st.sot, st.sot_prev, st.no_speech, st.no_timestamps):
-        suppress = suppress.at[tok].set(-jnp.inf)
+    # per-step suppression: whisper's default DecodingOptions set — the
+    # non-speech list (built from the tiktoken table when assets exist) plus
+    # the task/SOT specials (reference hooked_model.py:103-110 →
+    # whisper decoding.py _get_suppress_tokens with suppress_tokens="-1");
+    # no_timestamps additionally stays suppressed (ApplyTimestampRules).
+    from .tokenizer import blank_token_id, suppress_token_ids
+
+    sup_np = np.zeros((dims.n_vocab,), np.float32)
+    for tok in suppress_token_ids(dims.n_vocab):
+        sup_np[tok] = -np.inf
+    sup_np[st.no_timestamps] = -np.inf
+    suppress = jnp.asarray(sup_np)
+    # SuppressBlank: " " and EOT are masked at the FIRST sampled position
+    blank_np = np.zeros((dims.n_vocab,), np.float32)
+    blank = blank_token_id(dims.n_vocab)
+    if blank is not None:
+        blank_np[blank] = -np.inf
+    blank_np[st.eot] = -np.inf
+    suppress_blank = jnp.asarray(blank_np)
 
     ts0 = st.timestamp_begin
     vocab_ids = jnp.arange(dims.n_vocab)
@@ -173,6 +190,8 @@ def greedy_decode(
         last_was_ts = (token >= ts0)[:, None]
         penult_was_ts = (prev >= ts0)[:, None]
         at_first = pos + 1 == n_prompt
+        # SuppressBlank at the first sampled token only
+        logits = jnp.where(at_first, logits + suppress_blank[None, :], logits)
         # paired timestamps: <ts> <ts> → text next; lone <ts> → ts/eot next
         block_ts = last_was_ts & penult_was_ts
         block_text = last_was_ts & ~penult_was_ts

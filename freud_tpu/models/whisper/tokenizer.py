@@ -154,3 +154,86 @@ def decode_text(tokens, n_vocab: int) -> str:
 
 def tokenizer_available(n_vocab: int) -> bool:
     return _byte_decoder(special_tokens(n_vocab).multilingual) is not None
+
+
+# --------------------------------------------------------------- suppression
+
+@lru_cache(maxsize=4)
+def _encoder_ranks(multilingual: bool) -> dict[bytes, int] | None:
+    table = _byte_decoder(multilingual)
+    if table is None:
+        return None
+    return {v: k for k, v in table.items()}
+
+
+def _encode_piece(text: str, ranks: dict[bytes, int]) -> list[int]:
+    """Byte-level BPE of ONE pre-tokenized piece (greedy lowest-rank merge —
+    the tiktoken algorithm). Every symbol whisper's non-speech rule encodes
+    is a single regex piece (` ?[^\\s\\p{L}\\p{N}]+`), so no pre-tokenizer
+    needed here."""
+    parts = [bytes([b]) for b in text.encode("utf-8")]
+    while len(parts) > 1:
+        best_i, best_rank = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get(parts[i] + parts[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_i is None:
+            break
+        parts = (
+            parts[:best_i] + [parts[best_i] + parts[best_i + 1]]
+            + parts[best_i + 2:]
+        )
+    return [ranks[p] for p in parts]
+
+
+# whisper tokenizer.py `non_speech_tokens`: speaker-tag / annotation symbols,
+# keeping basic punctuation
+_NS_SYMBOLS = (
+    list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+    + "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
+)
+_NS_MISC = set("♩♪♫♬♭♮♯")
+
+
+@lru_cache(maxsize=8)
+def non_speech_token_ids(n_vocab: int) -> tuple | None:
+    """Whisper's non-speech suppression list (tokenizer.py non_speech_tokens),
+    derived at runtime from the tiktoken rank table; None when the BPE asset
+    is unavailable (zero-egress sandboxes)."""
+    st = special_tokens(n_vocab)
+    ranks = _encoder_ranks(st.multilingual)
+    if ranks is None:
+        return None
+    enc = lambda s: _encode_piece(s, ranks)  # noqa: E731
+    result = {enc(" -")[0], enc(" '")[0]}
+    for symbol in _NS_SYMBOLS + list(_NS_MISC):
+        for toks in (enc(symbol), enc(" " + symbol)):
+            if len(toks) == 1 or symbol in _NS_MISC:
+                result.add(toks[0])
+    return tuple(sorted(result))
+
+
+def suppress_token_ids(n_vocab: int) -> tuple:
+    """The id set whisper's default DecodingOptions suppresses every step
+    (decoding.py _get_suppress_tokens with suppress_tokens="-1": the
+    non-speech list plus transcribe/translate/sot/sot_prev/sot_lm/no_speech;
+    reference path hooked_model.py:103-110). Degrades to the special-token
+    subset when BPE assets are absent."""
+    st = special_tokens(n_vocab)
+    sot_lm = st.sot_prev - 1  # <|startoflm|> sits between transcribe and sot_prev
+    ids = {st.transcribe, st.translate, st.sot, st.sot_prev, sot_lm,
+           st.no_speech}
+    ns = non_speech_token_ids(n_vocab)
+    if ns is not None:
+        ids.update(ns)
+    return tuple(sorted(ids))
+
+
+def blank_token_id(n_vocab: int) -> int | None:
+    """Token for " " — suppressed (with EOT) at the first sampled position
+    (whisper decoding.py SuppressBlank); None without BPE assets."""
+    ranks = _encoder_ranks(special_tokens(n_vocab).multilingual)
+    if ranks is None:
+        return None
+    return _encode_piece(" ", ranks)[0]

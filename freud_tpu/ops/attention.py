@@ -78,9 +78,53 @@ def whisper_attention(
     XLA's DEFAULT matmul precision for f32 einsum operands there) and to the
     input dtype elsewhere, so CPU-run tests stay exact-f32. ``stable=False``
     drops the softmax max-subtraction (valid when |scores| is known bounded).
+
+    Carries a GSPMD sharding rule: batch/head dims partition freely, so a
+    pjit over a data-sharded batch runs one kernel per chip instead of
+    all-gathering around the custom call (tests/test_attention_kernel.py
+    pins the no-gather property on the 8-device CPU mesh).
     """
     if matmul_dtype is None:
         matmul_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else q.dtype
+    return _partitioned(jnp.dtype(matmul_dtype).name, block_q, stable, interpret)(
+        q, k, v
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned(matmul_dtype_name: str, block_q: int, stable: bool,
+                 interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def body(q, k, v):
+        return _whisper_attention_impl(
+            q, k, v, interpret=interpret,
+            matmul_dtype=jnp.dtype(matmul_dtype_name), block_q=block_q,
+            stable=stable,
+        )
+
+    cp = custom_partitioning(body)
+
+    def partition(mesh, arg_infos, result_infos):
+        spec = arg_infos[0].sharding.spec if arg_infos[0].sharding else P()
+        b = spec[0] if len(spec) > 0 else None
+        h = spec[1] if len(spec) > 1 else None
+        ns = NamedSharding(mesh, P(b, h, None, None))
+        return mesh, body, ns, (ns, ns, ns)
+
+    cp.def_partition(
+        partition=partition,
+        sharding_rule="b h s d, b h t d, b h t d -> b h s d",
+        need_replication_factors=("s", "d", "t"),
+    )
+    return cp
+
+
+def _whisper_attention_impl(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool,
+    matmul_dtype, block_q: int, stable: bool,
+) -> jnp.ndarray:
     b, h, s, dh = q.shape
     scale = dh ** -0.5
     s_pad = -(-s // block_q) * block_q

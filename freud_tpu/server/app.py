@@ -38,6 +38,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
 
+import jax
 import numpy as np
 
 from ..analysis.features import FeatureAnalyzer
@@ -102,6 +103,12 @@ class GuiState:
             if p
         ]
         self.lock = threading.Lock()
+        # shard the /top_files scan over all local chips (no-op on one)
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
 
     def audio_path_allowed(self, path: str) -> bool:
         if self.allow_any_audio_path:
@@ -116,7 +123,7 @@ class GuiState:
     def top_files(self, feature_idx, n_files, max_val, min_val, absolute_magnitude):
         results, max_per_file = top_activations(
             self.loader, feature_idx, n_files, max_val, min_val,
-            absolute_magnitude, return_max_per_file=True,
+            absolute_magnitude, return_max_per_file=True, mesh=self.mesh,
         )
         return {
             "top_files": [r[0] for r in results],

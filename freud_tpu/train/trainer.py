@@ -77,13 +77,7 @@ class SAETrainer:
         mesh=None,
         shard_dict: bool = False,
         amp: bool = True,
-        fused: Optional[bool] = None,
     ):
-        """``fused`` selects the single-pass Pallas train-step kernel for the
-        L1 variant (freud_tpu.ops.sae_fused). Default off: measured on v5e,
-        XLA's pipelined autodiff step (2.0 ms at tiny_l1 scale) outruns the
-        hand-fused kernel (2.4 ms) despite the kernel's lower HBM traffic —
-        kept as an option and a baseline for future kernel work."""
         assert variant in ("l1", "topk"), (
             f"Invalid autoencoder variant: {variant}, must be 'l1' or 'topk'"
         )
@@ -96,7 +90,6 @@ class SAETrainer:
             autoencoder_config.get("dead_feature_threshold", 1e6)
         )
         self.amp = amp
-        self.fused = bool(fused) and variant == "l1" and not shard_dict
 
         if variant == "l1":
             self.params = l1_mod.init_l1(activation_size, self.cfg, seed=seed)
@@ -163,27 +156,7 @@ class SAETrainer:
         # CUDA autocast (train_sae.py:431); losses/updates stay f32.
         mm_dtype = jnp.bfloat16 if self.amp else None
 
-        if variant == "l1" and self.fused:
-            from ..ops.sae_fused import fused_l1_value_and_grad
-
-            recon_alpha = float(self.cfg.recon_alpha)
-            interpret = jax.default_backend() == "cpu"
-
-            def step_fn(params, opt_state, counter, batch):
-                params = l1_mod.normalize_columns(params)
-                (loss, (loss_recon, loss_l1)), grads = fused_l1_value_and_grad(
-                    params, batch, recon_alpha, interpret=interpret
-                )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                metrics = {
-                    "loss": loss,
-                    "loss_recon": loss_recon,
-                    "loss_l1": loss_l1,
-                }
-                return params, opt_state, counter, metrics
-
-        elif variant == "l1":
+        if variant == "l1":
 
             def step_fn(params, opt_state, counter, batch):
                 params = l1_mod.normalize_columns(params)
@@ -285,10 +258,7 @@ class SAETrainer:
     # -------------------------------------------------------------- public
 
     def train_step(self, batch: np.ndarray) -> dict:
-        if self.fused:
-            batch = jnp.asarray(batch)  # single-device kernel path
-        else:
-            batch = mesh_lib.put_batch(self.mesh, batch)
+        batch = mesh_lib.put_batch(self.mesh, batch)
         self.params, self.opt_state, self.num_frames_since_fired, metrics = (
             self._train_step(
                 self.params, self.opt_state, self.num_frames_since_fired, batch

@@ -42,3 +42,33 @@ def test_padding_does_not_leak():
     out1 = np.asarray(whisper_attention(q, k, v, interpret=INTERPRET))
     want = np.asarray(_einsum_attention(q, k, v))
     np.testing.assert_allclose(out1, want, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_partitions_without_gather():
+    """Data-sharded q/k/v through the kernel must partition (one kernel per
+    device), not all-gather around the custom call."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from freud_tpu.parallel.mesh import make_mesh
+    from freud_tpu.ops.attention import whisper_attention
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((8, 2, 64, 16)).astype(np.float32))
+               for _ in range(3))
+    shard = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(t, shard) for t in (q, k, v))
+
+    fn = jax.jit(lambda a, b, c: whisper_attention(a, b, c, interpret=True,
+                                                   block_q=64))
+    out_sharded = fn(qs, ks, vs)
+    out_plain = whisper_attention(q, k, v, interpret=True, block_q=64)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
+    txt = fn.lower(qs, ks, vs).compile().as_text().lower()
+    assert "all-gather" not in txt

@@ -155,3 +155,52 @@ def test_scan_single_compiled_shape(dense_store):
     assert [r[0] for r in results] == ["/d/f11.wav", "/d/f10.wav", "/d/f9.wav"]
     assert len(max_per_file) == 12
     assert search_mod._dense_stats._cache_size() == 1
+
+
+def test_sharded_scan_equals_single_device(dense_store):
+    """8-virtual-device mesh: sharding the file axis over the data axis must
+    reproduce the single-device scan exactly (VERDICT #9)."""
+    import jax
+    from freud_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device mesh")
+    path, data = dense_store
+    mesh = make_mesh()
+
+    loader = MemoryMappedActivationLoader(path, "L", batch_size=8)
+    res_s, mpf_s = top_activations(loader, 2, 4, mesh=mesh)
+    loader2 = MemoryMappedActivationLoader(path, "L", batch_size=8)
+    res_1, mpf_1 = top_activations(loader2, 2, 4)
+    assert [r[0] for r in res_s] == [r[0] for r in res_1]
+    np.testing.assert_allclose(mpf_s, mpf_1)
+    for a, b in zip(res_s, res_1):
+        np.testing.assert_allclose(a[1], b[1])
+        assert a[2] == b[2] and a[3] == b[3]
+
+
+def test_sharded_indexed_plane_scan(tmp_path):
+    """Feature-major fast path with a mesh: equality with the plain path."""
+    import jax
+    import pytest
+    from freud_tpu.parallel.mesh import make_mesh
+    from freud_tpu.data.feature_store import build_feature_major_index
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    rng = np.random.default_rng(5)
+    data = rng.uniform(-1, 1, (11, 10, 6)).astype(np.float32)
+    w = ActivationStoreWriter(tmp_path, "L", (10, 6), (10, 6))
+    w.append_batch([f"/d/g{i}.wav" for i in range(11)], data,
+                   n_frames=[10] * 11)
+    w.close()
+    build_feature_major_index(str(tmp_path), "L")
+
+    mesh = make_mesh()
+    loader = MemoryMappedActivationLoader(tmp_path, "L", batch_size=4)
+    res_s, mpf_s = top_activations(loader, 3, 5, mesh=mesh)
+    loader2 = MemoryMappedActivationLoader(tmp_path, "L", batch_size=4)
+    res_1, mpf_1 = top_activations(loader2, 3, 5)
+    assert [r[0] for r in res_s] == [r[0] for r in res_1]
+    np.testing.assert_allclose(mpf_s, mpf_1)

@@ -156,7 +156,9 @@ def test_manipulate_feature(served):
         "baseline_text", "manipulated_text", "standard_text",
         "standard_activations", "manipulated_activations",
     }
-    assert body["baseline_text"] is None  # no SAE configured
+    # reference returns the unmodified-forward transcript in every path,
+    # SAE or not (src/utils/activations.py:241-242)
+    assert isinstance(body["baseline_text"], str) and body["baseline_text"]
     assert isinstance(body["manipulated_text"], str)
     np.testing.assert_allclose(
         np.asarray(body["manipulated_activations"]),

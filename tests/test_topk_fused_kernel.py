@@ -1,0 +1,160 @@
+"""Fused TopK forward kernel vs the separate-ops XLA formulation (bf16)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freud_tpu.models.sae import TopKAutoEncoderConfig, init_topk, topk
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def _setup(seed=0, d_in=16, exp=8, M=40):
+    rng = np.random.default_rng(seed)
+    cfg = TopKAutoEncoderConfig(expansion_factor=exp, k=5, auxk_alpha=0.25)
+    params = init_topk(d_in, cfg, seed=1)
+    x = jnp.asarray(rng.standard_normal((4, M // 4, d_in)).astype(np.float32))
+    n_dict = d_in * exp
+    dead = np.zeros(n_dict, bool)
+    dead[rng.choice(n_dict, n_dict // 3, replace=False)] = True
+    return cfg, params, x, jnp.asarray(dead)
+
+
+def test_kernel_fwd_matches_xla_branch():
+    cfg, params, x, dead = _setup()
+    from freud_tpu.ops.topk_fused import topk_sae_forward
+    from freud_tpu.ops.topk_threshold import topk_thresholds_fired
+
+    d_in = x.shape[-1]
+    x2 = x.reshape(-1, d_in)
+    acts_k, ym_k, ya_k, tm_k, ta_k, fired_k = topk_sae_forward(
+        x2, params.encoder_weight.T, params.encoder_bias, params.b_dec,
+        params.W_dec, dead.astype(jnp.float32), cfg.k, d_in // 2,
+        interpret=INTERPRET,
+    )
+
+    # XLA formulation at the same (bf16) precision
+    sae_in = (x2 - params.b_dec).astype(jnp.bfloat16)
+    acts_x = jax.nn.relu(
+        jax.lax.dot(sae_in, params.encoder_weight.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        + params.encoder_bias.astype(jnp.bfloat16)
+    )
+    np.testing.assert_array_equal(np.asarray(acts_k), np.asarray(acts_x))
+
+    tm_x, ta_x, fired_x = topk_thresholds_fired(
+        acts_x, dead, cfg.k, d_in // 2, interpret=INTERPRET)
+    af = np.asarray(acts_x, np.float32)
+    # identical SELECTION SETS (thresholds themselves may differ inside the
+    # same inter-value gap: integer bisection returns the exact bf16 k-th
+    # value, float bisection a point just below it)
+    np.testing.assert_array_equal(
+        af >= np.asarray(tm_k), af >= np.asarray(tm_x))
+    keep_aux_k = (af >= np.asarray(ta_k)) & np.asarray(dead)
+    keep_aux_x = (af >= np.asarray(ta_x)) & np.asarray(dead)
+    np.testing.assert_array_equal(keep_aux_k, keep_aux_x)
+    np.testing.assert_array_equal(np.asarray(fired_k), np.asarray(fired_x))
+
+    # decodes agree
+    dm = np.where(af >= np.asarray(tm_k), np.asarray(acts_x, np.float32), 0)
+    ym_ref = dm.astype(np.float32) @ np.asarray(
+        params.W_dec.astype(jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(np.asarray(ym_k), ym_ref, rtol=2e-2, atol=1e-4)
+
+
+def test_kernel_exact_counts():
+    """Integer bisection must select EXACTLY k (no tie fuzz) on distinct data."""
+    cfg, params, x, dead = _setup(seed=3)
+    from freud_tpu.ops.topk_fused import topk_sae_forward
+
+    d_in = x.shape[-1]
+    x2 = x.reshape(-1, d_in)
+    acts, ym, ya, tm, ta, fired = topk_sae_forward(
+        x2, params.encoder_weight.T, params.encoder_bias, params.b_dec,
+        params.W_dec, dead.astype(jnp.float32), cfg.k, d_in // 2,
+        interpret=INTERPRET,
+    )
+    af = np.asarray(acts, np.float32)
+    counts = (af >= np.asarray(tm)).sum(axis=1)
+    # bf16 rounding can tie values; counts must be ≥ k and == k wherever the
+    # k-th and (k+1)-th values differ
+    assert (counts >= cfg.k).all()
+    srt = np.sort(af, axis=1)[:, ::-1]
+    distinct = srt[:, cfg.k - 1] > srt[:, cfg.k]
+    np.testing.assert_array_equal(counts[distinct], cfg.k)
+
+
+def test_training_losses_kernel_path_matches_xla_path():
+    cfg, params, x, dead = _setup(seed=4)
+
+    terms_k, fired_k = topk.training_losses(
+        params, x, cfg, dead, matmul_dtype=jnp.bfloat16)
+
+    # force the XLA branch by name-mangling the dtype argument path
+    from freud_tpu.models.sae.topk import _fused_losses_fwd
+    (fvu_x, aux_x, fired_x), _ = _fused_losses_fwd(
+        cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), "float32",
+        params, x, dead.astype(jnp.float32))
+
+    # bf16 vs f32 matmuls: loose tolerance; the point is same structure
+    assert np.isfinite(float(terms_k["fvu"]))
+    np.testing.assert_allclose(float(terms_k["fvu"]), float(fvu_x),
+                               rtol=0.05, atol=1e-3)
+    np.testing.assert_allclose(float(terms_k["auxk_loss"]), float(aux_x),
+                               rtol=0.08, atol=1e-3)
+
+
+def test_grads_kernel_path_match_numpy_backward():
+    """Grads through the kernel path vs an independent numpy
+    reimplementation of the hand-derived backward, driven by the kernel's
+    own forward outputs. (bf16 selection can legitimately differ from f32
+    top-k on boundary rows, so autodiff-of-f32-forward is NOT the oracle —
+    the oracle is the backward math at the kernel's actual selection.)"""
+    cfg, params, x, dead = _setup(seed=5, M=24)
+    d_in = x.shape[-1]
+    k_aux = d_in // 2
+
+    def loss_fast(p):
+        terms, _ = topk.training_losses(p, x, cfg, dead,
+                                        matmul_dtype=jnp.bfloat16)
+        return terms["fvu"] + terms["auxk_loss"]
+
+    g = jax.grad(loss_fast)(params)
+
+    from freud_tpu.ops.topk_fused import topk_sae_forward
+
+    x2 = np.asarray(x.reshape(-1, d_in), np.float32)
+    acts, ym, ya, tm, ta, fired = topk_sae_forward(
+        jnp.asarray(x2), params.encoder_weight.T, params.encoder_bias,
+        params.b_dec, params.W_dec, dead.astype(jnp.float32), cfg.k, k_aux,
+        interpret=INTERPRET,
+    )
+    af = np.asarray(acts, np.float32)
+    b_dec = np.asarray(params.b_dec)
+    e = np.asarray(ym) + b_dec - x2
+    r = np.asarray(ya) - np.asarray(ym) + x2
+    x3 = np.asarray(x)
+    tv = ((x3 - x3.mean(axis=0)) ** 2).sum()
+    scale = min(np.asarray(dead).sum() / k_aux, 1.0)
+    c1 = 2.0 / tv
+    c2 = 2.0 * float(cfg.auxk_alpha) * scale / tv
+    g_main = c1 * e - c2 * r
+    g_aux = c2 * r
+    keep_m = af >= np.asarray(tm)
+    keep_a = (af >= np.asarray(ta)) & np.asarray(dead)
+    dm = np.where(keep_m, af, 0)
+    da = np.where(keep_a, af, 0)
+    W_dec = np.asarray(params.W_dec)
+    dW_dec = dm.T @ g_main + da.T @ g_aux
+    d_acts = np.where(keep_m & (af > 0), g_main @ W_dec.T, 0) + np.where(
+        keep_a & (af > 0), g_aux @ W_dec.T, 0)
+    dW_enc = d_acts.T @ (x2 - b_dec)
+    db_enc = d_acts.sum(axis=0)
+    db_dec = c1 * e.sum(axis=0) - db_enc @ np.asarray(params.encoder_weight)
+
+    for got, want in [(g.W_dec, dW_dec), (g.encoder_weight, dW_enc),
+                      (g.encoder_bias, db_enc), (g.b_dec, db_dec)]:
+        got = np.asarray(got)
+        denom = max(np.abs(want).max(), 1e-8)
+        assert np.max(np.abs(got - want)) / denom < 0.03, (
+            np.max(np.abs(got - want)) / denom)
