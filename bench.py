@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 
 def bench_collection(
-    batch: int = 64, iters: int = 8, warmup: int = 2, dtype=jnp.float32
+    batch: int = 128, iters: int = 8, warmup: int = 2, dtype=jnp.float32
 ) -> dict:
     from freud_tpu.audio.mel import batched_log_mel
     from freud_tpu.models.whisper import dims_for, encoder_forward, init_params

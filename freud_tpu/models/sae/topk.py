@@ -401,19 +401,23 @@ def _fused_losses_bwd(k, k_aux, alpha, mm_name, res, cts):
     dW_dec = _mm(dense_main.T, g_main, mm_name) + _mm(dense_aux.T, g_auxd, mm_name)
     db_dec = c1 * jnp.sum(e, axis=0)  # Σ(∂L/∂y_main + ∂L/∂y_aux) = c1·Σe
 
-    # route into the latent: only selected entries carry gradient
-    d1 = _mm(g_main, params.W_dec.T, mm_name)
-    d2 = _mm(g_auxd, params.W_dec.T, mm_name)
+    # route into the latent: only selected entries carry gradient. Under
+    # bf16 matmuls the (M, n_dict) cotangents stay bf16 — halves the HBM
+    # traffic of the three big backward tensors; reductions that cross the
+    # M axis accumulate in f32 below.
+    ct_dtype = jnp.bfloat16 if mm_name == "bfloat16" else jnp.float32
+    d1 = _mm(g_main, params.W_dec.T, mm_name, out_dtype=ct_dtype)
+    d2 = _mm(g_auxd, params.W_dec.T, mm_name, out_dtype=ct_dtype)
     relu_live = af > 0
     d_acts = (
-        jnp.where(keep_main & relu_live, d1, 0.0)
-        + jnp.where(keep_aux & relu_live, d2, 0.0)
+        jnp.where(keep_main & relu_live, d1, 0)
+        + jnp.where(keep_aux & relu_live, d2, 0)
     )
 
     # encoder grads; b_dec's encode-path term uses Σ_pos d_acts first, so the
     # (M, d) input cotangent XLA autodiff would build never materializes
     dW_enc = _mm(d_acts.T, sae_in, mm_name)
-    db_enc = jnp.sum(d_acts, axis=0)
+    db_enc = jnp.sum(d_acts, axis=0, dtype=jnp.float32)
     db_dec = db_dec - _mm(db_enc[None, :], params.encoder_weight, mm_name)[0]
 
     d_params = TopKParams(

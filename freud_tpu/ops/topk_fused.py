@@ -36,20 +36,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 128
-_ITERS = 16
+_ITERS = 15  # bf16 bit range after ReLU is [0, 0x7F81) < 2¹⁵
 _BF16_INF_BITS = 0x7F80  # +inf; sentinel "select nothing"
+_GUARD = -0x7FFF8000  # 0x80008000 as int32: per-half no-borrow guard bits
+_EXCL = 0x7FFF7FFF  # guardless halves: never ≥ any guarded mid
+_PAIR = 0x00010001
 
 
-def _int_bisect(bits: jnp.ndarray, k: int, lo0, hi0) -> jnp.ndarray:
-    """Largest integer t with count(bits ≥ t) ≥ k per row (invariant:
+def _pack_rows(x16: jnp.ndarray) -> jnp.ndarray:
+    """(R, N) int16 → (R/2, N) int32 via pltpu.bitcast: lane (r, c) holds
+    row 2r in its low half and row 2r+1 in its high half."""
+    return pltpu.bitcast(x16, jnp.int32)
+
+
+def _pack_rowvec(v: jnp.ndarray) -> jnp.ndarray:
+    """(R, 1) int32 (values < 2¹⁵) → (R/2, 1) int32 packed by row pairs."""
+    return pltpu.bitcast(v.astype(jnp.int16), jnp.int32)
+
+
+def _halfwise_select(a: jnp.ndarray, b: jnp.ndarray, d: jnp.ndarray):
+    """Per-half select: where bit15 of each half of ``d`` is set, take that
+    half from ``a``, else from ``b``."""
+    m = (jax.lax.shift_right_logical(d, 15) & _PAIR) * 0xFFFF
+    return (a & m) | (b & ~m)
+
+
+def _halfwise_max(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d = (a | _GUARD) - b  # halves < 2¹⁵ ⇒ guarded subtract never borrows
+    return _halfwise_select(a, b, d)
+
+
+def _int_bisect_packed(wm: jnp.ndarray, k: int, lo0, hi0) -> jnp.ndarray:
+    """Row-pair-packed integer bisection (SWAR on the VPU).
+
+    ``wm`` is the (R/2, N) packed-guarded view of the bf16 activation bit
+    patterns; ``lo0``/``hi0`` are packed (R/2, 1). Each iteration costs
+    2 VPU ops per ELEMENT (sub, shift+mask, add — on half the vregs of the
+    unpacked formulation): ``d = wm − midp`` computes both rows' guarded
+    differences at once (0x8000 guards ⇒ no cross-half borrow), bit15 of
+    each half is the ≥ indicator, and indicators accumulate into packed
+    16-bit per-row counters (row length < 2¹⁵ ⇒ no counter overflow).
+    Returns the packed per-row k-th-largest bit patterns (invariant:
     cnt(≥lo) ≥ k — or lo is the caller's sentinel — and cnt(≥hi) < k)."""
+    kk = k | (k << 16)
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = jnp.maximum((lo + hi) >> 1, lo)
-        cnt = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1, keepdims=True)
-        ok = cnt >= k
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+        s = lo + hi  # halves < 2¹⁵ each ⇒ no carry across the boundary
+        mid = _halfwise_max(jax.lax.shift_right_logical(s, 1) & _EXCL, lo)
+        d = wm - mid
+        ind = jax.lax.shift_right_logical(d, 15) & _PAIR
+        cnt = jnp.sum(ind, axis=-1, keepdims=True)  # packed per-half counts
+        ok = (cnt | _GUARD) - kk  # bit15 per half = (count ≥ k)
+        return _halfwise_select(mid, lo, ok), _halfwise_select(hi, mid, ok)
 
     lo, hi = jax.lax.fori_loop(0, _ITERS, body, (lo0, hi0))
     return lo
@@ -113,19 +152,29 @@ def _kernel(x_ref, wenc_ref, benc_ref, bdec_ref, wdec_ref, dead_ref,
         acts_ref[...] = acts
         pacts_ref[slot] = acts
 
-        bits = jax.lax.bitcast_convert_type(acts, jnp.int16).astype(jnp.int32)
-        t_main = _int_bisect(
-            bits, k,
-            jnp.min(bits, axis=-1, keepdims=True),
-            jnp.max(bits, axis=-1, keepdims=True) + 1,
+        bits16 = jax.lax.bitcast_convert_type(acts, jnp.int16)
+        bits = bits16.astype(jnp.int32)
+        wm = _pack_rows(bits16) | _GUARD  # (ROWS/2, n_dict), rows pair-packed
+        tp_main = _int_bisect_packed(
+            wm, k,
+            _pack_rowvec(jnp.min(bits, axis=-1, keepdims=True)),
+            _pack_rowvec(jnp.max(bits, axis=-1, keepdims=True) + 1),
         )
+        # aux: non-dead columns become guardless 0x7FFF in BOTH halves —
+        # below every guarded mid (never counted), positive after the
+        # subtract (no borrow)
+        dp = jnp.where(dead, jnp.int32(-1), jnp.int32(0))  # (1, n_dict)
+        wm_aux = (wm & dp) | (jnp.invert(dp) & _EXCL)
         dbits = jnp.where(dead, bits, -1)
-        t_aux = _int_bisect(
-            dbits, k_aux,
-            jnp.min(jnp.where(dead, bits, _BF16_INF_BITS),
-                    axis=-1, keepdims=True),
-            jnp.max(dbits, axis=-1, keepdims=True) + 1,
+        tp_aux = _int_bisect_packed(
+            wm_aux, k_aux,
+            _pack_rowvec(jnp.min(jnp.where(dead, bits, _BF16_INF_BITS),
+                                 axis=-1, keepdims=True)),
+            _pack_rowvec(jnp.max(dbits, axis=-1, keepdims=True) + 1),
         )
+        # unpack row pairs back to (ROWS, 1) int32 thresholds
+        t_main = pltpu.bitcast(tp_main, jnp.int16).astype(jnp.int32)
+        t_aux = pltpu.bitcast(tp_aux, jnp.int16).astype(jnp.int32)
         ptm_ref[slot] = t_main
         pta_ref[slot] = t_aux
         tm_ref[...] = _bits_to_f32(t_main)
