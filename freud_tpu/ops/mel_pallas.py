@@ -3,14 +3,20 @@
 The hop length divides the frame span as 400 = 2·160 + 80, so STFT framing
 decomposes exactly into three row-shifted views of a (rows, 160) reshape of
 the padded waveform: frame[j] = [rows[j] | rows[j+1] | rows[j+2][:80]].
-XLA prepares those three shifted bands (cheap fused copies); the kernel then
-computes, per (file, 600-frame tile), the windowed real-DFT as three MXU
-matmuls against the matching row-bands of the basis, squares into the power
-spectrum, projects through the mel filterbank, and takes log10 — never
-writing the (T, 400) frame expansion or the (T, 201) power spectrogram to
-HBM. Blocks are non-overlapping, so Pallas double-buffers the HBM→VMEM moves
-automatically. The whisper dynamic-range floor (per-clip max − 8) + affine
-run as a trivially fused XLA epilogue.
+
+Layout (v5e-measured): one grid step per FILE, one (3008, 160) input DMA and
+one (3000, n_mels) output DMA. Per-step DMA issue latency — not bandwidth —
+dominated the earlier 3-band × 3-tile layout (tools/bench_mel3.py: a trivial
+sum kernel over the same bytes ran at ~45 GB/s effective with 4 small DMAs
+per step, while 2-DMA kernels sustain >300 GB/s). The row shifts are applied
+to the small (3008, 402) DFT projections inside VMEM instead of the inputs:
+``proj[j] = P0[j] + P1[j+1] + P2[j+2]`` where ``Pb = X @ basis_band_b``.
+
+The windowed real-DFT runs as limb-split bf16 matmuls (4 products ≈ f32:
+Mosaic rejects lax.Precision.HIGH inside kernels and HIGHEST's 6 true-f32
+passes measured 12.2 ms/batch-64; limb4 keeps the end-to-end log-mel within
+7e-5 of an f64 host computation — tools/bench_mel4.py). The tiny mel
+projection stays true-f32.
 
 TPU-native replacement for the reference's ``torch.stft`` + filterbank matmul
 (src/utils/audio_utils.py:147-194); numerical parity with freud_tpu.audio.mel
@@ -31,22 +37,13 @@ from ..audio.filters import mel_filterbank
 from ..audio.mel import N_FREQS, _dft_basis
 from ..constants import HOP_LENGTH, N_FFT, N_FRAMES
 
-TILE = 1000  # frames per kernel invocation (8-divisible); 3 tiles per 30 s window
 _TAIL = N_FFT - 2 * HOP_LENGTH  # 80
 _LN10 = float(np.log(10.0))
+_ROWS = N_FRAMES + 8  # 3008: frames + 2 shift rows + sublane-pad to 8
 
 
-def _split_dot(a, b_hi, b_lo):
-    """Limb-split matmul (4 bf16 products ≈ f32): Mosaic rejects
-    lax.Precision.HIGH inside kernels and HIGHEST's 6 true-f32 passes
-    measured 12.2 ms/batch-64 for the whole mel. Splitting each operand into
-    bf16 hi+lo limbs and keeping all four products leaves only the ~2⁻²⁵
-    limb-representation residual — well inside the 3e-4 golden tolerance vs
-    torch.stft (tests/test_mel_pallas.py; dropping lo·lo was measurably NOT
-    enough for near-cancelled DFT bins). Basis limbs precomputed host-side;
-    the audio tile splits on the VPU."""
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+def _split_dot(a_hi, a_lo, b_hi, b_lo):
+    """Limb-split matmul (4 bf16 products ≈ f32); see module docstring."""
     out = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
     out += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
     out += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
@@ -54,22 +51,24 @@ def _split_dot(a, b_hi, b_lo):
     return out
 
 
-def _kernel(a0, a1, a2, bhi_ref, blo_ref, mel_ref, out_ref):
-    proj = _split_dot(
-        a0[0], bhi_ref[0:HOP_LENGTH, :], blo_ref[0:HOP_LENGTH, :]
-    )
-    proj += _split_dot(
-        a1[0],
-        bhi_ref[HOP_LENGTH : 2 * HOP_LENGTH, :],
-        blo_ref[HOP_LENGTH : 2 * HOP_LENGTH, :],
-    )
-    proj += _split_dot(
-        a2[0], bhi_ref[2 * HOP_LENGTH :, :], blo_ref[2 * HOP_LENGTH :, :]
-    )
+def _kernel(x_ref, bhi_ref, blo_ref, mel_ref, out_ref):
+    x = x_ref[0]  # (3008, 160) f32
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    p0 = _split_dot(x_hi, x_lo,
+                    bhi_ref[0:HOP_LENGTH, :], blo_ref[0:HOP_LENGTH, :])
+    p1 = _split_dot(x_hi, x_lo,
+                    bhi_ref[HOP_LENGTH:2 * HOP_LENGTH, :],
+                    blo_ref[HOP_LENGTH:2 * HOP_LENGTH, :])
+    p2 = _split_dot(x_hi[:, :_TAIL], x_lo[:, :_TAIL],
+                    bhi_ref[2 * HOP_LENGTH:, :], blo_ref[2 * HOP_LENGTH:, :])
+
+    proj = (p0[0:N_FRAMES] + p1[1:N_FRAMES + 1] + p2[2:N_FRAMES + 2])
 
     re = proj[:, :N_FREQS]
     im = proj[:, N_FREQS:]
-    power = re * re + im * im  # (TILE, N_FREQS)
+    power = re * re + im * im  # (N_FRAMES, N_FREQS)
 
     # the mel projection is tiny (201→n_mels); keep it at true f32
     mel = jnp.dot(
@@ -87,58 +86,47 @@ def log_mel_spectrogram_pallas(
     if audio.ndim == 1:
         return log_mel_spectrogram_pallas(audio[None], n_mels, interpret)[0]
     B = audio.shape[0]
-    n_tiles = N_FRAMES // TILE
 
     pad = N_FFT // 2
     padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    rows_total = N_FRAMES + 3
-    need = rows_total * HOP_LENGTH
+    need = _ROWS * HOP_LENGTH
     padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
-    grid_audio = padded.reshape(B, rows_total, HOP_LENGTH)
-    band0 = grid_audio[:, 0:N_FRAMES, :]
-    band1 = grid_audio[:, 1 : N_FRAMES + 1, :]
-    band2 = grid_audio[:, 2 : N_FRAMES + 2, :_TAIL]
+    grid_audio = padded.reshape(B, _ROWS, HOP_LENGTH)
 
-    basis = _dft_basis()  # (N_FFT, 2*N_FREQS), hann pre-folded — numpy f64/f32
-    basis = np.asarray(basis, np.float32)
+    basis = np.asarray(_dft_basis(), np.float32)  # (N_FFT, 2·N_FREQS)
     basis_hi = basis.astype(jnp.bfloat16)
     basis_lo = (basis - basis_hi.astype(np.float32)).astype(jnp.bfloat16)
     mel_t = jnp.asarray(mel_filterbank(n_mels).T)  # (N_FREQS, n_mels)
 
     log_spec = pl.pallas_call(
         _kernel,
-        grid=(B, n_tiles),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, TILE, HOP_LENGTH), lambda b, t: (b, t, 0),
+                (1, _ROWS, HOP_LENGTH), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TILE, HOP_LENGTH), lambda b, t: (b, t, 0),
+                (N_FFT, 2 * N_FREQS), lambda b: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TILE, _TAIL), lambda b, t: (b, t, 0),
+                (N_FFT, 2 * N_FREQS), lambda b: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (N_FFT, 2 * N_FREQS), lambda b, t: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (N_FFT, 2 * N_FREQS), lambda b, t: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (N_FREQS, n_mels), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+                (N_FREQS, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE, n_mels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, N_FRAMES, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, N_FRAMES, n_mels), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(band0, band1, band2, jnp.asarray(basis_hi), jnp.asarray(basis_lo), mel_t)
+    )(grid_audio, jnp.asarray(basis_hi), jnp.asarray(basis_lo), mel_t)
 
     # whisper epilogue: per-clip dynamic-range floor + affine (fused by XLA)
     gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)
