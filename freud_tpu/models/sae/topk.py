@@ -284,6 +284,7 @@ def training_losses(
     cfg: TopKAutoEncoderConfig,
     dead_mask: jnp.ndarray,
     matmul_dtype=None,
+    prefer_kernel: bool = True,
 ):
     """Loss terms + fired mask for the TRAIN step, with no lax.top_k at all.
 
@@ -307,6 +308,7 @@ def training_losses(
     mm_name = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
     fvu, auxk_loss, fired = _fused_losses(
         cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), mm_name,
+        bool(prefer_kernel),
         params, x, dead_mask.astype(jnp.float32),
     )
     return {
@@ -322,21 +324,26 @@ def _mm(a, b, mm_name, out_dtype=jnp.float32):
     return jax.lax.dot(a, b, preferred_element_type=out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused_losses(k, k_aux, alpha, mm_name, params, x, dead_f):
-    out, _ = _fused_losses_fwd(k, k_aux, alpha, mm_name, params, x, dead_f)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_losses(k, k_aux, alpha, mm_name, use_kernel, params, x, dead_f):
+    out, _ = _fused_losses_fwd(k, k_aux, alpha, mm_name, use_kernel,
+                               params, x, dead_f)
     return out
 
 
-def _fused_losses_fwd(k, k_aux, alpha, mm_name, params, x, dead_f):
+def _fused_losses_fwd(k, k_aux, alpha, mm_name, use_kernel, params, x, dead_f):
     d_in = x.shape[-1]
     n_dict = params.W_dec.shape[0]
     x2 = x.reshape(-1, d_in)
     interpret = jax.default_backend() == "cpu"
 
-    if mm_name == "bfloat16":
+    if mm_name == "bfloat16" and use_kernel:
         # single-kernel forward: encode + exact integer bisection + both
-        # masked decodes in one pass over x (freud_tpu.ops.topk_fused)
+        # masked decodes in one pass over x (freud_tpu.ops.topk_fused).
+        # ``use_kernel=False`` keeps the ops below instead: on a >1-chip data
+        # mesh the XLA formulation SPMD-partitions over the batch for free,
+        # while this custom call (no sharding rule yet) would make GSPMD
+        # gather the whole batch onto every chip.
         from ...ops.topk_fused import topk_sae_forward
 
         sae_in = x2 - params.b_dec
@@ -382,7 +389,7 @@ def _fused_losses_fwd(k, k_aux, alpha, mm_name, params, x, dead_f):
     return (fvu, auxk_loss, fired), res
 
 
-def _fused_losses_bwd(k, k_aux, alpha, mm_name, res, cts):
+def _fused_losses_bwd(k, k_aux, alpha, mm_name, use_kernel, res, cts):
     g_fvu, g_aux, _ = cts  # fired is boolean — its cotangent is float0
     params, sae_in, acts, t_main, t_aux, dead_f, e, r, tv, scale, x_shape = res
 

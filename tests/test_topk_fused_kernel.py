@@ -93,7 +93,7 @@ def test_training_losses_kernel_path_matches_xla_path():
     # force the XLA branch by name-mangling the dtype argument path
     from freud_tpu.models.sae.topk import _fused_losses_fwd
     (fvu_x, aux_x, fired_x), _ = _fused_losses_fwd(
-        cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), "float32",
+        cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), "float32", True,
         params, x, dead.astype(jnp.float32))
 
     # bf16 vs f32 matmuls: loose tolerance; the point is same structure

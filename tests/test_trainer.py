@@ -250,3 +250,35 @@ def test_loader_set_position_matches_stream(tmp_path):
     tail = batches(resumed, 3)
     for x, y in zip(full[5:], tail):
         np.testing.assert_array_equal(x, y)
+
+
+def test_topk_dp_mesh_step_matches_single_device():
+    """On a >1-chip data mesh the TopK step uses the shardable XLA branch
+    (the fused kernel is single-chip; see models/sae/topk.training_losses);
+    both formulations select identical latent sets, so a few steps stay
+    within bf16-matmul tolerance of the single-device kernel path."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from freud_tpu.parallel.mesh import make_mesh
+    from freud_tpu.train.trainer import SAETrainer
+
+    cfg = {"expansion_factor": 4, "k": 3, "auxk_alpha": 0.25,
+           "dead_feature_threshold": 50.0}
+    kw = dict(optimizer="adam", scheduler="linear",
+              scheduler_params={"num_warmup_steps": 2}, lr=1e-3, steps=10)
+    t_dp = SAETrainer("topk", cfg, 16, mesh=make_mesh(), **kw)
+    t_1 = SAETrainer("topk", cfg, 16, mesh=make_mesh(n_devices=1), **kw)
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        batch = rng.standard_normal((16, 6, 16)).astype(np.float32)
+        m_dp = t_dp.train_step(batch)
+        m_1 = t_1.train_step(batch)
+    assert abs(float(m_dp["loss"]) - float(m_1["loss"])) < 2e-2 * max(
+        1.0, abs(float(m_1["loss"])))
+    for a, b in zip(t_dp.params, t_1.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-3)
