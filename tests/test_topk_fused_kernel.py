@@ -158,3 +158,50 @@ def test_grads_kernel_path_match_numpy_backward():
         denom = max(np.abs(want).max(), 1e-8)
         assert np.max(np.abs(got - want)) / denom < 0.03, (
             np.max(np.abs(got - want)) / denom)
+
+
+def test_kernel_threshold_edge_cases():
+    """Adversarial inputs for the SWAR bisection: duplicated (tied) values,
+    all-zero rows (fewer than k positives), no dead latents, fewer dead than
+    k_aux."""
+    from freud_tpu.ops.topk_fused import topk_sae_forward
+    from freud_tpu.models.sae import TopKAutoEncoderConfig, init_topk
+
+    d_in, exp = 16, 8
+    n_dict = d_in * exp
+    cfg = TopKAutoEncoderConfig(expansion_factor=exp, k=5, auxk_alpha=0.25)
+    params = init_topk(d_in, cfg, seed=2)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((40, d_in)).astype(np.float32)
+    x[3] = 0.0           # all-zero row: acts = relu(b) with b=0 → all zeros
+    x[7] = x[6]          # duplicate row → ties across rows (harmless)
+
+    for dead_idx in ([], [5], list(range(0, n_dict, 2))):
+        dead = np.zeros(n_dict, bool)
+        dead[dead_idx] = True
+        acts, ym, ya, tm, ta, fired = topk_sae_forward(
+            jnp.asarray(x), params.encoder_weight.T, params.encoder_bias,
+            params.b_dec, params.W_dec, jnp.asarray(dead, jnp.float32),
+            cfg.k, d_in // 2, interpret=INTERPRET,
+        )
+        af = np.asarray(acts, np.float32)
+        tm_np, ta_np = np.asarray(tm), np.asarray(ta)
+
+        # main threshold == exact k-th largest value per row (ties may admit
+        # extra, but the THRESHOLD is the k-th value exactly)
+        kth = np.sort(af, axis=1)[:, ::-1][:, cfg.k - 1:cfg.k]
+        np.testing.assert_array_equal(tm_np, kth)
+        assert ((af >= tm_np).sum(axis=1) >= cfg.k).all()
+
+        if not dead_idx:
+            assert np.isinf(ta_np).all()  # nothing selectable
+            assert ((af >= ta_np) & dead).sum() == 0
+        else:
+            masked = np.where(dead, af, -np.inf)
+            n_sel = min(d_in // 2, len(dead_idx))
+            kth_aux = np.sort(masked, axis=1)[:, ::-1][:, n_sel - 1:n_sel]
+            np.testing.assert_array_equal(ta_np, kth_aux)
+
+        # decode of the all-zero row reconstructs from zero code
+        np.testing.assert_allclose(np.asarray(ym)[3], 0.0, atol=1e-5)

@@ -113,17 +113,7 @@ def main():
         m = mel_pallas.log_mel_spectrogram_pallas(a, 80)
         return jnp.sum(m[:, 0, :].astype(jnp.float32))
 
-    timeit("mel_tile1000", mel_fn, audio, iters=12)
-    for tile in (3000, 1500, 600):
-        if 3000 % tile:
-            continue
-        mel_pallas.TILE = tile
-        mel_pallas.log_mel_spectrogram_pallas._clear_cache()
-        timeit(f"mel_tile{tile}", jax.jit(lambda a: jnp.sum(
-            mel_pallas.log_mel_spectrogram_pallas(a, 80)[:, 0, :]
-        )), audio, iters=12)
-    mel_pallas.TILE = 1000
-    mel_pallas.log_mel_spectrogram_pallas._clear_cache()
+    timeit("mel_v2", mel_fn, audio, iters=12)
 
     print(json.dumps({"name": "done"}))
 
