@@ -480,7 +480,13 @@ def _training_losses_xla(
     auxk_loss = cfg.auxk_alpha * scale * jnp.sum((e_hat - e) ** 2) / tv
 
     if cfg.multi_topk:
-        thresh4 = jax.lax.stop_gradient(kth_threshold(acts, 4 * cfg.k))
+        # 4k-sparse threshold through the same single-pass kernel (XLA-level
+        # bisection re-reads the latent from HBM every iteration)
+        t4, _ = topk_thresholds(
+            flat, jnp.zeros((n_dict,), bool), 4 * cfg.k, 1,
+            interpret=interpret,
+        )
+        thresh4 = t4.reshape(*lead, 1).astype(acts.dtype)
         multi_out = _masked_dense_decode(params, acts, thresh4, matmul_dtype)
         multi_topk_fvu = jnp.sum((multi_out - x) ** 2) / tv
     else:

@@ -82,7 +82,11 @@ def _kernel(x_ref, bhi_ref, blo_ref, mel_ref, out_ref):
 def log_mel_spectrogram_pallas(
     audio: jnp.ndarray, n_mels: int = 80, interpret: bool = False
 ) -> jnp.ndarray:
-    """(B, 480000) waveforms → (B, n_mels, 3000) whisper log-mels."""
+    """(B, 480000) waveforms → (B, n_mels, 3000) whisper log-mels.
+
+    Carries a GSPMD sharding rule (like ops/attention.py): the file axis
+    partitions freely, so pjit over a data-sharded collection batch runs one
+    kernel per chip instead of gathering around the custom call."""
     if audio.ndim == 1:
         return log_mel_spectrogram_pallas(audio[None], n_mels, interpret)[0]
     B = audio.shape[0]
@@ -98,6 +102,45 @@ def log_mel_spectrogram_pallas(
     basis_lo = (basis - basis_hi.astype(np.float32)).astype(jnp.bfloat16)
     mel_t = jnp.asarray(mel_filterbank(n_mels).T)  # (N_FREQS, n_mels)
 
+    log_spec = _partitioned_mel(n_mels, interpret)(
+        grid_audio, jnp.asarray(basis_hi), jnp.asarray(basis_lo), mel_t
+    )
+
+    # whisper epilogue: per-clip dynamic-range floor + affine (fused by XLA)
+    gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, gmax - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return jnp.swapaxes(log_spec, 1, 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_mel(n_mels: int, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def body(grid_audio, basis_hi, basis_lo, mel_t):
+        return _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_t,
+                                n_mels, interpret)
+
+    cp = custom_partitioning(body)
+
+    def partition(mesh, arg_infos, result_infos):
+        spec = arg_infos[0].sharding.spec if arg_infos[0].sharding else P()
+        b = spec[0] if len(spec) > 0 else None
+        out = NamedSharding(mesh, P(b, None, None))
+        rep = NamedSharding(mesh, P())
+        return mesh, body, out, (out, rep, rep, rep)
+
+    cp.def_partition(
+        partition=partition,
+        sharding_rule="b r h, x y, x y, z m -> b f m",
+        need_replication_factors=("r", "h", "x", "y", "z", "m", "f"),
+    )
+    return cp
+
+
+def _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_t, n_mels, interpret):
+    B = grid_audio.shape[0]
     log_spec = pl.pallas_call(
         _kernel,
         grid=(B,),
@@ -126,10 +169,5 @@ def log_mel_spectrogram_pallas(
             vmem_limit_bytes=80 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(grid_audio, jnp.asarray(basis_hi), jnp.asarray(basis_lo), mel_t)
-
-    # whisper epilogue: per-clip dynamic-range floor + affine (fused by XLA)
-    gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)
-    log_spec = jnp.maximum(log_spec, gmax - 8.0)
-    log_spec = (log_spec + 4.0) / 4.0
-    return jnp.swapaxes(log_spec, 1, 2)
+    )(grid_audio, basis_hi, basis_lo, mel_t)
+    return log_spec

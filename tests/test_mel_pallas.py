@@ -39,3 +39,27 @@ def test_pallas_mel_single_clip():
     want = np.asarray(log_mel_spectrogram(audio, 80))
     assert got.shape == (80, N_FRAMES)
     _assert_mel_close(got, want)
+
+
+def test_mel_kernel_partitions_without_gather():
+    """Data-sharded audio through the mel kernel partitions per chip."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from freud_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((8, N_SAMPLES)).astype(np.float32) * 0.1)
+    sharded = jax.device_put(audio, NamedSharding(mesh, P("data")))
+    interpret = jax.default_backend() == "cpu"
+
+    fn = jax.jit(lambda a: log_mel_spectrogram_pallas(a, 80, interpret=interpret))
+    out_s = fn(sharded)
+    out_p = log_mel_spectrogram_pallas(audio, 80, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               rtol=1e-5, atol=1e-5)
+    txt = fn.lower(sharded).compile().as_text().lower()
+    assert "all-gather" not in txt
