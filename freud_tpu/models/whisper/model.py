@@ -188,12 +188,14 @@ def _flash_self_attention(qh, kh, vh, scale_total):
 
 def _attention_impl(dtype) -> str:
     if ATTENTION_IMPL == "auto":
-        # The K/V-resident kernel now runs its matmuls in bf16 with f32
-        # accumulation on TPU for BOTH input dtypes — the same truncation
-        # XLA's DEFAULT precision applies to f32 einsum operands on TPU —
-        # so it never loses to einsum while skipping the (s × s) HBM scores.
+        # The fused qkv+attention kernel (q/k/v projections + per-head
+        # softmax-attention in one pass per file, q/k/v never in HBM) runs
+        # bf16 matmuls with f32 stats for BOTH input dtypes — the same
+        # truncation XLA's DEFAULT precision applies to f32 einsum operands
+        # on TPU. Measured 8.1 → 5.5 ms/batch-64 vs XLA projections + the
+        # blocked "kernel" path.
         if jax.default_backend() == "tpu":
-            return "kernel"
+            return "fused"
         return "einsum"
     return ATTENTION_IMPL
 
@@ -207,13 +209,26 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
     """
     *lead, d = x.shape
     dh = d // heads
+
+    impl = _attention_impl(x.dtype)
+    full_self_attn = (
+        mask is None and kv_cache is None and xa is None and len(lead) == 2
+    )
+    if full_self_attn and impl == "fused":
+        from ...ops.attention import fused_qkv_attention
+
+        out = fused_qkv_attention(
+            x, p["q"]["w"], p["q"]["b"], p["k"]["w"], p["v"]["w"],
+            p["v"]["b"], heads,
+        )
+        return _linear(p["out"], out), None
+
     q = _linear(p["q"], x)
     source = x if xa is None else xa
     k = _linear(p["k"], source)
     v = _linear(p["v"], source)
 
-    impl = _attention_impl(x.dtype)
-    if mask is None and kv_cache is None and xa is None and len(lead) == 2 and impl != "einsum":
+    if full_self_attn and impl != "einsum":
         def split(t):
             return jnp.moveaxis(t.reshape(*t.shape[:-1], heads, dh), -2, -3)
 

@@ -72,3 +72,67 @@ def test_kernel_partitions_without_gather():
                                rtol=1e-5, atol=1e-5)
     txt = fn.lower(qs, ks, vs).compile().as_text().lower()
     assert "all-gather" not in txt
+
+
+def test_fused_qkv_attention_matches_reference_math():
+    import jax
+    import jax.numpy as jnp
+    from freud_tpu.ops.attention import fused_qkv_attention
+
+    rng = np.random.default_rng(3)
+    b, s, d, h = 2, 40, 32, 4
+    dh = d // h
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32) * 0.5)
+    wq, wk, wv = (jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.2)
+                  for _ in range(3))
+    bq, bv = (jnp.asarray(rng.standard_normal((d,)).astype(np.float32) * 0.1)
+              for _ in range(2))
+
+    got = np.asarray(fused_qkv_attention(x, wq, bq, wk, wv, bv, h,
+                                         interpret=True), np.float32)
+
+    q = np.asarray(x) @ np.asarray(wq) + np.asarray(bq)
+    k = np.asarray(x) @ np.asarray(wk)
+    v = np.asarray(x) @ np.asarray(wv) + np.asarray(bv)
+    qh = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3) * dh ** -0.5
+    kh = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    sc = np.einsum("bhsd,bhtd->bhst", qh, kh)
+    sc = sc - sc.max(-1, keepdims=True)
+    p = np.exp(sc)
+    ref = np.einsum("bhst,bhtd->bhsd", p / p.sum(-1, keepdims=True), vh)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+    # kernel matmuls run bf16 (f32 accumulate): ~0.4% relative tolerance
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 2e-2
+
+
+def test_fused_qkv_attention_partitions_without_gather():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from freud_tpu.parallel.mesh import make_mesh
+    from freud_tpu.ops.attention import fused_qkv_attention
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    b, s, d, h = 8, 24, 16, 2
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    wq, wk, wv = (jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.2)
+                  for _ in range(3))
+    bq, bv = (jnp.asarray(np.zeros(d, np.float32)) for _ in range(2))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    fn = jax.jit(lambda a: fused_qkv_attention(a, wq, bq, wk, wv, bv, h,
+                                               interpret=True))
+    out_s = fn(xs)
+    out_p = fused_qkv_attention(x, wq, bq, wk, wv, bv, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               rtol=1e-5, atol=1e-5)
+    txt = fn.lower(xs).compile().as_text().lower()
+    assert "all-gather" not in txt
