@@ -340,10 +340,10 @@ def _fused_losses_fwd(k, k_aux, alpha, mm_name, use_kernel, params, x, dead_f):
     if mm_name == "bfloat16" and use_kernel:
         # single-kernel forward: encode + exact integer bisection + both
         # masked decodes in one pass over x (freud_tpu.ops.topk_fused).
-        # ``use_kernel=False`` keeps the ops below instead: on a >1-chip data
-        # mesh the XLA formulation SPMD-partitions over the batch for free,
-        # while this custom call (no sharding rule yet) would make GSPMD
-        # gather the whole batch onto every chip.
+        # The custom call carries a GSPMD sharding rule (rows partition
+        # freely), so a data-sharded batch runs one kernel per chip.
+        # ``use_kernel=False`` keeps the shardable XLA ops below instead
+        # (also the multi_topk path and non-bf16 precision).
         from ...ops.topk_fused import topk_sae_forward
 
         sae_in = x2 - params.b_dec

@@ -178,18 +178,17 @@ class SAETrainer:
                 return params, opt_state, counter, metrics
 
         else:
-            # the fused forward kernel is single-chip; on a >1-chip data mesh
-            # the shardable XLA formulation scales instead (see
-            # models/sae/topk.training_losses)
-            one_chip = self.mesh.shape[mesh_lib.DATA_AXIS] == 1
 
             def step_fn(params, opt_state, counter, batch):
                 dead_mask = counter > threshold
 
                 def loss_fn(p):
+                    # the fused forward kernel carries a GSPMD sharding rule
+                    # (rows partition over the data axis), so it is preferred
+                    # on any mesh; training_losses falls back to the XLA
+                    # formulation for multi_topk / non-bf16 precision
                     terms, fired = topk_mod.training_losses(
                         p, batch, cfg, dead_mask, matmul_dtype=mm_dtype,
-                        prefer_kernel=one_chip,
                     )
                     loss = terms["fvu"] + terms["auxk_loss"] + terms["multi_topk_fvu"] / 8
                     return loss, (terms, fired)

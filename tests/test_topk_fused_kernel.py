@@ -160,6 +160,43 @@ def test_grads_kernel_path_match_numpy_backward():
             np.max(np.abs(got - want)) / denom)
 
 
+def test_kernel_partitions_without_gather():
+    """A data-sharded row dim must partition the custom call (one kernel per
+    device, no all-gather); the ``fired`` cross-row reduction is the only
+    collective (an all-reduce OR outside the call)."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from freud_tpu.parallel.mesh import make_mesh
+    from freud_tpu.ops.topk_fused import topk_sae_forward
+
+    cfg, params, x, dead = _setup(seed=6, M=8 * 16)
+    d_in = x.shape[-1]
+    x2 = x.reshape(-1, d_in)
+    mesh = make_mesh()
+    xs = jax.device_put(x2, NamedSharding(mesh, P("data", None)))
+
+    fn = jax.jit(lambda a: topk_sae_forward(
+        a, params.encoder_weight.T, params.encoder_bias, params.b_dec,
+        params.W_dec, dead.astype(jnp.float32), cfg.k, d_in // 2,
+        interpret=INTERPRET,
+    ))
+    out_s = fn(xs)
+    out_p = topk_sae_forward(
+        x2, params.encoder_weight.T, params.encoder_bias, params.b_dec,
+        params.W_dec, dead.astype(jnp.float32), cfg.k, d_in // 2,
+        interpret=INTERPRET,
+    )
+    for got, want in zip(out_s, out_p):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-5, atol=1e-6)
+    txt = fn.lower(xs).compile().as_text().lower()
+    assert "all-gather" not in txt
+
+
 def test_kernel_threshold_edge_cases():
     """Adversarial inputs for the SWAR bisection: duplicated (tied) values,
     all-zero rows (fewer than k positives), no dead latents, fewer dead than
