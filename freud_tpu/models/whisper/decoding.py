@@ -8,9 +8,13 @@ self-attention K/V live in fixed-size ring buffers, and a ``lax.scan`` over
 ``prompt + max_new`` steps performs prefill and generation with no
 data-dependent shapes (post-EOT steps are masked to EOT).
 
-Sampling is greedy with the core suppression set (SOT/SOT_PREV/NO_TIMESTAMPS
-and friends); the reference's text-dependent suppression lists require
-tokenizer assets and are applied when available.
+Three decoders share the rule set (SuppressTokens/SuppressBlank/
+ApplyTimestampRules, built from the tiktoken table when assets exist):
+``greedy_decode``; ``sample_decode`` (traced temperature — one compiled
+program serves whisper.transcribe's whole 0.0→1.0 fallback schedule — plus
+the sum-logprob/length statistics that schedule needs); and ``beam_decode``,
+whisper's BeamSearchDecoder as a single fixed-shape scan (beam folded into
+batch, top-k re-rank + one beam-axis gather of the KV ring buffers per step).
 """
 
 from __future__ import annotations
@@ -130,7 +134,163 @@ def detect_language(
     return jnp.argmax(lang_logits, axis=-1).astype(jnp.int32)
 
 
+def _suppress_tables(dims: WhisperDims):
+    """(suppress, suppress_blank) additive (-inf) vocab rows.
+
+    Whisper's default DecodingOptions set — the non-speech list (built from
+    the tiktoken table when assets exist) plus the task/SOT specials
+    (reference hooked_model.py:103-110 → whisper decoding.py
+    _get_suppress_tokens with suppress_tokens="-1"); no_timestamps
+    additionally stays suppressed (ApplyTimestampRules). SuppressBlank masks
+    " " and EOT at the FIRST sampled position only."""
+    from .tokenizer import blank_token_id, suppress_token_ids
+
+    st = special_tokens(dims.n_vocab)
+    sup_np = np.zeros((dims.n_vocab,), np.float32)
+    for tok in suppress_token_ids(dims.n_vocab):
+        sup_np[tok] = -np.inf
+    sup_np[st.no_timestamps] = -np.inf
+    blank_np = np.zeros((dims.n_vocab,), np.float32)
+    blank = blank_token_id(dims.n_vocab)
+    if blank is not None:
+        blank_np[blank] = -np.inf
+    blank_np[st.eot] = -np.inf
+    return jnp.asarray(sup_np), jnp.asarray(blank_np)
+
+
+def _apply_rules(logits, token, prev, max_ts, at_first, st, suppress,
+                 suppress_blank):
+    """whisper's SuppressTokens + SuppressBlank + ApplyTimestampRules on a
+    flat (N, vocab) logits block; ``token``/``prev``/``max_ts`` are (N,)."""
+    n_vocab = logits.shape[-1]
+    ts0 = st.timestamp_begin
+    vocab_ids = jnp.arange(n_vocab)
+    is_ts = vocab_ids >= ts0
+    # max_initial_timestamp = 1.0 s → 50 frames (whisper's decode default)
+    max_initial = ts0 + 50
+
+    logits = logits + suppress
+    last_was_ts = (token >= ts0)[:, None]
+    penult_was_ts = (prev >= ts0)[:, None]
+    # SuppressBlank at the first sampled token only
+    logits = jnp.where(at_first, logits + suppress_blank[None, :], logits)
+    # paired timestamps: <ts> <ts> → text next; lone <ts> → ts/eot next
+    block_ts = last_was_ts & penult_was_ts
+    block_text = last_was_ts & ~penult_was_ts
+    text_mask = (~is_ts) & (vocab_ids != st.eot)
+    logits = jnp.where(block_ts & is_ts[None, :], -jnp.inf, logits)
+    logits = jnp.where(block_text & text_mask[None, :], -jnp.inf, logits)
+    # monotonic timestamps
+    logits = jnp.where(
+        is_ts[None, :] & (vocab_ids[None, :] < max_ts[:, None]), -jnp.inf, logits
+    )
+    # first sampled token: cap the initial timestamp
+    logits = jnp.where(
+        at_first & (vocab_ids > max_initial)[None, :], -jnp.inf, logits
+    )
+    # if total timestamp mass beats the best text token, force a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_mass = jax.nn.logsumexp(
+        jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
+    )
+    max_text = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, logprobs), axis=-1)
+    force_ts = (ts_mass > max_text)[:, None]
+    return jnp.where(force_ts & ~is_ts[None, :], -jnp.inf, logits)
+
+
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new"))
+def sample_decode(
+    params: Params,
+    dims: WhisperDims,
+    encoded: jnp.ndarray,
+    prompt: jnp.ndarray,  # (b, n_prompt) int32
+    n_prompt: int,
+    max_new: int = 224,
+    temperature: jnp.ndarray | float = 0.0,
+    key: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode token ids with optional temperature sampling.
+
+    ``temperature`` is a TRACED scalar (one compiled program serves the whole
+    whisper.transcribe fallback schedule 0.0 → 1.0): 0 means argmax, > 0
+    samples from softmax(logits / temperature) (whisper decoding.py
+    GreedyDecoder.update). Returns ``(tokens (b, n_prompt+max_new) EOT-padded,
+    sum_logprob (b,), n_text (b,))`` where sum_logprob accumulates the
+    post-rules log-probability of every sampled token up to and including the
+    first EOT and n_text counts sampled non-EOT tokens — so whisper's
+    ``avg_logprob = sum_logprob / (n_text + 1)`` (transcribe.py's fallback
+    statistic) is reproducible exactly."""
+    st = special_tokens(dims.n_vocab)
+    b = encoded.shape[0]
+    L, d = dims.n_text_layer, dims.n_text_state
+    ctx = n_prompt + max_new
+    assert ctx <= dims.n_text_ctx
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    temperature = jnp.asarray(temperature, jnp.float32)
+
+    cross = precompute_cross_kv(params, dims, encoded)
+    cross_k = jnp.stack([k for k, _ in cross])
+    cross_v = jnp.stack([v for _, v in cross])
+    suppress, suppress_blank = _suppress_tables(dims)
+    ts0 = st.timestamp_begin
+
+    self_k = jnp.zeros((L, b, ctx, d), encoded.dtype)
+    self_v = jnp.zeros((L, b, ctx, d), encoded.dtype)
+
+    def step(carry, pos):
+        token, prev, max_ts, sk, sv, finished, sum_lp, n_text = carry
+        logits, sk, sv = _decode_step(
+            params, dims, token, pos, sk, sv, (cross_k, cross_v)
+        )
+        at_first = pos + 1 == n_prompt
+        logits = _apply_rules(logits, token, prev, max_ts, at_first, st,
+                              suppress, suppress_blank)
+
+        greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temp = jnp.maximum(temperature, 1e-6)
+        sampled_tok = jax.random.categorical(
+            jax.random.fold_in(key, pos), logits / temp, axis=-1
+        ).astype(jnp.int32)
+        chosen = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+
+        is_prompt = pos + 1 < n_prompt
+        next_tok = jnp.where(
+            is_prompt, prompt[:, jnp.minimum(pos + 1, n_prompt - 1)], chosen
+        )
+        next_tok = jnp.where(finished, st.eot, next_tok)
+
+        # avg-logprob bookkeeping: whisper sums log_softmax(post-rules logits)
+        # of each freely sampled token while the sequence is alive, including
+        # the terminating EOT (GreedyDecoder.update's sum_logprobs)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
+        live = ~finished & ~is_prompt
+        sum_lp = sum_lp + jnp.where(live, tok_lp, 0.0)
+        n_text = n_text + jnp.where(live & (next_tok != st.eot), 1, 0)
+
+        finished = finished | (next_tok == st.eot) & ~is_prompt
+        new_max = jnp.where(
+            (next_tok >= ts0) & ~finished, jnp.maximum(max_ts, next_tok), max_ts
+        )
+        return (next_tok, token, new_max, sk, sv, finished, sum_lp, n_text), next_tok
+
+    init = (
+        prompt[:, 0],
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), ts0, jnp.int32),
+        self_k,
+        self_v,
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    carry, tokens = jax.lax.scan(step, init, jnp.arange(ctx - 1))
+    tokens = jnp.moveaxis(tokens, 0, 1)  # (b, ctx-1)
+    tokens = jnp.concatenate([prompt[:, :1], tokens], axis=1)
+    return tokens, carry[6], carry[7]
+
+
 def greedy_decode(
     params: Params,
     dims: WhisperDims,
@@ -140,102 +300,132 @@ def greedy_decode(
     max_new: int = 224,
 ) -> jnp.ndarray:
     """Greedy-decode token ids: (b, n_prompt + max_new), EOT-padded."""
+    return sample_decode(params, dims, encoded, prompt, n_prompt, max_new)[0]
+
+
+@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new", "beam_size"))
+def beam_decode(
+    params: Params,
+    dims: WhisperDims,
+    encoded: jnp.ndarray,
+    prompt: jnp.ndarray,  # (b, n_prompt) int32
+    n_prompt: int,
+    max_new: int = 224,
+    beam_size: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched beam search as ONE fixed-shape lax.scan (whisper's
+    BeamSearchDecoder semantics, TPU-native formulation).
+
+    The beam dim folds into the batch for the decoder step (b·beam, …); each
+    scan step re-ranks the (beam × vocab) continuations with ``lax.top_k``
+    and reorders the KV ring buffers and token history with one gather along
+    the beam axis — no host syncs, no data-dependent shapes. Finished beams
+    stay in the pool proposing only EOT at zero added score (whisper keeps
+    finished sequences aside; the frozen-EOT formulation ranks identically
+    because the cumulative score is unchanged). Final selection is whisper's
+    MaximumLikelihoodRanker with length_penalty=None: argmax of
+    sum_logprob / (n_text + 1). Returns ``(tokens (b, n_prompt+max_new),
+    sum_logprob (b,), n_text (b,))`` of the winning beam.
+    """
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
     L, d = dims.n_text_layer, dims.n_text_state
+    V = dims.n_vocab
     ctx = n_prompt + max_new
     assert ctx <= dims.n_text_ctx
 
     cross = precompute_cross_kv(params, dims, encoded)
-    cross_k = jnp.stack([k for k, _ in cross])
-    cross_v = jnp.stack([v for _, v in cross])
-
-    # per-step suppression: whisper's default DecodingOptions set — the
-    # non-speech list (built from the tiktoken table when assets exist) plus
-    # the task/SOT specials (reference hooked_model.py:103-110 →
-    # whisper decoding.py _get_suppress_tokens with suppress_tokens="-1");
-    # no_timestamps additionally stays suppressed (ApplyTimestampRules).
-    from .tokenizer import blank_token_id, suppress_token_ids
-
-    sup_np = np.zeros((dims.n_vocab,), np.float32)
-    for tok in suppress_token_ids(dims.n_vocab):
-        sup_np[tok] = -np.inf
-    sup_np[st.no_timestamps] = -np.inf
-    suppress = jnp.asarray(sup_np)
-    # SuppressBlank: " " and EOT are masked at the FIRST sampled position
-    blank_np = np.zeros((dims.n_vocab,), np.float32)
-    blank = blank_token_id(dims.n_vocab)
-    if blank is not None:
-        blank_np[blank] = -np.inf
-    blank_np[st.eot] = -np.inf
-    suppress_blank = jnp.asarray(blank_np)
-
+    # tile each clip's cross KV across its beams: (L, b·beam, s, d)
+    cross_k = jnp.repeat(jnp.stack([k for k, _ in cross]), beam_size, axis=1)
+    cross_v = jnp.repeat(jnp.stack([v for _, v in cross]), beam_size, axis=1)
+    suppress, suppress_blank = _suppress_tables(dims)
     ts0 = st.timestamp_begin
-    vocab_ids = jnp.arange(dims.n_vocab)
-    is_ts = vocab_ids >= ts0
-    # max_initial_timestamp = 1.0 s → 50 frames (whisper's decode default)
-    max_initial = ts0 + 50
+    eot_only = jnp.where(jnp.arange(V) == st.eot, 0.0, -jnp.inf)
 
-    self_k = jnp.zeros((L, b, ctx, d), encoded.dtype)
-    self_v = jnp.zeros((L, b, ctx, d), encoded.dtype)
+    self_k = jnp.zeros((L, b * beam_size, ctx, d), encoded.dtype)
+    self_v = jnp.zeros((L, b * beam_size, ctx, d), encoded.dtype)
+
+    def gather_beam(t, parent):
+        """Reorder a (b, beam, …) leaf by the (b, beam) parent indices."""
+        idx = parent.reshape(b, beam_size, *([1] * (t.ndim - 2)))
+        return jnp.take_along_axis(t, idx, axis=1)
 
     def step(carry, pos):
-        token, prev, max_ts, sk, sv, finished = carry
+        token, prev, max_ts, sk, sv, finished, cum, n_text, seq = carry
         logits, sk, sv = _decode_step(
-            params, dims, token, pos, sk, sv, (cross_k, cross_v)
+            params, dims, token.reshape(-1), pos, sk, sv, (cross_k, cross_v)
         )
-        logits = logits + suppress
-
-        # --- whisper timestamp rules (model.decode's ApplyTimestampRules) ---
-        last_was_ts = (token >= ts0)[:, None]
-        penult_was_ts = (prev >= ts0)[:, None]
         at_first = pos + 1 == n_prompt
-        # SuppressBlank at the first sampled token only
-        logits = jnp.where(at_first, logits + suppress_blank[None, :], logits)
-        # paired timestamps: <ts> <ts> → text next; lone <ts> → ts/eot next
-        block_ts = last_was_ts & penult_was_ts
-        block_text = last_was_ts & ~penult_was_ts
-        text_mask = (~is_ts) & (vocab_ids != st.eot)
-        logits = jnp.where(block_ts & is_ts[None, :], -jnp.inf, logits)
-        logits = jnp.where(block_text & text_mask[None, :], -jnp.inf, logits)
-        # monotonic timestamps
-        logits = jnp.where(
-            is_ts[None, :] & (vocab_ids[None, :] < max_ts[:, None]), -jnp.inf, logits
+        logits = _apply_rules(
+            logits, token.reshape(-1), prev.reshape(-1), max_ts.reshape(-1),
+            at_first, st, suppress, suppress_blank,
         )
-        # first sampled token: cap the initial timestamp
-        logits = jnp.where(
-            at_first & (vocab_ids > max_initial)[None, :], -jnp.inf, logits
-        )
-        # if total timestamp mass beats the best text token, force a timestamp
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        ts_mass = jax.nn.logsumexp(
-            jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
-        )
-        max_text = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, logprobs), axis=-1)
-        force_ts = (ts_mass > max_text)[:, None]
-        logits = jnp.where(force_ts & ~is_ts[None, :], -jnp.inf, logits)
+        lp = jax.nn.log_softmax(logits, axis=-1).reshape(b, beam_size, V)
+        # finished beams propose only EOT, score unchanged
+        lp = jnp.where(finished[..., None], eot_only[None, None, :], lp)
+
+        cand = cum[..., None] + lp  # (b, beam, V)
+        top_val, top_idx = jax.lax.top_k(cand.reshape(b, beam_size * V),
+                                         beam_size)
+        parent = (top_idx // V).astype(jnp.int32)
+        new_tok = (top_idx % V).astype(jnp.int32)
 
         is_prompt = pos + 1 < n_prompt
-        next_tok = jnp.where(
-            is_prompt,
-            prompt[:, jnp.minimum(pos + 1, n_prompt - 1)],
-            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+        beam_iota = jnp.broadcast_to(jnp.arange(beam_size), (b, beam_size))
+        parent = jnp.where(is_prompt, beam_iota, parent)
+        forced = jnp.broadcast_to(
+            prompt[:, jnp.minimum(pos + 1, n_prompt - 1)][:, None],
+            (b, beam_size),
         )
-        next_tok = jnp.where(finished, st.eot, next_tok)
-        finished = finished | (next_tok == st.eot) & ~is_prompt
-        new_max = jnp.where(
-            (next_tok >= ts0) & ~finished, jnp.maximum(max_ts, next_tok), max_ts
-        )
-        return (next_tok, token, new_max, sk, sv, finished), next_tok
+        new_tok = jnp.where(is_prompt, forced, new_tok)
+        new_cum = jnp.where(is_prompt, cum, top_val)
 
+        # reorder per-beam state by parent
+        prev_tok = jnp.take_along_axis(token, parent, axis=1)
+        max_ts = jnp.take_along_axis(max_ts, parent, axis=1)
+        finished = jnp.take_along_axis(finished, parent, axis=1)
+        n_text = jnp.take_along_axis(n_text, parent, axis=1)
+        seq = gather_beam(seq, parent)
+        flat_parent = (
+            parent + jnp.arange(b)[:, None] * beam_size
+        ).reshape(-1)
+        sk = jnp.take(sk, flat_parent, axis=1)
+        sv = jnp.take(sv, flat_parent, axis=1)
+
+        live = ~finished & ~is_prompt
+        n_text = n_text + jnp.where(live & (new_tok != st.eot), 1, 0)
+        finished = finished | (new_tok == st.eot) & ~is_prompt
+        max_ts = jnp.where(
+            (new_tok >= ts0) & ~finished, jnp.maximum(max_ts, new_tok), max_ts
+        )
+        seq = jax.lax.dynamic_update_slice_in_dim(
+            seq, new_tok[:, :, None], pos + 1, axis=2
+        )
+        return (new_tok, prev_tok, max_ts, sk, sv, finished, new_cum, n_text,
+                seq), None
+
+    cum0 = jnp.broadcast_to(
+        jnp.where(jnp.arange(beam_size) == 0, 0.0, -jnp.inf), (b, beam_size)
+    )
+    seq0 = jnp.full((b, beam_size, ctx), st.eot, jnp.int32)
+    seq0 = seq0.at[:, :, 0].set(prompt[:, :1])
     init = (
-        prompt[:, 0],
-        jnp.zeros((b,), jnp.int32),
-        jnp.full((b,), ts0, jnp.int32),
+        jnp.broadcast_to(prompt[:, :1], (b, beam_size)),
+        jnp.zeros((b, beam_size), jnp.int32),
+        jnp.full((b, beam_size), ts0, jnp.int32),
         self_k,
         self_v,
-        jnp.zeros((b,), bool),
+        jnp.zeros((b, beam_size), bool),
+        cum0,
+        jnp.zeros((b, beam_size), jnp.int32),
+        seq0,
     )
-    _, tokens = jax.lax.scan(step, init, jnp.arange(ctx - 1))
-    tokens = jnp.moveaxis(tokens, 0, 1)  # (b, ctx-1)
-    return jnp.concatenate([prompt[:, :1], tokens], axis=1)
+    carry, _ = jax.lax.scan(step, init, jnp.arange(ctx - 1))
+    _, _, _, _, _, _, cum, n_text, seq = carry
+    # MaximumLikelihoodRanker, length_penalty=None: avg logprob per token
+    score = cum / (n_text.astype(jnp.float32) + 1.0)
+    best = jnp.argmax(score, axis=1)
+    tokens = jnp.take_along_axis(seq, best[:, None, None], axis=1)[:, 0]
+    sum_lp = jnp.take_along_axis(cum, best[:, None], axis=1)[:, 0]
+    n_best = jnp.take_along_axis(n_text, best[:, None], axis=1)[:, 0]
+    return tokens, sum_lp, n_best

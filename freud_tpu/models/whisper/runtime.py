@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decoding import detect_language, greedy_decode
+from .decoding import beam_decode, detect_language, greedy_decode, sample_decode
 from .load import load_model
 from .model import encoder_forward
 from .tokenizer import decode_text, language_index, special_tokens
@@ -126,6 +126,77 @@ class WhisperRuntime:
 
     def transcribe_one(self, mels, **kw) -> str:
         return self.transcribe(mels, **kw)[0]
+
+    def transcribe_with_fallback(
+        self,
+        mels: jnp.ndarray,
+        substitute_layer: Optional[str] = None,
+        substitute_value: Optional[jnp.ndarray] = None,
+        temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        beam_size: Optional[int] = None,
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        seed: int = 0,
+    ) -> list[str]:
+        """whisper.transcribe's decode-with-fallback schedule, batched.
+
+        Each temperature is ONE fixed-shape compiled decode over the full
+        batch (``sample_decode`` traces temperature, so the whole schedule
+        reuses a single program; ``beam_size`` switches the t=0 rung to
+        ``beam_decode``). A clip's transcript is accepted at the first rung
+        where zlib compression ratio ≤ ``compression_ratio_threshold`` AND
+        avg_logprob ≥ ``logprob_threshold`` (whisper transcribe.py's
+        ``decode_with_fallback``); the last rung accepts unconditionally.
+        (The reference GUI paths use plain greedy ``model.decode`` — this is
+        the transcription-quality extension beyond that parity line.)"""
+        import zlib
+
+        mels = self._batch(mels)
+        if substitute_layer is not None:
+            sub = jnp.asarray(substitute_value)
+            if sub.ndim == 2:
+                sub = sub[None]
+            encoded, _ = self._encode(
+                self.params, mels, sub_layer=substitute_layer, sub_value=sub
+            )
+        else:
+            encoded, _ = self._encode(self.params, mels)
+        prompt, n_prompt = self._prompt(encoded)
+        b = encoded.shape[0]
+        texts: list[Optional[str]] = [None] * b
+
+        for ti, t in enumerate(temperatures):
+            if t == 0.0 and beam_size:
+                tokens, sum_lp, n_text = beam_decode(
+                    self.params, self.dims, encoded, prompt, n_prompt,
+                    max_new=self.max_new_tokens, beam_size=beam_size,
+                )
+            else:
+                tokens, sum_lp, n_text = sample_decode(
+                    self.params, self.dims, encoded, prompt, n_prompt,
+                    max_new=self.max_new_tokens, temperature=float(t),
+                    key=jax.random.PRNGKey(seed + ti),
+                )
+            tokens = np.asarray(tokens)
+            sum_lp, n_text = np.asarray(sum_lp), np.asarray(n_text)
+            last = ti == len(temperatures) - 1
+            for i in range(b):
+                if texts[i] is not None:
+                    continue
+                text = decode_text(tokens[i], self.dims.n_vocab)
+                ok = True
+                if logprob_threshold is not None:
+                    avg_lp = sum_lp[i] / (n_text[i] + 1.0)
+                    ok = ok and avg_lp >= logprob_threshold
+                if compression_ratio_threshold is not None and text:
+                    raw = text.encode("utf-8")
+                    ratio = len(raw) / max(len(zlib.compress(raw)), 1)
+                    ok = ok and ratio <= compression_ratio_threshold
+                if ok or last:
+                    texts[i] = text
+            if all(x is not None for x in texts):
+                break
+        return texts  # type: ignore[return-value]
 
     # -- helpers ------------------------------------------------------------
 

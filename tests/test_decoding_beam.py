@@ -1,0 +1,107 @@
+"""Beam search / temperature sampling / fallback schedule (random weights).
+
+Reference line: the FREUD GUI paths call plain greedy ``model.decode``
+(src/models/hooked_model.py:103-110); beam + temperature fallback mirror
+whisper's DecodingOptions(beam_size=…) and transcribe.py's
+``decode_with_fallback`` — the beyond-parity decode surface.
+"""
+
+import numpy as np
+import pytest
+
+from freud_tpu.models.whisper import dims_for, encoder_forward, init_params, special_tokens
+from freud_tpu.models.whisper.decoding import beam_decode, greedy_decode, sample_decode
+
+MAX_NEW = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    dims = dims_for("test:tiny")
+    params = init_params(dims, seed=3)
+    mels = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 80, 3000)).astype(np.float32)
+    )
+    encoded, _ = encoder_forward(params, dims, mels)
+    st = special_tokens(dims.n_vocab)
+    prompt = jnp.asarray(
+        np.tile([st.sot, st.lang_base, st.transcribe], (2, 1)).astype(np.int32)
+    )
+    return params, dims, encoded, prompt, st
+
+
+def test_beam_one_equals_greedy(setup):
+    """beam_size=1 must reduce exactly to greedy argmax decoding."""
+    params, dims, encoded, prompt, st = setup
+    greedy = np.asarray(
+        greedy_decode(params, dims, encoded, prompt, 3, max_new=MAX_NEW))
+    beam, _, _ = beam_decode(
+        params, dims, encoded, prompt, 3, max_new=MAX_NEW, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(beam), greedy)
+
+
+def test_beam_obeys_decoding_rules(setup):
+    """Beam output must honor the same EOT-padding / monotonic-timestamp /
+    suppression rules as greedy, and the ranking stats must be consistent."""
+    params, dims, encoded, prompt, st = setup
+    tokens, sum_lp, n_text = beam_decode(
+        params, dims, encoded, prompt, 3, max_new=MAX_NEW, beam_size=3)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, 3 + MAX_NEW)
+    np.testing.assert_array_equal(tokens[:, :3], np.asarray(prompt))
+    for row, slp, nt in zip(tokens, np.asarray(sum_lp), np.asarray(n_text)):
+        gen = row[3:]
+        ts = [int(t) for t in gen if t >= st.timestamp_begin]
+        assert ts == sorted(ts)
+        if st.eot in gen:
+            tail = gen[list(gen).index(st.eot):]
+            assert all(t == st.eot for t in tail)
+        for banned in (st.sot, st.sot_prev, st.no_speech, st.no_timestamps):
+            assert not (gen == banned).any()
+        assert slp <= 1e-5 and np.isfinite(slp)
+        assert 0 <= nt <= MAX_NEW
+
+
+def test_sampled_decode_statistics(setup):
+    """t=0 sample_decode == greedy (same program); t>0 yields valid tokens
+    and a finite sum-logprob over the sampled prefix."""
+    import jax
+
+    params, dims, encoded, prompt, st = setup
+    tok0, slp0, nt0 = sample_decode(
+        params, dims, encoded, prompt, 3, max_new=MAX_NEW, temperature=0.0)
+    greedy = greedy_decode(params, dims, encoded, prompt, 3, max_new=MAX_NEW)
+    np.testing.assert_array_equal(np.asarray(tok0), np.asarray(greedy))
+
+    tok1, slp1, nt1 = sample_decode(
+        params, dims, encoded, prompt, 3, max_new=MAX_NEW, temperature=0.8,
+        key=jax.random.PRNGKey(7))
+    tok1 = np.asarray(tok1)
+    assert tok1.shape == np.asarray(tok0).shape
+    assert np.isfinite(np.asarray(slp1)).all()
+    for row in tok1:
+        gen = row[3:]
+        if st.eot in gen:
+            tail = gen[list(gen).index(st.eot):]
+            assert all(t == st.eot for t in tail)
+
+
+def test_runtime_fallback_schedule():
+    """Permissive thresholds accept the t=0 transcript (== plain transcribe);
+    impossible thresholds walk the whole schedule and still return text."""
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=8, language="en")
+    mels = np.random.default_rng(1).standard_normal((1, 80, 3000)).astype(np.float32)
+
+    plain = rt.transcribe(mels)
+    easy = rt.transcribe_with_fallback(
+        mels, compression_ratio_threshold=None, logprob_threshold=None)
+    assert easy == plain
+
+    hard = rt.transcribe_with_fallback(
+        mels, temperatures=(0.0, 1.0), logprob_threshold=10.0,
+        compression_ratio_threshold=None)
+    assert len(hard) == 1 and isinstance(hard[0], str)
