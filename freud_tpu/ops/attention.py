@@ -118,7 +118,8 @@ def _partitioned(matmul_dtype_name: str, block_q: int, stable: bool,
         sharding_rule="b h s d, b h t d, b h t d -> b h s d",
         need_replication_factors=("s", "d", "t"),
     )
-    return cp
+    # custom_partitioning lacks a batching rule; make vmap lower to a scan
+    return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
 
 
 def _whisper_attention_impl(
@@ -253,7 +254,8 @@ def _partitioned_qkv(heads: int, interpret: bool):
         need_replication_factors=("s", "d", "p", "q", "r", "t", "u", "v",
                                   "w", "y"),
     )
-    return cp
+    # custom_partitioning lacks a batching rule; make vmap lower to a scan
+    return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
 
 
 def _fused_qkv_attention_impl(x, wq, bq, wk, wv, bv, heads, interpret):

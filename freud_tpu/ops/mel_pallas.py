@@ -12,11 +12,17 @@ per step, while 2-DMA kernels sustain >300 GB/s). The row shifts are applied
 to the small (3008, 402) DFT projections inside VMEM instead of the inputs:
 ``proj[j] = P0[j] + P1[j+1] + P2[j+2]`` where ``Pb = X @ basis_band_b``.
 
-The windowed real-DFT runs as limb-split bf16 matmuls (4 products ≈ f32:
-Mosaic rejects lax.Precision.HIGH inside kernels and HIGHEST's 6 true-f32
-passes measured 12.2 ms/batch-64; limb4 keeps the end-to-end log-mel within
-7e-5 of an f64 host computation — tools/bench_mel4.py). The tiny mel
-projection stays true-f32.
+The windowed real-DFT runs as limb-split bf16 matmuls, THREE products
+(hi·hi + hi·lo + lo·hi — the lo·lo term is ~2⁻¹⁸ relative, far below the
+bf16-limb rounding already present; Mosaic rejects lax.Precision.HIGH inside
+kernels and HIGHEST's 6 true-f32 passes measured 12.2 ms/batch-64). The mel
+projection runs the same limb3 scheme (power and filters are positive — no
+cancellation — and Mosaic's HIGHEST emulation measured 1.2 ms alone,
+tools/bench_mel5.py). The whisper epilogue (per-clip dynamic-range floor +
+affine) folds into the kernel while the clip's full spectrogram is VMEM-
+resident. End-to-end log-mel measured ≤5.9e-5 of an f64 host computation and
+≤7.1e-5 of the limb4 formulation; 7.8 → 6.6 ms/batch-64 on v5e
+(tools/bench_mel8.py).
 
 TPU-native replacement for the reference's ``torch.stft`` + filterbank matmul
 (src/utils/audio_utils.py:147-194); numerical parity with freud_tpu.audio.mel
@@ -43,15 +49,14 @@ _ROWS = N_FRAMES + 8  # 3008: frames + 2 shift rows + sublane-pad to 8
 
 
 def _split_dot(a_hi, a_lo, b_hi, b_lo):
-    """Limb-split matmul (4 bf16 products ≈ f32); see module docstring."""
+    """Limb-split matmul (3 bf16 products; lo·lo dropped — ~2⁻¹⁸ relative)."""
     out = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
     out += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
     out += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-    out += jnp.dot(a_lo, b_lo, preferred_element_type=jnp.float32)
     return out
 
 
-def _kernel(x_ref, bhi_ref, blo_ref, mel_ref, out_ref):
+def _kernel(x_ref, bhi_ref, blo_ref, mhi_ref, mlo_ref, out_ref):
     x = x_ref[0]  # (3008, 160) f32
     x_hi = x.astype(jnp.bfloat16)
     x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -70,12 +75,18 @@ def _kernel(x_ref, bhi_ref, blo_ref, mel_ref, out_ref):
     im = proj[:, N_FREQS:]
     power = re * re + im * im  # (N_FRAMES, N_FREQS)
 
-    # the mel projection is tiny (201→n_mels); keep it at true f32
-    mel = jnp.dot(
-        power, mel_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[0] = jnp.log(jnp.maximum(mel, 1e-10)) * (1.0 / _LN10)
+    # mel projection via the same limb3 scheme (positive operands, no
+    # cancellation; Mosaic's HIGHEST emulation measured 1.2 ms by itself)
+    p_hi = power.astype(jnp.bfloat16)
+    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mel = _split_dot(p_hi, p_lo, mhi_ref[:], mlo_ref[:])
+    log_spec = jnp.log(jnp.maximum(mel, 1e-10)) * (1.0 / _LN10)
+
+    # whisper epilogue while the clip's spectrogram is VMEM-resident:
+    # per-clip dynamic-range floor + affine (audio_utils.py:190-193)
+    gmax = jnp.max(log_spec)
+    log_spec = jnp.maximum(log_spec, gmax - 8.0)
+    out_ref[0] = (log_spec + 4.0) / 4.0
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))
@@ -100,16 +111,16 @@ def log_mel_spectrogram_pallas(
     basis = np.asarray(_dft_basis(), np.float32)  # (N_FFT, 2·N_FREQS)
     basis_hi = basis.astype(jnp.bfloat16)
     basis_lo = (basis - basis_hi.astype(np.float32)).astype(jnp.bfloat16)
-    mel_t = jnp.asarray(mel_filterbank(n_mels).T)  # (N_FREQS, n_mels)
+    mel_f = mel_filterbank(n_mels).T.astype(np.float32)  # (N_FREQS, n_mels)
+    mel_hi = mel_f.astype(jnp.bfloat16)
+    mel_lo = (mel_f - mel_hi.astype(np.float32)).astype(jnp.bfloat16)
 
+    # epilogue (floor + affine) runs inside the kernel; only the layout
+    # transpose remains at the XLA level
     log_spec = _partitioned_mel(n_mels, interpret)(
-        grid_audio, jnp.asarray(basis_hi), jnp.asarray(basis_lo), mel_t
+        grid_audio, jnp.asarray(basis_hi), jnp.asarray(basis_lo),
+        jnp.asarray(mel_hi), jnp.asarray(mel_lo),
     )
-
-    # whisper epilogue: per-clip dynamic-range floor + affine (fused by XLA)
-    gmax = jnp.max(log_spec, axis=(1, 2), keepdims=True)
-    log_spec = jnp.maximum(log_spec, gmax - 8.0)
-    log_spec = (log_spec + 4.0) / 4.0
     return jnp.swapaxes(log_spec, 1, 2)
 
 
@@ -118,9 +129,9 @@ def _partitioned_mel(n_mels: int, interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def body(grid_audio, basis_hi, basis_lo, mel_t):
-        return _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_t,
-                                n_mels, interpret)
+    def body(grid_audio, basis_hi, basis_lo, mel_hi, mel_lo):
+        return _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_hi,
+                                mel_lo, n_mels, interpret)
 
     cp = custom_partitioning(body)
 
@@ -129,17 +140,19 @@ def _partitioned_mel(n_mels: int, interpret: bool):
         b = spec[0] if len(spec) > 0 else None
         out = NamedSharding(mesh, P(b, None, None))
         rep = NamedSharding(mesh, P())
-        return mesh, body, out, (out, rep, rep, rep)
+        return mesh, body, out, (out, rep, rep, rep, rep)
 
     cp.def_partition(
         partition=partition,
-        sharding_rule="b r h, x y, x y, z m -> b f m",
+        sharding_rule="b r h, x y, x y, z m, z m -> b f m",
         need_replication_factors=("r", "h", "x", "y", "z", "m", "f"),
     )
-    return cp
+    # custom_partitioning lacks a batching rule; make vmap lower to a scan
+    return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
 
 
-def _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_t, n_mels, interpret):
+def _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_hi, mel_lo, n_mels,
+                     interpret):
     B = grid_audio.shape[0]
     log_spec = pl.pallas_call(
         _kernel,
@@ -160,6 +173,9 @@ def _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_t, n_mels, interpret):
             pl.BlockSpec(
                 (N_FREQS, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (N_FREQS, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, N_FRAMES, n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -169,5 +185,5 @@ def _mel_pallas_call(grid_audio, basis_hi, basis_lo, mel_t, n_mels, interpret):
             vmem_limit_bytes=80 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(grid_audio, basis_hi, basis_lo, mel_t)
+    )(grid_audio, basis_hi, basis_lo, mel_hi, mel_lo)
     return log_spec

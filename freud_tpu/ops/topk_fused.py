@@ -224,7 +224,9 @@ def _partitioned_forward(k: int, k_aux: int, interpret: bool):
         sharding_rule="m i, i j, j, i, j i, j -> m j, m i, m i, m, m",
         need_replication_factors=("i", "j"),
     )
-    return cp
+    # custom_partitioning has no batching rule; the sweep trainer vmaps the
+    # train step over layers, so lower vmap to a scan over the custom call
+    return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
 
 
 def _forward_impl(x2, enc_w_t, enc_b, b_dec, W_dec, dead_f,
