@@ -102,10 +102,15 @@ def log_mel_spectrogram_pallas(
         return log_mel_spectrogram_pallas(audio[None], n_mels, interpret)[0]
     B = audio.shape[0]
 
+    # ONE reflect pad covering the sublane-alignment tail too (saves an XLA
+    # materialization; bit-exact because the over-reflected region beyond
+    # stream sample 480040 only feeds the discarded frames ≥ 3000 —
+    # frame 2999 reads padded index < 480240, inside the identical
+    # first-200-sample reflection)
     pad = N_FFT // 2
-    padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
     need = _ROWS * HOP_LENGTH
-    padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    padded = jnp.pad(audio, ((0, 0), (pad, need - audio.shape[1] - pad)),
+                     mode="reflect")
     grid_audio = padded.reshape(B, _ROWS, HOP_LENGTH)
 
     basis = np.asarray(_dft_basis(), np.float32)  # (N_FFT, 2·N_FREQS)
