@@ -6,9 +6,10 @@ One Pallas kernel computes, per 128-row tile of the (batch·time, d_in) input:
   2. exact per-row k-th / k_aux-th thresholds by INTEGER bisection on the
      bf16 bit patterns                                          (VPU)
   3. both masked decodes ``dense_{main,aux} @ W_dec``           (MXU)
+  4. the per-shard ``fired`` latent reduction                    (VPU)
 
-(the batch-wide ``fired`` latent reduction happens outside the custom call so
-the row dimension can SPMD-partition — see ``topk_sae_forward``)
+(under row sharding, the partition's lower_fn pmax-es the per-shard fired
+masks — see ``topk_sae_forward``)
 
 Why: measured on v5e (tools/bench_topk2.py), the separate-op formulation
 spends 18 ms/step in f32 bisection alone (26 iterations × 2 selections ×
@@ -103,9 +104,9 @@ def _bits_to_f32(b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(x_ref, wenc_ref, benc_ref, bdec_ref, wdec_ref, dead_ref,
-            acts_ref, ym_ref, ya_ref, tm_ref, ta_ref,
+            acts_ref, ym_ref, ya_ref, tm_ref, ta_ref, fired_ref,
             pacts_ref, ptm_ref, pta_ref,
-            *, k: int, k_aux: int, n_tiles: int):
+            *, k: int, k_aux: int, valid_rows: int, n_tiles: int):
     """Software-pipelined: grid has n_tiles+1 steps; step i runs the
     encode+bisect (MXU then VPU) for tile i and the masked decodes (MXU) for
     tile i−1 from scratch, so the scheduler can overlap the long VPU
@@ -129,6 +130,20 @@ def _kernel(x_ref, wenc_ref, benc_ref, bdec_ref, wdec_ref, dead_ref,
                               preferred_element_type=jnp.float32)
         ya_ref[...] = jnp.dot(dense_a, wdec_ref[...],
                               preferred_element_type=jnp.float32)
+        row = (jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0)
+               + (i - 1) * bits.shape[0])
+        tile_fired = jnp.max(
+            (keep_m & (row < valid_rows)).astype(jnp.float32),
+            axis=0, keepdims=True,
+        )
+
+        @pl.when(i == 1)
+        def _init():
+            fired_ref[...] = tile_fired
+
+        @pl.when(i > 1)
+        def _accum():
+            fired_ref[...] = jnp.maximum(fired_ref[...], tile_fired)
 
     @pl.when(i < n_tiles)
     def _encode_bisect():
@@ -186,17 +201,14 @@ def topk_sae_forward(
 
     Carries a GSPMD sharding rule: the row (batch·time) dim partitions
     freely — pjit over a data-sharded batch runs one kernel per chip, no
-    all-gather around the custom call. ``fired`` is a cross-row reduction,
-    so it is computed OUTSIDE the custom call (from the acts/t_main outputs,
-    the same ``bits ≥ t`` predicate the kernel used to apply): XLA partitions
-    that reduction and inserts the one small all-reduce it needs."""
-    acts, ym, ya, tm, ta = _partitioned_forward(k, k_aux, interpret)(
+    all-gather around the custom call. ``fired`` is a cross-row reduction
+    computed inside the kernel per shard; the partition's lower_fn pmax-es
+    the per-shard masks over the row-sharding mesh axes (the one tiny
+    collective of the op)."""
+    acts, ym, ya, tm, ta, fired_f = _partitioned_forward(k, k_aux, interpret)(
         x2, enc_w_t, enc_b, b_dec, W_dec, dead_f
     )
-    tm = tm[:, None]
-    ta = ta[:, None]
-    fired = jnp.any(acts.astype(jnp.float32) >= tm, axis=0)
-    return acts, ym, ya, tm, ta, fired
+    return acts, ym, ya, tm[:, None], ta[:, None], fired_f > 0
 
 
 @functools.lru_cache(maxsize=None)
@@ -213,15 +225,24 @@ def _partitioned_forward(k: int, k_aux: int, interpret: bool):
     def partition(mesh, arg_infos, result_infos):
         spec = arg_infos[0].sharding.spec if arg_infos[0].sharding else P()
         m = spec[0] if len(spec) > 0 else None
+        axes = (m,) if isinstance(m, str) else tuple(m or ())
+
+        def lower_fn(*args):
+            acts, ym, ya, tm, ta, fired = body(*args)
+            for ax in axes:
+                # fired is a global any-over-rows: pmax the per-shard masks
+                fired = jax.lax.pmax(fired, ax)
+            return acts, ym, ya, tm, ta, fired
+
         row2 = NamedSharding(mesh, P(m, None))
         row1 = NamedSharding(mesh, P(m))
         rep = NamedSharding(mesh, P())
-        return (mesh, body, (row2, row2, row2, row1, row1),
+        return (mesh, lower_fn, (row2, row2, row2, row1, row1, rep),
                 (row2, rep, rep, rep, rep, rep))
 
     cp.def_partition(
         partition=partition,
-        sharding_rule="m i, i j, j, i, j i, j -> m j, m i, m i, m, m",
+        sharding_rule="m i, i j, j, i, j i, j -> m j, m i, m i, m, m, j",
         need_replication_factors=("i", "j"),
     )
     # custom_partitioning has no batching rule; the sweep trainer vmaps the
@@ -232,7 +253,7 @@ def _partitioned_forward(k: int, k_aux: int, interpret: bool):
 def _forward_impl(x2, enc_w_t, enc_b, b_dec, W_dec, dead_f,
                   *, k: int, k_aux: int, interpret: bool):
     """Per-shard pallas_call: (m, d_in) rows → (acts, y_main, y_aux,
-    t_main (m,), t_aux (m,))."""
+    t_main (m,), t_aux (m,), fired (n_dict,) f32)."""
     m, d_in = x2.shape
     n_dict = enc_w_t.shape[1]
     m_pad = -(-m // ROWS) * ROWS
@@ -249,7 +270,8 @@ def _forward_impl(x2, enc_w_t, enc_b, b_dec, W_dec, dead_f,
         return (jnp.maximum(t - 1, 0), 0)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, k=k, k_aux=k_aux, n_tiles=n_tiles),
+        functools.partial(_kernel, k=k, k_aux=k_aux, valid_rows=m,
+                          n_tiles=n_tiles),
         grid=(n_tiles + 1,),
         in_specs=[
             pl.BlockSpec((ROWS, d_in), cur, memory_space=pltpu.VMEM),
@@ -265,6 +287,7 @@ def _forward_impl(x2, enc_w_t, enc_b, b_dec, W_dec, dead_f,
             pl.BlockSpec((ROWS, d_in), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, 1), cur, memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, 1), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, n_dict), jnp.bfloat16),
@@ -277,6 +300,7 @@ def _forward_impl(x2, enc_w_t, enc_b, b_dec, W_dec, dead_f,
             jax.ShapeDtypeStruct((m_pad, d_in), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_dict), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # W_enc + W_dec stay VMEM-resident (~9.4 MB bf16) on top of the
@@ -292,5 +316,5 @@ def _forward_impl(x2, enc_w_t, enc_b, b_dec, W_dec, dead_f,
         W_dec.astype(jnp.bfloat16),
         dead_f.reshape(1, -1),
     )
-    acts, ym, ya, tm, ta = outs
-    return (acts[:m], ym[:m], ya[:m], tm[:m, 0], ta[:m, 0])
+    acts, ym, ya, tm, ta, fired = outs
+    return (acts[:m], ym[:m], ya[:m], tm[:m, 0], ta[:m, 0], fired[0])
