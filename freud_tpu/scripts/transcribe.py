@@ -1,0 +1,100 @@
+"""Batch transcription CLI.
+
+The reference exposes transcription only through the GUI/manipulation paths
+(a single greedy ``model.decode`` per request, src/models/hooked_model.py:
+103-110); this CLI is the standalone decode surface over a folder of audio:
+batched fixed-shape decoding with optional beam search and whisper.transcribe's
+temperature-fallback ladder (models/whisper/decoding.py, runtime.py).
+
+Usage:
+  python -m freud_tpu.scripts.transcribe --data_path DIR [--model tiny]
+      [--batch_size 8] [--language en] [--beam_size 5] [--fallback]
+      [--max_new_tokens 224] [--precision float32|bfloat16] [--out out.json]
+
+Every batch is padded to ``batch_size`` files so the decode compiles exactly
+once per run (ragged tails would re-trace; a remote TPU compile is minutes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio_dataset import AudioBatchPipeline
+from ..models.whisper.runtime import WhisperRuntime
+
+
+def transcribe_folder(
+    data_path: str,
+    model: str = "tiny",
+    batch_size: int = 8,
+    language: str | None = None,
+    beam_size: int | None = None,
+    fallback: bool = False,
+    max_new_tokens: int = 224,
+    precision: str = "float32",
+    verbose: bool = True,
+) -> dict[str, str]:
+    """→ {file path: transcript} for every decodable audio file under
+    ``data_path`` (undecodable files degrade to a per-file error marker,
+    matching the collection pipeline's policy)."""
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    rt = WhisperRuntime(
+        model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
+        language=language,
+    )
+    pipeline = AudioBatchPipeline(
+        data_path, batch_size, rt.dims.n_mels, drop_last=False
+    )
+    out: dict[str, str] = {}
+    for mels, files, lengths in pipeline:
+        mels = np.asarray(mels)
+        n = len(files)
+        if n < batch_size:  # pad the tail batch: one compiled shape per run
+            mels = np.concatenate(
+                [mels, np.repeat(mels[-1:], batch_size - n, axis=0)], axis=0
+            )
+        if fallback or beam_size:
+            texts = rt.transcribe_with_fallback(
+                jnp.asarray(mels), beam_size=beam_size,
+                temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if fallback
+                else (0.0,),
+            )
+        else:
+            texts = rt.transcribe(jnp.asarray(mels))
+        for f, t, ln in zip(files, texts, lengths):
+            out[f] = t if ln >= 0 else "<decode-failed>"
+            if verbose:
+                print(json.dumps({"file": f, "text": out[f]}))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--language", default=None)
+    ap.add_argument("--beam_size", type=int, default=None)
+    ap.add_argument("--fallback", action="store_true",
+                    help="temperature-fallback ladder (whisper.transcribe)")
+    ap.add_argument("--max_new_tokens", type=int, default=224)
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--out", default=None, help="write {file: text} JSON here")
+    args = ap.parse_args()
+
+    result = transcribe_folder(
+        args.data_path, args.model, args.batch_size, args.language,
+        args.beam_size, args.fallback, args.max_new_tokens, args.precision,
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
