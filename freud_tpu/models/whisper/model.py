@@ -186,16 +186,20 @@ def _flash_self_attention(qh, kh, vh, scale_total):
     return out[:, :, :s, :dh]
 
 
-def _attention_impl(dtype) -> str:
+def _attention_impl(dtype, d: int) -> str:
     if ATTENTION_IMPL == "auto":
         # The fused qkv+attention kernel (q/k/v projections + per-head
         # softmax-attention in one pass per file, q/k/v never in HBM) runs
         # bf16 matmuls with f32 stats for BOTH input dtypes — the same
         # truncation XLA's DEFAULT precision applies to f32 einsum operands
         # on TPU. Measured 8.1 → 5.5 ms/batch-64 vs XLA projections + the
-        # blocked "kernel" path.
+        # blocked "kernel" path. Its per-step VMEM working set grows with
+        # d² (weights resident) + s·d (q/k/v/out live at once): at d=1280
+        # (large-v3) the compiler needs ~150 MB vs the 128 MB arena, so wide
+        # models take the K/V-resident blocked kernel instead (whose working
+        # set is per-(batch, head) and geometry-independent in d).
         if jax.default_backend() == "tpu":
-            return "fused"
+            return "fused" if d <= 768 else "kernel"
         return "einsum"
     return ATTENTION_IMPL
 
@@ -210,7 +214,7 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
     *lead, d = x.shape
     dh = d // heads
 
-    impl = _attention_impl(x.dtype)
+    impl = _attention_impl(x.dtype, d)
     full_self_attn = (
         mask is None and kv_cache is None and xa is None and len(lead) == 2
     )

@@ -108,6 +108,25 @@ def test_fused_qkv_attention_matches_reference_math():
     assert np.max(np.abs(got - ref)) / denom < 2e-2
 
 
+def test_attention_impl_gates_wide_models_off_fused():
+    """The fused qkv kernel's VMEM working set grows with d²; at d=1280
+    (large-v3) the compiler needs ~150 MB vs the 128 MB arena — wide models
+    must take the K/V-resident blocked kernel (regression: large-v3
+    collection failed to compile when 'auto' chose fused for every d)."""
+    import jax.numpy as jnp
+    from freud_tpu.models.whisper import model as m
+
+    orig = m.jax.default_backend
+    m.jax.default_backend = lambda: "tpu"
+    try:
+        assert m._attention_impl(jnp.float32, 384) == "fused"   # tiny
+        assert m._attention_impl(jnp.float32, 768) == "fused"   # small
+        assert m._attention_impl(jnp.float32, 1024) == "kernel"  # medium
+        assert m._attention_impl(jnp.float32, 1280) == "kernel"  # large
+    finally:
+        m.jax.default_backend = orig
+
+
 def test_fused_qkv_attention_partitions_without_gather():
     import jax
     import jax.numpy as jnp
