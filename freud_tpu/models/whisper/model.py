@@ -204,12 +204,14 @@ def _attention_impl(dtype, d: int) -> str:
     return ATTENTION_IMPL
 
 
-def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
+def _attention(p, x, heads, xa=None, mask=None, kv_cache=None, wtap=None):
     """Multi-head attention with Whisper's split (d_head)^-0.25 scaling.
 
     ``xa`` switches to cross-attention; ``kv_cache`` is an optional
     (k, v, index) triple for incremental decoding (k/v are fixed-size ring
-    buffers written at ``index`` — static shapes for lax.scan).
+    buffers written at ``index`` — static shapes for lax.scan). ``wtap``
+    (optional callback) receives the post-softmax attention weights
+    (…, heads, T, S) — the capture hook for word-timestamp alignment.
     """
     *lead, d = x.shape
     dh = d // heads
@@ -267,6 +269,8 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None):
     if mask is not None:
         logits = logits + mask
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    if wtap is not None:
+        wtap(weights)
     out = jnp.einsum("...hqk,...hkd->...hqd", weights, vh)
     out = jnp.moveaxis(out, -3, -2).reshape(*lead, d)
     return _linear(p["out"], out), new_cache
@@ -296,7 +300,10 @@ def _residual_block(
         if cross_kv is not None:
             cross_out, _ = _cross_attention_cached(p["cross_attn"], h, heads, cross_kv)
         else:
-            cross_out, _ = _attention(p["cross_attn"], h, heads, xa=xa)
+            cross_out, _ = _attention(
+                p["cross_attn"], h, heads, xa=xa,
+                wtap=partial(tap, f"{prefix}.cross_attn.weights"),
+            )
         x = x + cross_out
 
     h = tap(f"{prefix}.mlp_ln", _layer_norm(p["mlp_ln"], x))

@@ -198,6 +198,62 @@ class WhisperRuntime:
                 break
         return texts  # type: ignore[return-value]
 
+    def transcribe_with_word_timestamps(
+        self, mels: jnp.ndarray, num_frames: Optional[np.ndarray] = None
+    ) -> tuple[list[str], list[list[dict]]]:
+        """→ (texts, per-clip word lists ``[{"word", "start", "end"}, …]``).
+
+        whisper's ``word_timestamps=True``: greedy decode, then ONE jitted
+        teacher-forced decoder pass over the decoded tokens capturing the
+        alignment layers' cross-attention weights, then host-side
+        DTW (models/whisper/timing.py). ``num_frames`` optionally gives each
+        clip's real encoder-frame count (= mel frames / 2) to trim the padded
+        window. Divergence from whisper (documented): alignment runs over the
+        timestamp-mode token sequence with timestamp tokens' rows dropped,
+        rather than re-decoding in no-timestamps mode."""
+        from . import timing
+        from .model import decoder_forward
+        from .tokenizer import token_pieces
+
+        mels = self._batch(mels)
+        encoded, _ = self._encode(self.params, mels)
+        prompt, n_prompt = self._prompt(encoded)
+        tokens = greedy_decode(
+            self.params, self.dims, encoded, prompt, n_prompt,
+            max_new=self.max_new_tokens,
+        )
+
+        layers = sorted({
+            l for l, _ in timing.default_alignment_heads(
+                self.dims.n_text_layer, self.dims.n_text_head)
+        })
+        capture = tuple(f"decoder.blocks.{l}.cross_attn.weights" for l in layers)
+        if not hasattr(self, "_align_fwd"):
+            self._align_fwd = jax.jit(
+                lambda p, t, e: decoder_forward(
+                    p, self.dims, t, e, capture=capture
+                )[1],
+                static_argnames=(),
+            )
+        caps = self._align_fwd(self.params, tokens, encoded)
+        # (b, n_layers_sel·heads, T, frames)
+        w = np.concatenate([np.asarray(caps[k], np.float32) for k in capture],
+                           axis=1)
+
+        tokens = np.asarray(tokens)
+        eot = self._st.eot
+        texts, words = [], []
+        for i in range(tokens.shape[0]):
+            pos = [p for p in range(n_prompt, tokens.shape[1])
+                   if tokens[i, p] < eot]
+            ids = tokens[i, pos]
+            pieces = token_pieces(ids, self.dims.n_vocab)
+            nf = int(num_frames[i]) if num_frames is not None else None
+            starts, ends = timing.token_times(w[i][:, pos, :], nf)
+            texts.append(decode_text(tokens[i], self.dims.n_vocab))
+            words.append(timing.group_words(pieces, starts, ends))
+        return texts, words
+
     # -- helpers ------------------------------------------------------------
 
     @staticmethod

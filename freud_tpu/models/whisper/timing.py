@@ -1,0 +1,141 @@
+"""Word-level timestamps via cross-attention DTW alignment.
+
+Whisper's ``word_timestamps=True`` machinery (openai-whisper timing.py's
+``find_alignment``: alignment-head attention → std-normalize → median filter
+→ DTW → token times → word grouping), rebuilt for this framework's
+functional decoder:
+
+* the TEACHER-FORCED alignment forward is one jitted ``decoder_forward``
+  over the already-decoded tokens, capturing the post-softmax cross-attention
+  weights of the alignment layers (``decoder.blocks.{i}.cross_attn.weights``
+  capture keys — no hooks);
+* everything after the forward (normalization, filtering, DTW, grouping) is
+  O(tokens × frames) host-side numpy — far below any device-worthy size.
+
+Alignment heads: the released models ship curated head masks as repository
+metadata (not checkpoint tensors); absent that, whisper falls back to every
+head of the upper half of decoder layers, which is what we use.
+
+Beyond-reference surface: FREUD's decode paths are plain greedy
+``model.decode`` (src/models/hooked_model.py:103-110) with no timing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TOKENS_PER_SECOND = 50.0  # encoder frames/s: 1500 frames per 30 s
+_MEDFILT_WIDTH = 7
+
+
+def median_filter(x: np.ndarray, width: int = _MEDFILT_WIDTH) -> np.ndarray:
+    """Median filter along the last axis with edge replication (whisper
+    timing.py median_filter semantics)."""
+    if width <= 1 or x.shape[-1] == 0:
+        return x
+    pad = width // 2
+    xp = np.concatenate(
+        [np.repeat(x[..., :1], pad, axis=-1), x,
+         np.repeat(x[..., -1:], pad, axis=-1)], axis=-1
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(xp, width, axis=-1)
+    return np.median(windows, axis=-1)
+
+
+def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotonic DTW path through ``cost`` (N_tokens, N_frames), whisper's
+    step set {(1,0), (0,1), (1,1)}. Returns (text_indices, time_indices)."""
+    N, M = cost.shape
+    D = np.full((N + 1, M + 1), np.inf, dtype=np.float64)
+    D[0, 0] = 0.0
+    trace = np.zeros((N + 1, M + 1), dtype=np.int8)
+    for i in range(1, N + 1):
+        row_prev = D[i - 1]
+        row = D[i]
+        for j in range(1, M + 1):
+            c0, c1, c2 = row_prev[j - 1], row_prev[j], row[j - 1]
+            if c0 <= c1 and c0 <= c2:
+                best, t = c0, 0
+            elif c1 <= c2:
+                best, t = c1, 1
+            else:
+                best, t = c2, 2
+            row[j] = cost[i - 1, j - 1] + best
+            trace[i, j] = t
+    i, j = N, M
+    text, time = [], []
+    while i > 0 and j > 0:
+        text.append(i - 1)
+        time.append(j - 1)
+        t = trace[i, j]
+        if t == 0:
+            i, j = i - 1, j - 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(text[::-1]), np.asarray(time[::-1])
+
+
+def default_alignment_heads(n_layers: int, n_heads: int) -> list[tuple[int, int]]:
+    """whisper's fallback when no curated mask ships with the model: every
+    head of the upper half of decoder layers."""
+    return [(l, h) for l in range(n_layers // 2, n_layers) for h in range(n_heads)]
+
+
+def token_times(
+    weights: np.ndarray,   # (n_align_heads, n_text_tokens, n_frames)
+    num_frames: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (start_times, end_times) in seconds for each of the n_text_tokens.
+
+    ``weights`` rows are the alignment heads' attention over encoder frames
+    for the TEXT tokens only (prompt and EOT rows already dropped).
+    ``num_frames`` trims the padded 30-s window to the clip's real frames
+    (weights are renormalized over the kept span).
+    """
+    w = weights.astype(np.float64)
+    if num_frames is not None and num_frames < w.shape[-1]:
+        w = w[..., :num_frames]
+        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-12)
+    # std-normalize per head over the token axis, then median-filter along
+    # frames (whisper timing.py:189-196)
+    std = w.std(axis=-2, keepdims=True) + 1e-12
+    mean = w.mean(axis=-2, keepdims=True)
+    w = (w - mean) / std
+    w = median_filter(w)
+    matrix = w.mean(axis=0)  # (tokens, frames)
+    if matrix.shape[0] == 0:
+        return np.zeros(0), np.zeros(0)
+    text_idx, time_idx = dtw(-matrix)
+    # first frame index per token = start; last+1 = end (whisper's jump times)
+    jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
+    jump_times = time_idx[jumps] / TOKENS_PER_SECOND
+    starts = jump_times
+    ends = np.concatenate(
+        [jump_times[1:], [time_idx[-1] / TOKENS_PER_SECOND + 1 / TOKENS_PER_SECOND]]
+    )
+    return starts, ends
+
+
+def group_words(
+    pieces: list[str], starts: np.ndarray, ends: np.ndarray
+) -> list[dict]:
+    """Merge token pieces into words (whisper split_tokens_on_spaces for
+    spaced languages: a piece starting with a space — or a ``<tok:`` marker
+    when no tokenizer assets exist — begins a new word)."""
+    words: list[dict] = []
+    for piece, s, e in zip(pieces, starts, ends):
+        new_word = (
+            not words
+            or piece.startswith(" ")
+            or piece.startswith("<tok:")
+        )
+        if new_word:
+            words.append({"word": piece, "start": float(s), "end": float(e)})
+        else:
+            words[-1]["word"] += piece
+            words[-1]["end"] = float(e)
+    for wd in words:
+        wd["word"] = wd["word"].strip() or wd["word"]
+    return words

@@ -156,6 +156,22 @@ def tokenizer_available(n_vocab: int) -> bool:
     return _byte_decoder(special_tokens(n_vocab).multilingual) is not None
 
 
+def token_pieces(tokens, n_vocab: int) -> list[str]:
+    """Per-token rendered text pieces (for word-boundary grouping).
+
+    With BPE assets each piece is that token's bytes decoded leniently (a
+    piece may hold part of a multi-byte character — concatenation equals
+    ``decode_text``'s output only when pieces are re-joined at the BYTE level,
+    so callers grouping pieces into words should tolerate replacement chars
+    at word boundaries); without assets, ``<tok:N>`` markers."""
+    st = special_tokens(n_vocab)
+    content = [int(t) for t in tokens if int(t) < st.eot]
+    table = _byte_decoder(st.multilingual)
+    if table is None:
+        return [f"<tok:{t}>" for t in content]
+    return [table.get(t, b"?").decode("utf-8", errors="replace") for t in content]
+
+
 # --------------------------------------------------------------- suppression
 
 @lru_cache(maxsize=4)

@@ -36,11 +36,13 @@ def transcribe_folder(
     fallback: bool = False,
     max_new_tokens: int = 224,
     precision: str = "float32",
+    word_timestamps: bool = False,
     verbose: bool = True,
-) -> dict[str, str]:
-    """→ {file path: transcript} for every decodable audio file under
-    ``data_path`` (undecodable files degrade to a per-file error marker,
-    matching the collection pipeline's policy)."""
+) -> dict:
+    """→ {file path: transcript} — or, with ``word_timestamps``,
+    {file path: {"text", "words": [{"word", "start", "end"}, …]}} — for every
+    decodable audio file under ``data_path`` (undecodable files degrade to a
+    per-file error marker, matching the collection pipeline's policy)."""
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     rt = WhisperRuntime(
         model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
@@ -57,7 +59,18 @@ def transcribe_folder(
             mels = np.concatenate(
                 [mels, np.repeat(mels[-1:], batch_size - n, axis=0)], axis=0
             )
-        if fallback or beam_size:
+        words = None
+        if word_timestamps:
+            from ..analysis.features import activation_length_from_samples
+
+            n_frames = np.array(
+                [activation_length_from_samples(max(int(ln), 0))
+                 for ln in lengths]
+                + [1500] * (batch_size - n)
+            )
+            texts, words = rt.transcribe_with_word_timestamps(
+                jnp.asarray(mels), num_frames=n_frames)
+        elif fallback or beam_size:
             texts = rt.transcribe_with_fallback(
                 jnp.asarray(mels), beam_size=beam_size,
                 temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if fallback
@@ -65,10 +78,15 @@ def transcribe_folder(
             )
         else:
             texts = rt.transcribe(jnp.asarray(mels))
-        for f, t, ln in zip(files, texts, lengths):
-            out[f] = t if ln >= 0 else "<decode-failed>"
+        for j, (f, t, ln) in enumerate(zip(files, texts, lengths)):
+            if ln < 0:
+                out[f] = "<decode-failed>"
+            elif words is not None:
+                out[f] = {"text": t, "words": words[j]}
+            else:
+                out[f] = t
             if verbose:
-                print(json.dumps({"file": f, "text": out[f]}))
+                print(json.dumps({"file": f, "result": out[f]}))
     return out
 
 
@@ -84,12 +102,15 @@ def main() -> None:
     ap.add_argument("--max_new_tokens", type=int, default=224)
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--word_timestamps", action="store_true",
+                    help="cross-attention DTW word timings per file")
     ap.add_argument("--out", default=None, help="write {file: text} JSON here")
     args = ap.parse_args()
 
     result = transcribe_folder(
         args.data_path, args.model, args.batch_size, args.language,
         args.beam_size, args.fallback, args.max_new_tokens, args.precision,
+        args.word_timestamps,
     )
     if args.out:
         with open(args.out, "w") as f:

@@ -42,6 +42,17 @@ def test_transcribe_folder_plain_and_fallback(tmp_path):
     )
     assert sorted(out_fb) == sorted(paths)
 
+    out_wt = transcribe_folder(
+        str(tmp_path / "audio"), model="test:tiny", batch_size=2,
+        language="en", max_new_tokens=4, word_timestamps=True, verbose=False,
+    )
+    assert sorted(out_wt) == sorted(paths)
+    for v in out_wt.values():
+        assert set(v) == {"text", "words"}
+        for wd in v["words"]:
+            # 1-second clips: trimmed alignment must stay in [0, ~1.1 s]
+            assert 0.0 <= wd["start"] <= wd["end"] <= 1.2
+
 
 def test_transcribe_cli_writes_json(tmp_path, monkeypatch, capsys):
     import sys

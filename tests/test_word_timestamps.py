@@ -1,0 +1,68 @@
+"""Word-timestamp alignment: DTW machinery + runtime surface (random weights)."""
+
+import numpy as np
+
+from freud_tpu.models.whisper import timing
+
+
+def test_dtw_identity_diagonal():
+    """A strongly diagonal similarity matrix must align token i ~ frame i."""
+    n = 8
+    sim = np.full((n, n), -1.0)
+    np.fill_diagonal(sim, 1.0)
+    text_idx, time_idx = timing.dtw(-sim)
+    # monotonic full-coverage path hitting every diagonal cell
+    assert text_idx[0] == 0 and time_idx[0] == 0
+    assert text_idx[-1] == n - 1 and time_idx[-1] == n - 1
+    diag = {(i, j) for i, j in zip(text_idx, time_idx)}
+    assert all((i, i) in diag for i in range(n))
+
+
+def test_median_filter_matches_naive():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 20))
+    got = timing.median_filter(x, 5)
+    pad = np.concatenate([x[:, :1]] * 2 + [x] + [x[:, -1:]] * 2, axis=1)
+    want = np.stack(
+        [np.median(pad[:, j:j + 5], axis=1) for j in range(20)], axis=1
+    )
+    np.testing.assert_allclose(got, want)
+
+
+def test_token_times_monotonic_synthetic():
+    """Synthetic attention marching left→right over frames must produce
+    non-decreasing, in-range times."""
+    rng = np.random.default_rng(1)
+    heads, toks, frames = 4, 10, 100
+    w = np.zeros((heads, toks, frames))
+    centers = np.linspace(5, 90, toks).astype(int)
+    for t, c in enumerate(centers):
+        w[:, t, c - 3:c + 3] = 1.0
+    w += rng.random(w.shape) * 0.01
+    w /= w.sum(-1, keepdims=True)
+    starts, ends = timing.token_times(w)
+    assert (np.diff(starts) >= 0).all()
+    assert (ends >= starts).all()
+    assert starts.min() >= 0 and ends.max() <= frames / timing.TOKENS_PER_SECOND
+
+
+def test_runtime_word_timestamps_structural():
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=8, language="en")
+    mels = np.random.default_rng(2).standard_normal((2, 80, 3000)).astype(np.float32)
+    texts, words = rt.transcribe_with_word_timestamps(mels)
+    assert len(texts) == len(words) == 2
+    for ws in words:
+        for wd in ws:
+            assert set(wd) == {"word", "start", "end"}
+            assert 0.0 <= wd["start"] <= wd["end"] <= 30.0
+        starts = [wd["start"] for wd in ws]
+        assert starts == sorted(starts)
+
+    # trimming to real frames keeps times within the shorter window
+    texts2, words2 = rt.transcribe_with_word_timestamps(
+        mels, num_frames=np.array([750, 750]))
+    for ws in words2:
+        for wd in ws:
+            assert wd["end"] <= 15.0 + 1e-6
