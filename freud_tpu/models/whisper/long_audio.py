@@ -1,0 +1,166 @@
+"""Arbitrary-length transcription: whisper.transcribe's 30-s seek loop.
+
+The reference (and this framework's parity surfaces) pad-or-trim everything
+to one 30-s window (src/utils/audio_utils.py:76-99); this module is the
+beyond-parity long-audio path, following whisper transcribe.py's structure:
+
+* ``full_log_mel`` — the log-mel of the WHOLE recording. whisper computes one
+  STFT over audio + 30 s of trailing zeros and applies the dynamic-range
+  floor against the GLOBAL max; here the identical result comes from fixed-
+  shape device chunks (3000 frames each, sliced with their 480-sample halo
+  from the host-padded stream — so every interior frame sees its true
+  neighbor samples, with reflection only at the real edges), log10'd
+  unfloored, then floored host-side against the global max. One compiled
+  shape regardless of duration.
+* ``transcribe_long`` — the seek loop: decode a (1, n_mels, 3000) window,
+  split the token stream on consecutive timestamp pairs into segments,
+  advance ``seek`` to the last closed timestamp (or the full window when the
+  decode ran off the end), repeat. Timestamp tokens are 0.02 s apart; seek is
+  tracked in mel frames (2 mel frames per timestamp tick).
+
+Documented divergences from whisper.transcribe: no ``no_speech`` gating (the
+scan decoder does not expose the SOT-step no-speech probability) and no
+``condition_on_previous_text`` prompt threading.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import HOP_LENGTH, N_FRAMES, N_SAMPLES
+from .tokenizer import special_tokens
+
+_TIME_PRECISION = 0.02          # seconds per timestamp token
+_FRAMES_PER_TICK = 2            # mel frames per timestamp token
+
+
+@partial(jax.jit, static_argnames=("n_mels",))
+def _chunk_log10_mel(window: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """(480480,) haloed sample window → (3000, n_mels) UNFLOORED log10-mel."""
+    from ...audio.filters import mel_filterbank
+    from ...audio.mel import N_FREQS, _dft_basis, frame_signal
+
+    frames = frame_signal(window, N_FRAMES)
+    proj = jnp.dot(frames, jnp.asarray(_dft_basis()),
+                   precision=jax.lax.Precision.HIGHEST)
+    re, im = proj[..., :N_FREQS], proj[..., N_FREQS:]
+    power = re * re + im * im
+    mel = jnp.dot(power, jnp.asarray(mel_filterbank(n_mels).T),
+                  precision=jax.lax.Precision.HIGHEST)
+    return jnp.log10(jnp.clip(mel, min=1e-10))
+
+
+def full_log_mel(audio: np.ndarray, n_mels: int) -> np.ndarray:
+    """Whole-recording whisper log-mel → (n_mels, total_frames) float32,
+    where total_frames = (len(audio) + N_SAMPLES) // HOP_LENGTH (the trailing
+    30 s of zero padding whisper appends is included, its frames too)."""
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    if len(audio) < HOP_LENGTH + 1:  # reflect needs content; degenerate clip
+        audio = np.pad(audio, (0, HOP_LENGTH + 1 - len(audio)))
+    total_frames = (len(audio) + N_SAMPLES) // HOP_LENGTH
+    pad = 200
+    halo = N_FRAMES * HOP_LENGTH + 480  # chunk window length 480480
+    stream = np.concatenate([
+        audio[pad:0:-1], audio,
+        np.zeros(N_SAMPLES + halo, np.float32),
+    ])
+    chunks = []
+    for f0 in range(0, total_frames, N_FRAMES):
+        window = stream[f0 * HOP_LENGTH: f0 * HOP_LENGTH + halo]
+        if len(window) < halo:
+            window = np.pad(window, (0, halo - len(window)))
+        chunks.append(np.asarray(_chunk_log10_mel(jnp.asarray(window), n_mels)))
+    log_spec = np.concatenate(chunks, axis=0)[:total_frames]  # (T, n_mels)
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return np.ascontiguousarray(log_spec.T)
+
+
+def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
+    """Split one window's generated tokens on paired timestamps.
+
+    → (segments ``[{"start", "end", "text_tokens"}]``, seek_advance_frames).
+    whisper transcribe.py: consecutive timestamp tokens close a segment; a
+    window ending on a lone timestamp seeks to it, otherwise the whole
+    window is consumed.
+    """
+    ts0 = st.timestamp_begin
+    toks = [int(t) for t in gen]
+    if st.eot in toks:
+        toks = toks[: toks.index(st.eot)]
+    is_ts = [t >= ts0 for t in toks]
+    consecutive = [i + 1 for i in range(len(toks) - 1) if is_ts[i] and is_ts[i + 1]]
+
+    segments = []
+    if consecutive:
+        last_slice = 0
+        for boundary in consecutive:
+            piece = toks[last_slice:boundary]
+            start_ts = piece[0] - ts0 if piece and is_ts[last_slice] else 0
+            end_ts = piece[-1] - ts0
+            segments.append({
+                "start": seek_time + start_ts * _TIME_PRECISION,
+                "end": seek_time + end_ts * _TIME_PRECISION,
+                "text_tokens": [t for t in piece if t < st.eot],
+            })
+            last_slice = boundary
+        ended_with_single = is_ts[-1] and (len(toks) < 2 or not is_ts[-2])
+        if ended_with_single:
+            # trailing lone timestamp opens an unfinished segment: seek to it
+            advance_ticks = toks[-1] - ts0
+        else:
+            advance_ticks = toks[consecutive[-1] - 1] - ts0
+        advance = max(advance_ticks * _FRAMES_PER_TICK, 1)
+    else:
+        ts = [t - ts0 for t, f in zip(toks, is_ts) if f]
+        start = seek_time + (ts[0] * _TIME_PRECISION if ts else 0.0)
+        end = seek_time + (ts[-1] * _TIME_PRECISION
+                           if len(ts) > 1 else window_s)
+        text = [t for t in toks if t < st.eot]
+        if text:
+            segments.append({"start": start, "end": end, "text_tokens": text})
+        advance = N_FRAMES
+    return segments, advance
+
+
+def transcribe_long(runtime, audio: np.ndarray, verbose: bool = False) -> dict:
+    """→ {"text", "segments": [{"start", "end", "text"}, …]} for a waveform of
+    any length, via ``runtime``'s (batch-1, fixed-shape) decode programs."""
+    from .decoding import greedy_decode
+    from .tokenizer import decode_text
+
+    dims = runtime.dims
+    st = special_tokens(dims.n_vocab)
+    mel = full_log_mel(audio, dims.n_mels)
+    content_frames = max(mel.shape[-1] - N_FRAMES, 1)
+
+    segments: list[dict] = []
+    seek = 0  # in mel frames (10 ms each)
+    while seek < content_frames:
+        win = mel[:, seek: seek + N_FRAMES]
+        if win.shape[-1] < N_FRAMES:
+            win = np.pad(win, ((0, 0), (0, N_FRAMES - win.shape[-1])),
+                         constant_values=-0.75)  # whisper zero-audio mel value
+        encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
+        prompt, n_prompt = runtime._prompt(encoded)
+        tokens = np.asarray(greedy_decode(
+            runtime.params, dims, encoded, prompt, n_prompt,
+            max_new=runtime.max_new_tokens,
+        ))[0]
+        gen = tokens[n_prompt:]
+        window_s = min((content_frames - seek) * 0.01, 30.0)
+        segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)
+        for s in segs:
+            s["text"] = decode_text(s.pop("text_tokens"), dims.n_vocab)
+            if verbose:
+                print(f"[{s['start']:.2f} -> {s['end']:.2f}] {s['text']}")
+        segments.extend(segs)
+        seek += advance
+    return {
+        "text": "".join(s["text"] for s in segments),
+        "segments": segments,
+    }

@@ -254,6 +254,13 @@ class WhisperRuntime:
             words.append(timing.group_words(pieces, starts, ends))
         return texts, words
 
+    def transcribe_long(self, audio: np.ndarray, verbose: bool = False) -> dict:
+        """Arbitrary-length transcription: whisper.transcribe's 30-s seek
+        loop (see models/whisper/long_audio.py). → {"text", "segments"}."""
+        from .long_audio import transcribe_long
+
+        return transcribe_long(self, audio, verbose=verbose)
+
     # -- helpers ------------------------------------------------------------
 
     @staticmethod

@@ -90,6 +90,37 @@ def transcribe_folder(
     return out
 
 
+def transcribe_folder_long(
+    data_path: str,
+    model: str = "tiny",
+    language: str | None = None,
+    max_new_tokens: int = 224,
+    precision: str = "float32",
+    verbose: bool = True,
+) -> dict:
+    """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
+    duration, each decoded window at a fixed compiled shape."""
+    from ..audio.decode import load_audio
+    from ..data.audio_dataset import list_audio_files
+
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    rt = WhisperRuntime(
+        model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
+        language=language,
+    )
+    out: dict = {}
+    for f in list_audio_files(data_path):
+        try:
+            audio = load_audio(f)
+        except RuntimeError:
+            out[f] = "<decode-failed>"
+            continue
+        out[f] = rt.transcribe_long(audio)
+        if verbose:
+            print(json.dumps({"file": f, "result": out[f]}))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data_path", required=True)
@@ -104,14 +135,23 @@ def main() -> None:
                     choices=["float32", "bfloat16"])
     ap.add_argument("--word_timestamps", action="store_true",
                     help="cross-attention DTW word timings per file")
+    ap.add_argument("--long", action="store_true",
+                    help="30-s seek loop for arbitrary-length audio "
+                         "(whisper.transcribe); yields timed segments")
     ap.add_argument("--out", default=None, help="write {file: text} JSON here")
     args = ap.parse_args()
 
-    result = transcribe_folder(
-        args.data_path, args.model, args.batch_size, args.language,
-        args.beam_size, args.fallback, args.max_new_tokens, args.precision,
-        args.word_timestamps,
-    )
+    if args.long:
+        result = transcribe_folder_long(
+            args.data_path, args.model, args.language, args.max_new_tokens,
+            args.precision,
+        )
+    else:
+        result = transcribe_folder(
+            args.data_path, args.model, args.batch_size, args.language,
+            args.beam_size, args.fallback, args.max_new_tokens, args.precision,
+            args.word_timestamps,
+        )
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

@@ -1,0 +1,89 @@
+"""Long-audio path: whole-recording mel exactness + the 30-s seek loop."""
+
+import numpy as np
+
+from freud_tpu.constants import HOP_LENGTH, N_FRAMES, N_SAMPLES
+from freud_tpu.models.whisper import long_audio, special_tokens
+
+
+def test_full_log_mel_matches_single_window():
+    """For a 30-s clip the first 3000 frames must equal the standard
+    single-window mel (same math, chunked with true-neighbor halos) — except
+    the final ~2 frames: the single-window path reflect-pads at the 30-s
+    edge while the long-form stream correctly continues into whisper's
+    trailing zero padding (transcribe.py pads zeros, then reflects only at
+    the true recording ends)."""
+    import jax.numpy as jnp
+    from freud_tpu.audio.mel import log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(N_SAMPLES).astype(np.float32) * 0.1
+    full = long_audio.full_log_mel(audio, 80)
+    want = np.asarray(log_mel_spectrogram(jnp.asarray(audio), 80))
+    assert full.shape == (80, (2 * N_SAMPLES) // HOP_LENGTH)
+    np.testing.assert_allclose(full[:, :N_FRAMES - 2], want[:, :N_FRAMES - 2],
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_full_log_mel_interior_chunk_boundary_is_seamless():
+    """Frames straddling the 3000-frame chunk boundary of a 60-s recording
+    must match a direct computation over a window centered there (no
+    boundary artifacts from chunking)."""
+    import jax.numpy as jnp
+    from freud_tpu.audio.mel import frame_signal, _dft_basis, N_FREQS
+    from freud_tpu.audio.filters import mel_filterbank
+    import jax
+
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(2 * N_SAMPLES).astype(np.float32) * 0.1
+    full = long_audio.full_log_mel(audio, 80)
+
+    # direct: frames 2990..3010 from the padded stream, no chunking
+    pad = 200
+    stream = np.concatenate([audio[pad:0:-1], audio, np.zeros(N_SAMPLES, np.float32)])
+    f0 = 2990
+    window = stream[f0 * HOP_LENGTH: f0 * HOP_LENGTH + 20 * HOP_LENGTH + 480]
+    frames = np.asarray(frame_signal(jnp.asarray(window), 20))
+    proj = frames @ np.asarray(_dft_basis())
+    power = proj[:, :N_FREQS] ** 2 + proj[:, N_FREQS:] ** 2
+    mel = power @ mel_filterbank(80).T
+    want = np.log10(np.clip(mel, 1e-10, None))
+    got_unfloored = full[:, f0:f0 + 20].T * 4.0 - 4.0
+    # undo the global floor only where it did not clamp
+    mask = got_unfloored > (full.max() * 4.0 - 4.0 - 8.0 + 1e-6)
+    np.testing.assert_allclose(got_unfloored[mask], want[mask],
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_parse_segments_pairs_and_seek():
+    st = special_tokens(51865)
+    ts0 = st.timestamp_begin
+    gen = np.array([ts0 + 0, 100, 101, ts0 + 150, ts0 + 150, 102, ts0 + 200,
+                    st.eot, st.eot])
+    segs, advance = long_audio._parse_segments(gen, st, seek_time=10.0,
+                                               window_s=30.0)
+    assert len(segs) >= 1
+    assert segs[0]["start"] == 10.0 and abs(segs[0]["end"] - 13.0) < 1e-6
+    assert segs[0]["text_tokens"] == [100, 101]
+    # window ended on a lone timestamp → seek advances to it (200 ticks)
+    assert advance == 200 * 2
+
+    # no consecutive pair: whole window consumed
+    gen2 = np.array([ts0 + 0, 100, 101, st.eot])
+    segs2, advance2 = long_audio._parse_segments(gen2, st, 0.0, 30.0)
+    assert advance2 == N_FRAMES
+    assert segs2 and segs2[0]["text_tokens"] == [100, 101]
+
+
+def test_transcribe_long_end_to_end():
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
+    audio = np.random.default_rng(2).standard_normal(int(16000 * 45)).astype(
+        np.float32) * 0.1
+    out = rt.transcribe_long(audio)
+    assert set(out) == {"text", "segments"}
+    assert isinstance(out["text"], str)
+    for s in out["segments"]:
+        assert 0.0 <= s["start"] <= s["end"] <= 45.0 + 30.0
+        assert isinstance(s["text"], str)
