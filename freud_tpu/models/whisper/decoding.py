@@ -215,11 +215,13 @@ def sample_decode(
     whisper.transcribe fallback schedule 0.0 → 1.0): 0 means argmax, > 0
     samples from softmax(logits / temperature) (whisper decoding.py
     GreedyDecoder.update). Returns ``(tokens (b, n_prompt+max_new) EOT-padded,
-    sum_logprob (b,), n_text (b,))`` where sum_logprob accumulates the
-    post-rules log-probability of every sampled token up to and including the
-    first EOT and n_text counts sampled non-EOT tokens — so whisper's
-    ``avg_logprob = sum_logprob / (n_text + 1)`` (transcribe.py's fallback
-    statistic) is reproducible exactly."""
+    sum_logprob (b,), n_text (b,), no_speech_prob (b,))`` where sum_logprob
+    accumulates the post-rules log-probability of every sampled token up to
+    and including the first EOT and n_text counts sampled non-EOT tokens — so
+    whisper's ``avg_logprob = sum_logprob / (n_text + 1)`` (transcribe.py's
+    fallback statistic) is reproducible exactly. ``no_speech_prob`` is the
+    raw-logits softmax mass of <|nospeech|> at the SOT step (whisper's
+    silence statistic)."""
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
     L, d = dims.n_text_layer, dims.n_text_state
@@ -239,9 +241,16 @@ def sample_decode(
     self_v = jnp.zeros((L, b, ctx, d), encoded.dtype)
 
     def step(carry, pos):
-        token, prev, max_ts, sk, sv, finished, sum_lp, n_text = carry
+        token, prev, max_ts, sk, sv, finished, sum_lp, n_text, nsp = carry
         logits, sk, sv = _decode_step(
             params, dims, token, pos, sk, sv, (cross_k, cross_v)
+        )
+        # no_speech prob from the RAW logits at the SOT step (pos 0), before
+        # any suppression (whisper decoding.py probs_at_sot → no_speech_probs)
+        nsp = jnp.where(
+            pos == 0,
+            jax.nn.softmax(logits, axis=-1)[:, st.no_speech],
+            nsp,
         )
         at_first = pos + 1 == n_prompt
         logits = _apply_rules(logits, token, prev, max_ts, at_first, st,
@@ -273,7 +282,8 @@ def sample_decode(
         new_max = jnp.where(
             (next_tok >= ts0) & ~finished, jnp.maximum(max_ts, next_tok), max_ts
         )
-        return (next_tok, token, new_max, sk, sv, finished, sum_lp, n_text), next_tok
+        return (next_tok, token, new_max, sk, sv, finished, sum_lp, n_text,
+                nsp), next_tok
 
     init = (
         prompt[:, 0],
@@ -284,11 +294,12 @@ def sample_decode(
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.float32),
         jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.float32),
     )
     carry, tokens = jax.lax.scan(step, init, jnp.arange(ctx - 1))
     tokens = jnp.moveaxis(tokens, 0, 1)  # (b, ctx-1)
     tokens = jnp.concatenate([prompt[:, :1], tokens], axis=1)
-    return tokens, carry[6], carry[7]
+    return tokens, carry[6], carry[7], carry[8]
 
 
 def greedy_decode(

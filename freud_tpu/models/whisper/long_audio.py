@@ -127,10 +127,21 @@ def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
     return segments, advance
 
 
-def transcribe_long(runtime, audio: np.ndarray, verbose: bool = False) -> dict:
+def transcribe_long(
+    runtime,
+    audio: np.ndarray,
+    verbose: bool = False,
+    no_speech_threshold: float | None = 0.6,
+    logprob_threshold: float | None = -1.0,
+) -> dict:
     """→ {"text", "segments": [{"start", "end", "text"}, …]} for a waveform of
-    any length, via ``runtime``'s (batch-1, fixed-shape) decode programs."""
-    from .decoding import greedy_decode
+    any length, via ``runtime``'s (batch-1, fixed-shape) decode programs.
+
+    Silence gating matches whisper transcribe.py: a window whose SOT-step
+    <|nospeech|> probability exceeds ``no_speech_threshold`` is skipped —
+    unless its avg_logprob beats ``logprob_threshold`` (confident decode
+    overrides the silence call)."""
+    from .decoding import sample_decode
     from .tokenizer import decode_text
 
     dims = runtime.dims
@@ -147,10 +158,16 @@ def transcribe_long(runtime, audio: np.ndarray, verbose: bool = False) -> dict:
                          constant_values=-0.75)  # whisper zero-audio mel value
         encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
         prompt, n_prompt = runtime._prompt(encoded)
-        tokens = np.asarray(greedy_decode(
+        tokens, sum_lp, n_text, nsp = sample_decode(
             runtime.params, dims, encoded, prompt, n_prompt,
             max_new=runtime.max_new_tokens,
-        ))[0]
+        )
+        if no_speech_threshold is not None and float(nsp[0]) > no_speech_threshold:
+            avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
+            if logprob_threshold is None or avg_lp < logprob_threshold:
+                seek += N_FRAMES  # silent window: skip it entirely
+                continue
+        tokens = np.asarray(tokens)[0]
         gen = tokens[n_prompt:]
         window_s = min((content_frames - seek) * 0.01, 30.0)
         segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)

@@ -172,7 +172,7 @@ class WhisperRuntime:
                     max_new=self.max_new_tokens, beam_size=beam_size,
                 )
             else:
-                tokens, sum_lp, n_text = sample_decode(
+                tokens, sum_lp, n_text, _ = sample_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, temperature=float(t),
                     key=jax.random.PRNGKey(seed + ti),
@@ -254,12 +254,14 @@ class WhisperRuntime:
             words.append(timing.group_words(pieces, starts, ends))
         return texts, words
 
-    def transcribe_long(self, audio: np.ndarray, verbose: bool = False) -> dict:
+    def transcribe_long(self, audio: np.ndarray, verbose: bool = False,
+                        **kw) -> dict:
         """Arbitrary-length transcription: whisper.transcribe's 30-s seek
-        loop (see models/whisper/long_audio.py). → {"text", "segments"}."""
+        loop with no-speech gating (see models/whisper/long_audio.py).
+        → {"text", "segments"}."""
         from .long_audio import transcribe_long
 
-        return transcribe_long(self, audio, verbose=verbose)
+        return transcribe_long(self, audio, verbose=verbose, **kw)
 
     # -- helpers ------------------------------------------------------------
 

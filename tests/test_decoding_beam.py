@@ -70,12 +70,14 @@ def test_sampled_decode_statistics(setup):
     import jax
 
     params, dims, encoded, prompt, st = setup
-    tok0, slp0, nt0 = sample_decode(
+    tok0, slp0, nt0, nsp0 = sample_decode(
         params, dims, encoded, prompt, 3, max_new=MAX_NEW, temperature=0.0)
     greedy = greedy_decode(params, dims, encoded, prompt, 3, max_new=MAX_NEW)
     np.testing.assert_array_equal(np.asarray(tok0), np.asarray(greedy))
+    nsp0 = np.asarray(nsp0)
+    assert ((0.0 <= nsp0) & (nsp0 <= 1.0)).all()
 
-    tok1, slp1, nt1 = sample_decode(
+    tok1, slp1, nt1, _ = sample_decode(
         params, dims, encoded, prompt, 3, max_new=MAX_NEW, temperature=0.8,
         key=jax.random.PRNGKey(7))
     tok1 = np.asarray(tok1)
