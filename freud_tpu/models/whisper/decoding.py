@@ -45,10 +45,17 @@ def precompute_cross_kv(params: Params, dims: WhisperDims, encoded: jnp.ndarray)
     return kvs
 
 
-def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv):
+def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
+                 start=None):
     """One decoder step at position ``pos``: (b,) token → (b, vocab) logits.
 
     self_k/self_v: per-layer ring buffers, each (L, b, ctx, d).
+
+    ``start`` (optional, (b,) int32) left-crops the sequence per clip: buffer
+    positions < start are masked out of attention and position embeddings are
+    indexed at ``pos − start`` — the fixed-shape mechanism behind
+    variable-length conditioned prompts (condition_on_previous_text): one
+    compiled program serves every history length.
     """
     p = params["decoder"]
     heads = dims.n_text_head
@@ -57,11 +64,22 @@ def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv):
     scale = dh ** -0.25
     ctx = self_k.shape[-2]
 
-    x = p["tok_emb"][token][:, None, :] + jax.lax.dynamic_slice_in_dim(
-        p["pos"], pos, 1, axis=0
-    )  # (b, 1, d)
-
-    pos_mask = (jnp.arange(ctx) <= pos)[None, None, None, :]  # causal over cache
+    if start is None:
+        pe = jax.lax.dynamic_slice_in_dim(p["pos"], pos, 1, axis=0)  # (1, d)
+        x = p["tok_emb"][token][:, None, :] + pe
+        pos_mask = (jnp.arange(ctx) <= pos)[None, None, None, :]
+    else:
+        posn = jnp.maximum(pos - start, 0)  # (b,)
+        pe = jnp.take(p["pos"], posn, axis=0)[:, None, :]  # (b, 1, d)
+        x = p["tok_emb"][token][:, None, :] + pe
+        cols = jnp.arange(ctx)
+        # every step may attend to ITSELF even inside the pad region — a
+        # no-op for real positions (pos ≥ start already includes it) that
+        # keeps pad-step softmax rows finite: a fully-masked row would go
+        # NaN and poison the layer-1+ KV cache through 0·NaN
+        pos_mask = ((cols[None, :] <= pos)
+                    & ((cols[None, :] >= start[:, None]) | (cols == pos))
+                    )[:, None, None, :]  # (b, 1, 1, ctx)
 
     new_k, new_v = [], []
     for i, block in enumerate(p["blocks"]):
@@ -208,7 +226,8 @@ def sample_decode(
     max_new: int = 224,
     temperature: jnp.ndarray | float = 0.0,
     key: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    start: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode token ids with optional temperature sampling.
 
     ``temperature`` is a TRACED scalar (one compiled program serves the whole
@@ -221,7 +240,11 @@ def sample_decode(
     whisper's ``avg_logprob = sum_logprob / (n_text + 1)`` (transcribe.py's
     fallback statistic) is reproducible exactly. ``no_speech_prob`` is the
     raw-logits softmax mass of <|nospeech|> at the SOT step (whisper's
-    silence statistic)."""
+    silence statistic). ``start`` ((b,) int32, optional) marks where each
+    clip's prompt really begins inside a fixed-size left-padded prompt
+    buffer — the conditioned-prompt (sot_prev + previous text) mechanism;
+    positions before it are excluded from attention and position numbering
+    (see ``_decode_step``)."""
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
     L, d = dims.n_text_layer, dims.n_text_state
@@ -243,12 +266,14 @@ def sample_decode(
     def step(carry, pos):
         token, prev, max_ts, sk, sv, finished, sum_lp, n_text, nsp = carry
         logits, sk, sv = _decode_step(
-            params, dims, token, pos, sk, sv, (cross_k, cross_v)
+            params, dims, token, pos, sk, sv, (cross_k, cross_v), start=start
         )
-        # no_speech prob from the RAW logits at the SOT step (pos 0), before
-        # any suppression (whisper decoding.py probs_at_sot → no_speech_probs)
+        # no_speech prob from the RAW logits at the SOT step, before any
+        # suppression (whisper decoding.py probs_at_sot → no_speech_probs);
+        # keyed on the token rather than pos 0 so conditioned prompts (where
+        # sot sits after the sot_prev history) capture the right step
         nsp = jnp.where(
-            pos == 0,
+            token == st.sot,
             jax.nn.softmax(logits, axis=-1)[:, st.no_speech],
             nsp,
         )

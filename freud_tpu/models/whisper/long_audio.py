@@ -133,6 +133,8 @@ def transcribe_long(
     verbose: bool = False,
     no_speech_threshold: float | None = 0.6,
     logprob_threshold: float | None = -1.0,
+    condition_on_previous_text: bool = True,
+    history_budget: int | None = None,
 ) -> dict:
     """→ {"text", "segments": [{"start", "end", "text"}, …]} for a waveform of
     any length, via ``runtime``'s (batch-1, fixed-shape) decode programs.
@@ -140,7 +142,16 @@ def transcribe_long(
     Silence gating matches whisper transcribe.py: a window whose SOT-step
     <|nospeech|> probability exceeds ``no_speech_threshold`` is skipped —
     unless its avg_logprob beats ``logprob_threshold`` (confident decode
-    overrides the silence call)."""
+    overrides the silence call).
+
+    ``condition_on_previous_text`` threads the previous windows' text tokens
+    into the prompt as ``<|startofprev|> history… <|sot|>…`` (whisper
+    transcribe.py's all_tokens prompt). TPU-shape discipline: the prompt
+    lives in a FIXED buffer of ``n_text_ctx − max_new`` slots, left-filled
+    with ``<|startofprev|>`` and carried with a per-clip ``start`` offset
+    (positions before it are masked out of attention and position numbering
+    — decoding.py `_decode_step`), so every window of every recording runs
+    the same compiled program regardless of history length."""
     from .decoding import sample_decode
     from .tokenizer import decode_text
 
@@ -150,6 +161,7 @@ def transcribe_long(
     content_frames = max(mel.shape[-1] - N_FRAMES, 1)
 
     segments: list[dict] = []
+    history: list[int] = []  # previous windows' text tokens
     seek = 0  # in mel frames (10 ms each)
     while seek < content_frames:
         win = mel[:, seek: seek + N_FRAMES]
@@ -158,9 +170,22 @@ def transcribe_long(
                          constant_values=-0.75)  # whisper zero-audio mel value
         encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
         prompt, n_prompt = runtime._prompt(encoded)
+        start = None
+        if condition_on_previous_text:
+            base = [int(t) for t in np.asarray(prompt)[0]]
+            buf_len = dims.n_text_ctx - runtime.max_new_tokens
+            if history_budget is not None:
+                buf_len = min(buf_len, len(base) + 1 + history_budget)
+            tail = history[-(buf_len - len(base) - 1):]
+            seq = [st.sot_prev] + tail + base
+            pad_n = buf_len - len(seq)
+            prompt = jnp.asarray(
+                np.array([[st.sot_prev] * pad_n + seq], np.int32))
+            n_prompt = buf_len
+            start = jnp.asarray(np.array([pad_n], np.int32))
         tokens, sum_lp, n_text, nsp = sample_decode(
             runtime.params, dims, encoded, prompt, n_prompt,
-            max_new=runtime.max_new_tokens,
+            max_new=runtime.max_new_tokens, start=start,
         )
         if no_speech_threshold is not None and float(nsp[0]) > no_speech_threshold:
             avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
@@ -172,7 +197,9 @@ def transcribe_long(
         window_s = min((content_frames - seek) * 0.01, 30.0)
         segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)
         for s in segs:
-            s["text"] = decode_text(s.pop("text_tokens"), dims.n_vocab)
+            toks = s.pop("text_tokens")
+            history.extend(toks)
+            s["text"] = decode_text(toks, dims.n_vocab)
             if verbose:
                 print(f"[{s['start']:.2f} -> {s['end']:.2f}] {s['text']}")
         segments.extend(segs)

@@ -81,9 +81,54 @@ def test_transcribe_long_end_to_end():
     rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
     audio = np.random.default_rng(2).standard_normal(int(16000 * 45)).astype(
         np.float32) * 0.1
-    out = rt.transcribe_long(audio)
+    out = rt.transcribe_long(audio, condition_on_previous_text=False)
     assert set(out) == {"text", "segments"}
     assert isinstance(out["text"], str)
     for s in out["segments"]:
         assert 0.0 <= s["start"] <= s["end"] <= 45.0 + 30.0
         assert isinstance(s["text"], str)
+
+    # conditioned mode (fixed prompt buffer + start offsets) also terminates
+    # and yields well-formed segments
+    out_c = rt.transcribe_long(audio, history_budget=8)
+    assert isinstance(out_c["text"], str)
+    for s in out_c["segments"]:
+        assert 0.0 <= s["start"] <= s["end"] <= 45.0 + 30.0
+
+
+def test_left_padded_prompt_with_start_equals_unpadded():
+    """The conditioned-prompt mechanism must be EXACT: decoding a left-padded
+    prompt buffer with a start offset gives identical tokens/statistics to
+    decoding the unpadded prompt (pad positions fully masked, positions
+    renumbered)."""
+    import jax.numpy as jnp
+    from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
+    from freud_tpu.models.whisper.decoding import sample_decode
+
+    dims = dims_for("test:tiny")
+    params = init_params(dims, seed=3)
+    st = special_tokens(dims.n_vocab)
+    mels = np.random.default_rng(0).standard_normal((2, 80, 3000)).astype(
+        np.float32)
+    encoded, _ = encoder_forward(params, dims, jnp.asarray(mels))
+
+    base = [st.sot_prev, 100, 101, st.sot, st.lang_base, st.transcribe]
+    plain = np.tile(np.asarray(base, np.int32), (2, 1))
+    tok_a, lp_a, nt_a, nsp_a = sample_decode(
+        params, dims, encoded, jnp.asarray(plain), len(base), max_new=10)
+
+    pad_n = 5
+    padded = np.tile(
+        np.asarray([st.sot_prev] * pad_n + base, np.int32), (2, 1))
+    start = jnp.asarray(np.full((2,), pad_n, np.int32))
+    tok_b, lp_b, nt_b, nsp_b = sample_decode(
+        params, dims, encoded, jnp.asarray(padded), len(base) + pad_n,
+        max_new=10, start=start)
+
+    np.testing.assert_array_equal(np.asarray(tok_a),
+                                  np.asarray(tok_b)[:, pad_n:])
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nt_a), np.asarray(nt_b))
+    np.testing.assert_allclose(np.asarray(nsp_a), np.asarray(nsp_b),
+                               rtol=1e-5, atol=1e-7)
