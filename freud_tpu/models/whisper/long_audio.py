@@ -135,6 +135,7 @@ def transcribe_long(
     logprob_threshold: float | None = -1.0,
     condition_on_previous_text: bool = True,
     history_budget: int | None = None,
+    initial_prompt: str | None = None,
 ) -> dict:
     """→ {"text", "segments": [{"start", "end", "text"}, …]} for a waveform of
     any length, via ``runtime``'s (batch-1, fixed-shape) decode programs.
@@ -162,6 +163,12 @@ def transcribe_long(
 
     segments: list[dict] = []
     history: list[int] = []  # previous windows' text tokens
+    if initial_prompt:
+        from .tokenizer import encode_text
+
+        ids = encode_text(" " + initial_prompt.strip(), dims.n_vocab)
+        if ids:  # silently a no-op without tokenizer assets (whisper needs
+            history.extend(ids)  # them to encode the prompt too)
     seek = 0  # in mel frames (10 ms each)
     while seek < content_frames:
         win = mel[:, seek: seek + N_FRAMES]

@@ -172,6 +172,27 @@ def token_pieces(tokens, n_vocab: int) -> list[str]:
     return [table.get(t, b"?").decode("utf-8", errors="replace") for t in content]
 
 
+def encode_text(text: str, n_vocab: int) -> list[int] | None:
+    """BPE-encode plain text (for ``initial_prompt`` conditioning); None
+    without tokenizer assets.
+
+    Pre-tokenizes by splitting on whitespace with the space attached to the
+    following word (the dominant case of the GPT-2 regex); pieces containing
+    trailing punctuation may merge slightly differently than tiktoken's
+    regex, but the ids still decode to the same text — adequate for prompt
+    conditioning, not for exact round-trip tests."""
+    import re
+
+    st = special_tokens(n_vocab)
+    ranks = _encoder_ranks(st.multilingual)
+    if ranks is None:
+        return None
+    out: list[int] = []
+    for piece in re.findall(r"\s*\S+", text):
+        out.extend(_encode_piece(piece, ranks))
+    return out
+
+
 # --------------------------------------------------------------- suppression
 
 @lru_cache(maxsize=4)

@@ -107,3 +107,23 @@ def test_degrades_without_assets(monkeypatch, tmp_path):
         tok._byte_decoder.cache_clear()
         tok._encoder_ranks.cache_clear()
         tok.non_speech_token_ids.cache_clear()
+
+
+def test_encode_text_roundtrip(synthetic_ranks):
+    ids = tok.encode_text(" hi -there", 51865)
+    assert ids is not None
+    # decodes back to the same text
+    assert tok.decode_text(np.asarray(ids), 51865) == " hi -there"
+    # the " -" merge from the table is used
+    assert 256 in ids
+
+
+def test_encode_text_none_without_assets(monkeypatch, tmp_path):
+    monkeypatch.setenv("FREUD_TOKENIZER_DIR", str(tmp_path / "empty"))
+    tok._byte_decoder.cache_clear()
+    tok._encoder_ranks.cache_clear()
+    try:
+        assert tok.encode_text("hello", 51865) is None
+    finally:
+        tok._byte_decoder.cache_clear()
+        tok._encoder_ranks.cache_clear()
