@@ -107,5 +107,7 @@ class AudioBatchPipeline:
                     mels = self._mel_fn(jnp.asarray(buf))
                 yield mels, chunk, lengths
             else:
-                yield None, chunk, lengths
+                # raw (n, N_SAMPLES) host waveforms — the mesh-sharded
+                # collection path computes mel+encode in one sharded jit
+                yield buf, chunk, lengths
         t.join()

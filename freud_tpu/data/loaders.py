@@ -57,10 +57,28 @@ class FlyActivationLoader:
         shuffle: bool = False,  # kept for API parity; file order is deterministic
         compute_dtype=jnp.float32,
         decode_threads: int | None = None,
+        mesh=None,
     ):
+        """``mesh``: a freud_tpu data×model Mesh shards collection over the
+        ``data`` axis — the batch is device_put with the file dim partitioned,
+        mel+encode run as ONE sharded jit (every kernel carries a GSPMD rule,
+        so each chip processes its own files, no collectives), and
+        ``batch_size`` must divide by the data-axis size. Ragged tail batches
+        pad to the full batch shape (one compiled program per run) and trim
+        after compute."""
         self.layer_name = layer_name
         self.runtime = WhisperRuntime(whisper_model, layer_name, compute_dtype=compute_dtype)
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            n_data = mesh.shape[mesh_lib.DATA_AXIS]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data})"
+                )
         self.sae = None
         self.activation_type = "tensor"
         if sae_checkpoint:
@@ -74,17 +92,31 @@ class FlyActivationLoader:
             get_n_mels(whisper_model),
             subset_size=subset_size,
             drop_last=drop_last,
+            compute_mels=mesh is None,
             decode_threads=decode_threads,
         )
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            rep = mesh_lib.replicated(mesh)
+            self.runtime.params = jax.device_put(self.runtime.params, rep)
+            if self.sae is not None:
+                variant, cfg, params = self.sae
+                self.sae = (variant, cfg, jax.device_put(params, rep))
         self._encode_jit = self._build_encode()
         self.activation_shape = self._probe_shape()
 
     def _build_encode(self):
         runtime = self.runtime
         sae = self.sae
+        from_audio = self.mesh is not None
 
         @jax.jit
         def fn(params, sae_params, mels):
+            if from_audio:  # mesh mode: mel computed inside the sharded jit
+                from ..audio.mel import batched_log_mel
+
+                mels = batched_log_mel(mels, runtime.dims.n_mels)
             _, caps = runtime._encode(params, mels)
             acts = caps[runtime.layer_name]
             if sae is None:
@@ -96,6 +128,20 @@ class FlyActivationLoader:
             return (enc.top_acts, enc.top_indices)
 
         return fn
+
+    def _device_batch(self, buf):
+        """Mesh mode: pad a host batch to full batch_size and device_put it
+        with the file dim sharded over the data axis."""
+        from ..parallel import mesh as mesh_lib
+
+        buf = np.asarray(buf)
+        n = buf.shape[0]
+        if n < self.batch_size:
+            buf = np.concatenate(
+                [buf, np.zeros((self.batch_size - n, *buf.shape[1:]),
+                               buf.dtype)], axis=0)
+        return jax.device_put(
+            jnp.asarray(buf), mesh_lib.batch_sharding(self.mesh, buf.ndim))
 
     def _sae_params(self):
         return self.sae[2] if self.sae else None
@@ -121,10 +167,18 @@ class FlyActivationLoader:
     def __len__(self) -> int:
         return len(self.pipeline)
 
+    def _compute(self, mels, n: int):
+        if self.mesh is not None:
+            mels = self._device_batch(mels)
+        with profiling.span("encoder_capture"):
+            outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
+        if self.mesh is not None and n < self.batch_size:
+            outs = tuple(o[:n] for o in outs)
+        return outs
+
     def __iter__(self) -> Iterator[tuple]:
         for mels, filenames, lengths in self.pipeline:
-            with profiling.span("encoder_capture"):
-                outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
+            outs = self._compute(mels, len(filenames))
             yield (*outs, filenames)
 
     def iter_with_lengths(self) -> Iterator[tuple]:
@@ -134,8 +188,7 @@ class FlyActivationLoader:
         batch — the reference would abort the whole run on its first ffmpeg
         failure (audio_utils.py:55-56); collection here degrades per-file."""
         for mels, filenames, lengths in self.pipeline:
-            with profiling.span("encoder_capture"):
-                outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
+            outs = self._compute(mels, len(filenames))
             ok = lengths >= 0
             if not ok.all():
                 bad = [f for f, good in zip(filenames, ok) if not good]

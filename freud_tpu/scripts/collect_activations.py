@@ -40,11 +40,20 @@ def get_activations(
     precision: str = "float32",
     dl_max_workers: int = 0,
     build_index: bool = False,
+    data_parallel: bool = False,
 ) -> dict:
     """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
     captured activations, substantially higher throughput); the default keeps
-    f32 for reference-tolerance parity."""
+    f32 for reference-tolerance parity. ``data_parallel`` shards every batch
+    over the device mesh's data axis (one decode→mel→encoder→SAE pipeline
+    per chip; batch_size must divide by the chip count)."""
     import jax.numpy as jnp
+
+    mesh = None
+    if data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
 
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     loader = FlyActivationLoader(
@@ -56,6 +65,7 @@ def get_activations(
         subset_size=collect_max,
         compute_dtype=compute_dtype,
         decode_threads=dl_max_workers if dl_max_workers > 0 else None,
+        mesh=mesh,
     )
 
     writer: Optional[ActivationStoreWriter] = None
@@ -133,6 +143,7 @@ def main(argv=None):
         precision=config.get("precision", "float32"),
         dl_max_workers=config.get("dl_max_workers", 0),
         build_index=bool(config.get("build_index", False)),
+        data_parallel=bool(config.get("data_parallel", False)),
     )
     print(json.dumps(stats))
 

@@ -96,3 +96,55 @@ def test_collect_topk_sae_indexed(tmp_path):
     results, mpf = top_activations(loader, feat, 2)
     assert len(results) == 2
     assert len(mpf) == 4
+
+
+def test_collect_data_parallel_matches_single_device(tmp_path):
+    """data_parallel collection (batch sharded over the 8-device mesh, mel +
+    encode in one sharded jit, padded tail batch) must produce the same store
+    as the single-device path."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 10)  # 10 files, batch 8 → one full + one padded tail
+
+    single = get_activations(
+        data_path=str(audio), layer_name="encoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=8,
+        out_folder=str(tmp_path / "acts_single"), verbose=False,
+    )
+    sharded = get_activations(
+        data_path=str(audio), layer_name="encoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=8,
+        out_folder=str(tmp_path / "acts_dp"), verbose=False,
+        data_parallel=True,
+    )
+    assert single["n_files"] == sharded["n_files"] == 10
+    a = ActivationStoreReader(tmp_path / "acts_single", "encoder.blocks.1")
+    b = ActivationStoreReader(tmp_path / "acts_dp", "encoder.blocks.1")
+    assert len(a) == len(b) == 10
+    for i in range(10):
+        xa, fa = a[i]
+        xb, fb = b[i]
+        assert fa == fb
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_mesh_loader_rejects_indivisible_batch():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from freud_tpu.data.loaders import FlyActivationLoader
+    from freud_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="divisible"):
+        FlyActivationLoader(
+            data_path="/tmp", whisper_model="test:tiny", sae_checkpoint=None,
+            layer_name="encoder.blocks.1", batch_size=3, mesh=make_mesh(),
+        )
