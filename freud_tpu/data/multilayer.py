@@ -33,21 +33,41 @@ class MultiLayerActivationLoader:
         batch_size: int,
         subset_size: Optional[int] = None,
         compute_dtype=None,
+        mesh=None,
     ):
+        """``mesh`` shards each batch over the data axis the same way
+        ``FlyActivationLoader`` does (mel+capture in one sharded jit)."""
         self.layer_names = tuple(layer_names)
         self.runtime = WhisperRuntime(whisper_model, None)
+        self.mesh = mesh
+        self.batch_size = batch_size
         dims = self.runtime.dims
         capture = self.layer_names
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            n_data = mesh.shape[mesh_lib.DATA_AXIS]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data})"
+                )
+            self.runtime.params = jax.device_put(
+                self.runtime.params, mesh_lib.replicated(mesh))
 
         @jax.jit
         def encode(params, mels):
+            if mesh is not None:
+                from ..audio.mel import batched_log_mel
+
+                mels = batched_log_mel(mels, dims.n_mels)
             _, caps = encoder_forward(params, dims, mels, capture=capture)
             return caps
 
         self._encode = encode
         self.pipeline = AudioBatchPipeline(
             data_path, batch_size, get_n_mels(whisper_model),
-            subset_size=subset_size,
+            subset_size=subset_size, compute_mels=mesh is None,
         )
 
     @property
@@ -55,9 +75,25 @@ class MultiLayerActivationLoader:
         return self.pipeline.dataset_length
 
     def __iter__(self):
+        import jax.numpy as jnp
+
         for mels, filenames, lengths in self.pipeline:
+            n = len(filenames)
+            if self.mesh is not None:
+                from ..parallel import mesh as mesh_lib
+
+                buf = np.asarray(mels)
+                if n < self.batch_size:
+                    buf = np.concatenate(
+                        [buf, np.zeros((self.batch_size - n, *buf.shape[1:]),
+                                       buf.dtype)], axis=0)
+                mels = jax.device_put(
+                    jnp.asarray(buf),
+                    mesh_lib.batch_sharding(self.mesh, buf.ndim))
             with profiling.span("multilayer_capture"):
                 caps = self._encode(self.runtime.params, mels)
+            if self.mesh is not None and n < self.batch_size:
+                caps = {k: v[:n] for k, v in caps.items()}
             n_frames = np.minimum(
                 (lengths / SAMPLE_RATE / TIMESTEP_S).astype(np.int64), 1500
             )
@@ -72,10 +108,17 @@ def collect_multilayer(
     out_folder: str,
     collect_max: Optional[int] = None,
     verbose: bool = True,
+    data_parallel: bool = False,
 ) -> dict:
     """One encoder pass per batch, one reference-format store per layer."""
+    mesh = None
+    if data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     loader = MultiLayerActivationLoader(
-        data_path, whisper_model, layer_names, batch_size, subset_size=collect_max
+        data_path, whisper_model, layer_names, batch_size,
+        subset_size=collect_max, mesh=mesh,
     )
     writers: dict[str, ActivationStoreWriter] = {}
     n_files = 0

@@ -129,6 +129,7 @@ def main(argv=None):
             batch_size=config["batch_size"],
             out_folder=config["out_folder"],
             collect_max=config.get("collect_max"),
+            data_parallel=bool(config.get("data_parallel", False)),
         )
         print(json.dumps(stats))
         return

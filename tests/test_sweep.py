@@ -99,3 +99,35 @@ def test_train_sweep_end_to_end(tmp_path):
         )
         assert v == "topk" and act == 8
         assert params.encoder_weight.shape == (16, 8)
+
+
+def test_multilayer_collection_data_parallel(tmp_path):
+    """Mesh-sharded multilayer collection equals the single-device stores."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 10)
+    layers = ["encoder.blocks.0", "encoder.blocks.1"]
+    a = collect_multilayer(
+        str(audio), layers, "test:tiny", batch_size=8,
+        out_folder=str(tmp_path / "acts_a"), verbose=False,
+    )
+    b = collect_multilayer(
+        str(audio), layers, "test:tiny", batch_size=8,
+        out_folder=str(tmp_path / "acts_b"), verbose=False,
+        data_parallel=True,
+    )
+    assert a["n_files"] == b["n_files"] == 10
+    for layer in layers:
+        ra = ActivationStoreReader(tmp_path / "acts_a", layer)
+        rb = ActivationStoreReader(tmp_path / "acts_b", layer)
+        for i in range(10):
+            xa, fa = ra[i]
+            xb, fb = rb[i]
+            assert fa == fb
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=2e-5, atol=2e-5)
