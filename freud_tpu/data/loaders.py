@@ -134,14 +134,7 @@ class FlyActivationLoader:
         with the file dim sharded over the data axis."""
         from ..parallel import mesh as mesh_lib
 
-        buf = np.asarray(buf)
-        n = buf.shape[0]
-        if n < self.batch_size:
-            buf = np.concatenate(
-                [buf, np.zeros((self.batch_size - n, *buf.shape[1:]),
-                               buf.dtype)], axis=0)
-        return jax.device_put(
-            jnp.asarray(buf), mesh_lib.batch_sharding(self.mesh, buf.ndim))
+        return mesh_lib.pad_and_shard(self.mesh, buf, self.batch_size)
 
     def _sae_params(self):
         return self.sae[2] if self.sae else None

@@ -75,21 +75,12 @@ class MultiLayerActivationLoader:
         return self.pipeline.dataset_length
 
     def __iter__(self):
-        import jax.numpy as jnp
-
         for mels, filenames, lengths in self.pipeline:
             n = len(filenames)
             if self.mesh is not None:
                 from ..parallel import mesh as mesh_lib
 
-                buf = np.asarray(mels)
-                if n < self.batch_size:
-                    buf = np.concatenate(
-                        [buf, np.zeros((self.batch_size - n, *buf.shape[1:]),
-                                       buf.dtype)], axis=0)
-                mels = jax.device_put(
-                    jnp.asarray(buf),
-                    mesh_lib.batch_sharding(self.mesh, buf.ndim))
+                mels = mesh_lib.pad_and_shard(self.mesh, mels, self.batch_size)
             with profiling.span("multilayer_capture"):
                 caps = self._encode(self.runtime.params, mels)
             if self.mesh is not None and n < self.batch_size:

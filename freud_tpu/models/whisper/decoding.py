@@ -353,15 +353,18 @@ def beam_decode(
     BeamSearchDecoder semantics, TPU-native formulation).
 
     The beam dim folds into the batch for the decoder step (b·beam, …); each
-    scan step re-ranks the (beam × vocab) continuations with ``lax.top_k``
-    and reorders the KV ring buffers and token history with one gather along
-    the beam axis — no host syncs, no data-dependent shapes. Finished beams
-    stay in the pool proposing only EOT at zero added score (whisper keeps
-    finished sequences aside; the frozen-EOT formulation ranks identically
-    because the cumulative score is unchanged). Final selection is whisper's
-    MaximumLikelihoodRanker with length_penalty=None: argmax of
-    sum_logprob / (n_text + 1). Returns ``(tokens (b, n_prompt+max_new),
-    sum_logprob (b,), n_text (b,))`` of the winning beam.
+    scan step takes the top 2·beam of the (beam × vocab) continuations with
+    ``lax.top_k``, routes EOT-ending candidates into a fixed-size FINISHED
+    pool (kept aside exactly as whisper's BeamSearchDecoder saves completed
+    sequences — they stop occupying live slots), refills all ``beam`` live
+    slots from the non-EOT candidates, and reorders the KV ring buffers and
+    token history with one gather along the beam axis — no host syncs, no
+    data-dependent shapes. Final selection is whisper's
+    MaximumLikelihoodRanker with length_penalty=None — argmax of
+    sum_logprob / (n_text + 1) over the finished pool, with live beams
+    competing only when nothing finished (their pool scores start at −inf).
+    Returns ``(tokens (b, n_prompt+max_new), sum_logprob (b,), n_text (b,))``
+    of the winning sequence.
     """
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
@@ -376,18 +379,18 @@ def beam_decode(
     cross_v = jnp.repeat(jnp.stack([v for _, v in cross]), beam_size, axis=1)
     suppress, suppress_blank = _suppress_tables(dims)
     ts0 = st.timestamp_begin
-    eot_only = jnp.where(jnp.arange(V) == st.eot, 0.0, -jnp.inf)
 
     self_k = jnp.zeros((L, b * beam_size, ctx, d), encoded.dtype)
     self_v = jnp.zeros((L, b * beam_size, ctx, d), encoded.dtype)
 
     def gather_beam(t, parent):
-        """Reorder a (b, beam, …) leaf by the (b, beam) parent indices."""
-        idx = parent.reshape(b, beam_size, *([1] * (t.ndim - 2)))
+        """Reorder a (b, n, …) leaf by (b, k) indices along axis 1."""
+        idx = parent.reshape(b, parent.shape[1], *([1] * (t.ndim - 2)))
         return jnp.take_along_axis(t, idx, axis=1)
 
     def step(carry, pos):
-        token, prev, max_ts, sk, sv, finished, cum, n_text, seq = carry
+        (token, prev, max_ts, sk, sv, cum, n_text, seq,
+         fin_key, fin_score, fin_ntext, fin_seq) = carry
         logits, sk, sv = _decode_step(
             params, dims, token.reshape(-1), pos, sk, sv, (cross_k, cross_v)
         )
@@ -397,14 +400,22 @@ def beam_decode(
             at_first, st, suppress, suppress_blank,
         )
         lp = jax.nn.log_softmax(logits, axis=-1).reshape(b, beam_size, V)
-        # finished beams propose only EOT, score unchanged
-        lp = jnp.where(finished[..., None], eot_only[None, None, :], lp)
-
         cand = cum[..., None] + lp  # (b, beam, V)
-        top_val, top_idx = jax.lax.top_k(cand.reshape(b, beam_size * V),
-                                         beam_size)
-        parent = (top_idx // V).astype(jnp.int32)
-        new_tok = (top_idx % V).astype(jnp.int32)
+
+        # whisper BeamSearchDecoder.update: look at the top 2·beam
+        # continuations; EOT-ending ones complete and move to the finished
+        # pool, the rest refill all `beam` live slots (each parent proposes
+        # at most one EOT candidate, so ≥ beam live candidates remain)
+        vals2, idx2 = jax.lax.top_k(cand.reshape(b, beam_size * V),
+                                    2 * beam_size)
+        par2 = (idx2 // V).astype(jnp.int32)
+        tok2 = (idx2 % V).astype(jnp.int32)
+        is_eot = tok2 == st.eot
+
+        live_vals = jnp.where(is_eot, -jnp.inf, vals2)
+        top_val, pick = jax.lax.top_k(live_vals, beam_size)
+        parent = jnp.take_along_axis(par2, pick, axis=1)
+        new_tok = jnp.take_along_axis(tok2, pick, axis=1)
 
         is_prompt = pos + 1 < n_prompt
         beam_iota = jnp.broadcast_to(jnp.arange(beam_size), (b, beam_size))
@@ -416,10 +427,36 @@ def beam_decode(
         new_tok = jnp.where(is_prompt, forced, new_tok)
         new_cum = jnp.where(is_prompt, cum, top_val)
 
-        # reorder per-beam state by parent
+        # finished-pool update (sampling phase only). whisper fills the pool
+        # FIRST-COME in candidate-rank order and ignores completions once it
+        # holds `beam` sequences (BeamSearchDecoder.update's
+        # ``len(finished) < beam`` guard) — reproduced with a monotone
+        # insertion key: earlier steps/ranks always win the keep-smallest-k
+        # merge, so a full pool never changes
+        accepted = is_eot & ~is_prompt
+        cand_key = jnp.where(
+            accepted,
+            pos.astype(jnp.float32) * (2 * beam_size)
+            + jnp.arange(2 * beam_size, dtype=jnp.float32)[None, :],
+            jnp.inf,
+        )
+        eot_vals = jnp.where(accepted, vals2, -jnp.inf)
+        eot_ntext = jnp.take_along_axis(n_text, par2, axis=1)
+        # completed sequence == parent's seq (positions > pos are EOT-filled)
+        eot_seq = gather_beam(seq, par2)  # (b, 2·beam, ctx)
+        all_keys = jnp.concatenate([fin_key, cand_key], axis=1)
+        all_scores = jnp.concatenate([fin_score, eot_vals], axis=1)
+        all_ntext = jnp.concatenate([fin_ntext, eot_ntext], axis=1)
+        all_seq = jnp.concatenate([fin_seq, eot_seq], axis=1)
+        neg_keys, keep = jax.lax.top_k(-all_keys, beam_size)
+        fin_key = -neg_keys
+        fin_score = jnp.take_along_axis(all_scores, keep, axis=1)
+        fin_ntext = jnp.take_along_axis(all_ntext, keep, axis=1)
+        fin_seq = gather_beam(all_seq, keep)
+
+        # reorder per-beam live state by parent
         prev_tok = jnp.take_along_axis(token, parent, axis=1)
         max_ts = jnp.take_along_axis(max_ts, parent, axis=1)
-        finished = jnp.take_along_axis(finished, parent, axis=1)
         n_text = jnp.take_along_axis(n_text, parent, axis=1)
         seq = gather_beam(seq, parent)
         flat_parent = (
@@ -428,17 +465,15 @@ def beam_decode(
         sk = jnp.take(sk, flat_parent, axis=1)
         sv = jnp.take(sv, flat_parent, axis=1)
 
-        live = ~finished & ~is_prompt
-        n_text = n_text + jnp.where(live & (new_tok != st.eot), 1, 0)
-        finished = finished | (new_tok == st.eot) & ~is_prompt
+        n_text = n_text + jnp.where(is_prompt, 0, 1)  # live picks are non-EOT
         max_ts = jnp.where(
-            (new_tok >= ts0) & ~finished, jnp.maximum(max_ts, new_tok), max_ts
+            new_tok >= ts0, jnp.maximum(max_ts, new_tok), max_ts
         )
         seq = jax.lax.dynamic_update_slice_in_dim(
             seq, new_tok[:, :, None], pos + 1, axis=2
         )
-        return (new_tok, prev_tok, max_ts, sk, sv, finished, new_cum, n_text,
-                seq), None
+        return (new_tok, prev_tok, max_ts, sk, sv, new_cum, n_text, seq,
+                fin_key, fin_score, fin_ntext, fin_seq), None
 
     cum0 = jnp.broadcast_to(
         jnp.where(jnp.arange(beam_size) == 0, 0.0, -jnp.inf), (b, beam_size)
@@ -451,17 +486,32 @@ def beam_decode(
         jnp.full((b, beam_size), ts0, jnp.int32),
         self_k,
         self_v,
-        jnp.zeros((b, beam_size), bool),
         cum0,
         jnp.zeros((b, beam_size), jnp.int32),
         seq0,
+        jnp.full((b, beam_size), jnp.inf),    # finished-pool insertion keys
+        jnp.full((b, beam_size), -jnp.inf),   # finished-pool scores
+        jnp.zeros((b, beam_size), jnp.int32),
+        jnp.full((b, beam_size, ctx), st.eot, jnp.int32),
     )
     carry, _ = jax.lax.scan(step, init, jnp.arange(ctx - 1))
-    _, _, _, _, _, _, cum, n_text, seq = carry
-    # MaximumLikelihoodRanker, length_penalty=None: avg logprob per token
-    score = cum / (n_text.astype(jnp.float32) + 1.0)
-    best = jnp.argmax(score, axis=1)
-    tokens = jnp.take_along_axis(seq, best[:, None, None], axis=1)[:, 0]
-    sum_lp = jnp.take_along_axis(cum, best[:, None], axis=1)[:, 0]
-    n_best = jnp.take_along_axis(n_text, best[:, None], axis=1)[:, 0]
+    (_, _, _, _, _, cum, n_text, seq,
+     fin_key, fin_score, fin_ntext, fin_seq) = carry
+    # MaximumLikelihoodRanker, length_penalty=None: avg logprob per token.
+    # Finished sequences rank first; live (unfinished) beams only compete
+    # when nothing finished (whisper's finalize appends unfinished then).
+    valid = jnp.isfinite(fin_key)
+    any_fin = valid.any(axis=1, keepdims=True)
+    live_score = jnp.where(any_fin, -jnp.inf,
+                           cum / (n_text.astype(jnp.float32) + 1.0))
+    fin_avg = fin_score / (fin_ntext.astype(jnp.float32) + 1.0)
+    fin_avg = jnp.where(valid, fin_avg, -jnp.inf)
+    all_score = jnp.concatenate([fin_avg, live_score], axis=1)
+    all_sum = jnp.concatenate([fin_score, cum], axis=1)
+    all_ntext = jnp.concatenate([fin_ntext, n_text], axis=1)
+    all_seq = jnp.concatenate([fin_seq, seq], axis=1)
+    best = jnp.argmax(all_score, axis=1)
+    tokens = jnp.take_along_axis(all_seq, best[:, None, None], axis=1)[:, 0]
+    sum_lp = jnp.take_along_axis(all_sum, best[:, None], axis=1)[:, 0]
+    n_best = jnp.take_along_axis(all_ntext, best[:, None], axis=1)[:, 0]
     return tokens, sum_lp, n_best

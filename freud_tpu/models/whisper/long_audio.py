@@ -18,9 +18,10 @@ beyond-parity long-audio path, following whisper transcribe.py's structure:
   decode ran off the end), repeat. Timestamp tokens are 0.02 s apart; seek is
   tracked in mel frames (2 mel frames per timestamp tick).
 
-Documented divergences from whisper.transcribe: no ``no_speech`` gating (the
-scan decoder does not expose the SOT-step no-speech probability) and no
-``condition_on_previous_text`` prompt threading.
+The full whisper.transcribe control set is carried: temperature statistics,
+SOT-step no-speech gating, ``condition_on_previous_text`` /
+``initial_prompt`` conditioning through a fixed-size start-offset prompt
+buffer (see ``transcribe_long``).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import HOP_LENGTH, N_FRAMES, N_SAMPLES
+from ...constants import HOP_LENGTH, N_FFT, N_FRAMES, N_SAMPLES
 from .tokenizer import special_tokens
 
 _TIME_PRECISION = 0.02          # seconds per timestamp token
@@ -59,8 +60,8 @@ def full_log_mel(audio: np.ndarray, n_mels: int) -> np.ndarray:
     where total_frames = (len(audio) + N_SAMPLES) // HOP_LENGTH (the trailing
     30 s of zero padding whisper appends is included, its frames too)."""
     audio = np.asarray(audio, np.float32).reshape(-1)
-    if len(audio) < HOP_LENGTH + 1:  # reflect needs content; degenerate clip
-        audio = np.pad(audio, (0, HOP_LENGTH + 1 - len(audio)))
+    if len(audio) < N_FFT // 2 + 1:  # the 200-sample reflect prefix needs
+        audio = np.pad(audio, (0, N_FFT // 2 + 1 - len(audio)))  # ≥201 samples
     total_frames = (len(audio) + N_SAMPLES) // HOP_LENGTH
     pad = 200
     halo = N_FRAMES * HOP_LENGTH + 480  # chunk window length 480480
@@ -84,9 +85,11 @@ def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
     """Split one window's generated tokens on paired timestamps.
 
     → (segments ``[{"start", "end", "text_tokens"}]``, seek_advance_frames).
-    whisper transcribe.py: consecutive timestamp tokens close a segment; a
-    window ending on a lone timestamp seeks to it, otherwise the whole
-    window is consumed.
+    whisper transcribe.py's rule set: consecutive timestamp tokens close a
+    segment; a window ENDING on a lone timestamp means no speech after it —
+    the final piece is emitted too and the whole window is consumed;
+    otherwise the unfinished trailing piece is dropped and seek moves to the
+    last closed timestamp so that audio is re-decoded.
     """
     ts0 = st.timestamp_begin
     toks = [int(t) for t in gen]
@@ -94,11 +97,18 @@ def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
         toks = toks[: toks.index(st.eot)]
     is_ts = [t >= ts0 for t in toks]
     consecutive = [i + 1 for i in range(len(toks) - 1) if is_ts[i] and is_ts[i + 1]]
+    # whisper transcribe.py: "<ts> text <ts>" at the very end — no speech
+    # after the last timestamp; the final piece IS a complete segment and the
+    # whole window is consumed
+    single_ending = len(toks) >= 2 and is_ts[-1] and not is_ts[-2]
 
     segments = []
     if consecutive:
+        slices = list(consecutive)
+        if single_ending:
+            slices.append(len(toks))
         last_slice = 0
-        for boundary in consecutive:
+        for boundary in slices:
             piece = toks[last_slice:boundary]
             start_ts = piece[0] - ts0 if piece and is_ts[last_slice] else 0
             end_ts = piece[-1] - ts0
@@ -108,21 +118,23 @@ def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
                 "text_tokens": [t for t in piece if t < st.eot],
             })
             last_slice = boundary
-        ended_with_single = is_ts[-1] and (len(toks) < 2 or not is_ts[-2])
-        if ended_with_single:
-            # trailing lone timestamp opens an unfinished segment: seek to it
-            advance_ticks = toks[-1] - ts0
+        if single_ending:
+            advance = N_FRAMES
         else:
-            advance_ticks = toks[consecutive[-1] - 1] - ts0
-        advance = max(advance_ticks * _FRAMES_PER_TICK, 1)
+            # drop the unfinished trailing piece; seek to the last CLOSED
+            # timestamp so that audio is re-decoded next window
+            advance = max((toks[last_slice - 1] - ts0) * _FRAMES_PER_TICK, 1)
     else:
+        # no closed segment in this window: whole window, one segment; its
+        # end comes from the last timestamp when one was produced
         ts = [t - ts0 for t, f in zip(toks, is_ts) if f]
-        start = seek_time + (ts[0] * _TIME_PRECISION if ts else 0.0)
-        end = seek_time + (ts[-1] * _TIME_PRECISION
-                           if len(ts) > 1 else window_s)
+        end = window_s
+        if ts and ts[-1] != 0:
+            end = ts[-1] * _TIME_PRECISION
         text = [t for t in toks if t < st.eot]
         if text:
-            segments.append({"start": start, "end": end, "text_tokens": text})
+            segments.append({"start": seek_time, "end": seek_time + end,
+                             "text_tokens": text})
         advance = N_FRAMES
     return segments, advance
 
@@ -178,12 +190,13 @@ def transcribe_long(
         encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
         prompt, n_prompt = runtime._prompt(encoded)
         start = None
-        if condition_on_previous_text:
+        if (condition_on_previous_text or initial_prompt) and history:
             base = [int(t) for t in np.asarray(prompt)[0]]
             buf_len = dims.n_text_ctx - runtime.max_new_tokens
             if history_budget is not None:
                 buf_len = min(buf_len, len(base) + 1 + history_budget)
-            tail = history[-(buf_len - len(base) - 1):]
+            budget = buf_len - len(base) - 1
+            tail = history[-budget:] if budget > 0 else []
             seq = [st.sot_prev] + tail + base
             pad_n = buf_len - len(seq)
             prompt = jnp.asarray(
@@ -203,9 +216,14 @@ def transcribe_long(
         gen = tokens[n_prompt:]
         window_s = min((content_frames - seek) * 0.01, 30.0)
         segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)
+        if not condition_on_previous_text:
+            # whisper resets the prompt after every window in this mode (the
+            # initial_prompt still conditioned the FIRST window above)
+            history.clear()
         for s in segs:
             toks = s.pop("text_tokens")
-            history.extend(toks)
+            if condition_on_previous_text:
+                history.extend(toks)
             s["text"] = decode_text(toks, dims.n_vocab)
             if verbose:
                 print(f"[{s['start']:.2f} -> {s['end']:.2f}] {s['text']}")

@@ -98,6 +98,10 @@ def token_times(
     if num_frames is not None and num_frames < w.shape[-1]:
         w = w[..., :num_frames]
         w = w / np.maximum(w.sum(-1, keepdims=True), 1e-12)
+    n_tok = w.shape[-2]
+    if n_tok == 0 or w.shape[-1] == 0:
+        # nothing to align (undecodable / sub-frame clip): zero times
+        return np.zeros(n_tok), np.zeros(n_tok)
     # std-normalize per head over the token axis, then median-filter along
     # frames (whisper timing.py:189-196)
     std = w.std(axis=-2, keepdims=True) + 1e-12
@@ -105,8 +109,6 @@ def token_times(
     w = (w - mean) / std
     w = median_filter(w)
     matrix = w.mean(axis=0)  # (tokens, frames)
-    if matrix.shape[0] == 0:
-        return np.zeros(0), np.zeros(0)
     text_idx, time_idx = dtw(-matrix)
     # first frame index per token = start; last+1 = end (whisper's jump times)
     jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)

@@ -54,6 +54,22 @@ def dict_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def pad_and_shard(mesh: Mesh, buf, batch_size: int):
+    """Zero-pad a host batch's leading dim to ``batch_size`` and device_put
+    it with that dim sharded over ``data`` (the collection loaders' ragged-
+    tail rule: one compiled shape per run, outputs trimmed by the caller)."""
+    import jax.numpy as jnp
+
+    buf = np.asarray(buf)
+    n = buf.shape[0]
+    if n < batch_size:
+        buf = np.concatenate(
+            [buf, np.zeros((batch_size - n, *buf.shape[1:]), buf.dtype)],
+            axis=0,
+        )
+    return jax.device_put(jnp.asarray(buf), batch_sharding(mesh, buf.ndim))
+
+
 def put_batch(mesh: Mesh, *arrays):
     """Device-put host arrays with batch (axis 0) sharded over ``data``.
 

@@ -58,21 +58,35 @@ def test_full_log_mel_interior_chunk_boundary_is_seamless():
 def test_parse_segments_pairs_and_seek():
     st = special_tokens(51865)
     ts0 = st.timestamp_begin
+    # single-timestamp ending: BOTH segments emitted (no text dropped), the
+    # whole window is consumed (whisper transcribe.py's rule)
     gen = np.array([ts0 + 0, 100, 101, ts0 + 150, ts0 + 150, 102, ts0 + 200,
                     st.eot, st.eot])
     segs, advance = long_audio._parse_segments(gen, st, seek_time=10.0,
                                                window_s=30.0)
-    assert len(segs) >= 1
+    assert len(segs) == 2
     assert segs[0]["start"] == 10.0 and abs(segs[0]["end"] - 13.0) < 1e-6
     assert segs[0]["text_tokens"] == [100, 101]
-    # window ended on a lone timestamp → seek advances to it (200 ticks)
-    assert advance == 200 * 2
+    assert abs(segs[1]["start"] - 13.0) < 1e-6
+    assert abs(segs[1]["end"] - 14.0) < 1e-6
+    assert segs[1]["text_tokens"] == [102]
+    assert advance == N_FRAMES
 
-    # no consecutive pair: whole window consumed
-    gen2 = np.array([ts0 + 0, 100, 101, st.eot])
+    # text after the last closed pair WITHOUT a closing timestamp: the
+    # unfinished piece is dropped and seek returns to the closed timestamp
+    # so that audio is re-decoded
+    gen_unfinished = np.array([ts0 + 0, 100, ts0 + 150, ts0 + 150, 102,
+                               st.eot])
+    segs_u, adv_u = long_audio._parse_segments(gen_unfinished, st, 0.0, 30.0)
+    assert len(segs_u) == 1 and segs_u[0]["text_tokens"] == [100]
+    assert adv_u == 150 * 2
+
+    # no consecutive pair: whole window consumed, end from the last timestamp
+    gen2 = np.array([ts0 + 0, 100, 101, ts0 + 90, st.eot])
     segs2, advance2 = long_audio._parse_segments(gen2, st, 0.0, 30.0)
     assert advance2 == N_FRAMES
     assert segs2 and segs2[0]["text_tokens"] == [100, 101]
+    assert abs(segs2[0]["end"] - 1.8) < 1e-6
 
 
 def test_transcribe_long_end_to_end():
