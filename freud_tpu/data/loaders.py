@@ -254,9 +254,12 @@ class MemoryMappedActivationLoader:
             idx = order[i : i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 break
+            # advance BEFORE yielding: if the consumer abandons the iteration
+            # mid-epoch (the train loop breaking at `steps`), a later iter()
+            # resumes at the next unseen batch instead of re-yielding this one
+            self.cursor += 1
             with profiling.span("mmap_batch"):
                 yield self.reader.batch(idx)
-            self.cursor += 1
         self.epoch += 1
         self.cursor = 0
 

@@ -305,6 +305,12 @@ def training_losses(
     """
     if cfg.multi_topk:
         return _training_losses_xla(params, x, cfg, dead_mask, matmul_dtype)
+    if params.W_dec.shape[0] >= 2 ** 15:
+        # the fused kernel's row-pair SWAR bisection packs per-half counts
+        # and bf16 bit values into 15-bit halves — n_dict ≥ 2¹⁵ would
+        # silently overflow the packed counters, so huge dictionaries take
+        # the f32-bisection formulation instead
+        return _training_losses_xla(params, x, cfg, dead_mask, matmul_dtype)
     mm_name = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
     fvu, auxk_loss, fired = _fused_losses(
         cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), mm_name,
@@ -425,10 +431,24 @@ def _fused_losses_bwd(k, k_aux, alpha, mm_name, use_kernel, res, cts):
     )
 
     # encoder grads; b_dec's encode-path term uses Σ_pos d_acts first, so the
-    # (M, d) input cotangent XLA autodiff would build never materializes
+    # (M, d) input cotangent never materializes unless the CALLER asks for
+    # ∂L/∂x (the train step differentiates params only, and XLA dead-code-
+    # eliminates the dx computation below in that case)
     dW_enc = _mm(d_acts.T, sae_in, mm_name)
     db_enc = jnp.sum(d_acts, axis=0, dtype=jnp.float32)
     db_dec = db_dec - _mm(db_enc[None, :], params.encoder_weight, mm_name)[0]
+
+    # input cotangent: direct e/r terms (∂e/∂x = −1, ∂r/∂x = +1 → −g_main),
+    # the encode path (d_acts @ W_enc), and the total-variance denominator
+    # (∂tv/∂x = 2(x − mean₀x); the mean term cancels in the sum)
+    dx2 = -g_main.astype(jnp.float32) + _mm(
+        d_acts, params.encoder_weight, mm_name
+    )
+    x_full = (sae_in + params.b_dec).reshape(x_shape)
+    k_tv = -(c1 * jnp.sum(e * e) + c2 * jnp.sum(r * r)) / (2.0 * tv)
+    dx = dx2.reshape(x_shape) + k_tv * 2.0 * (
+        x_full - jnp.mean(x_full, axis=0)
+    )
 
     d_params = TopKParams(
         encoder_weight=dW_enc.astype(params.encoder_weight.dtype),
@@ -436,7 +456,7 @@ def _fused_losses_bwd(k, k_aux, alpha, mm_name, use_kernel, res, cts):
         W_dec=dW_dec.astype(params.W_dec.dtype),
         b_dec=db_dec.astype(params.b_dec.dtype),
     )
-    return d_params, jnp.zeros(x_shape, e.dtype), jnp.zeros_like(dead_f)
+    return d_params, dx.astype(e.dtype), jnp.zeros_like(dead_f)
 
 
 _fused_losses.defvjp(_fused_losses_fwd, _fused_losses_bwd)

@@ -205,6 +205,12 @@ def topk_sae_forward(
     computed inside the kernel per shard; the partition's lower_fn pmax-es
     the per-shard masks over the row-sharding mesh axes (the one tiny
     collective of the op)."""
+    if enc_w_t.shape[1] >= 2 ** 15:
+        raise ValueError(
+            f"n_dict={enc_w_t.shape[1]} ≥ 2^15 overflows the row-pair SWAR "
+            "packing (15-bit halves hold both the bf16 bit values and the "
+            "per-row counts); use models.sae.topk's XLA formulation instead"
+        )
     acts, ym, ya, tm, ta, fired_f = _partitioned_forward(k, k_aux, interpret)(
         x2, enc_w_t, enc_b, b_dec, W_dec, dead_f
     )

@@ -80,12 +80,60 @@ def topk_thresholds_fired(
     rows: int = ROWS,
     iters: int = _ITERS,
 ):
-    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool)."""
+    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool).
+
+    Carries the same GSPMD row-partitioning rule as ops/topk_fused (one
+    kernel per chip on a data-sharded batch; the fired mask pmax-es across
+    the row-sharding axes inside the partition's lower_fn)."""
+    tm, ta, fired_f = _partitioned_thresholds(
+        k_main, k_aux, rows, iters, interpret
+    )(acts, dead_mask.astype(jnp.float32))
+    return tm[:, None], ta[:, None], fired_f > 0
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_thresholds(k_main: int, k_aux: int, rows: int, iters: int,
+                            interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def body(acts, dead_f):
+        return _thresholds_impl(acts, dead_f, k_main=k_main, k_aux=k_aux,
+                                rows=rows, iters=iters, interpret=interpret)
+
+    cp = custom_partitioning(body)
+
+    def partition(mesh, arg_infos, result_infos):
+        spec = arg_infos[0].sharding.spec if arg_infos[0].sharding else P()
+        m = spec[0] if len(spec) > 0 else None
+        axes = (m,) if isinstance(m, str) else tuple(m or ())
+
+        def lower_fn(*args):
+            tm, ta, fired = body(*args)
+            for ax in axes:
+                fired = jax.lax.pmax(fired, ax)
+            return tm, ta, fired
+
+        row1 = NamedSharding(mesh, P(m))
+        row2 = NamedSharding(mesh, P(m, None))
+        rep = NamedSharding(mesh, P())
+        return mesh, lower_fn, (row1, row1, rep), (row2, rep)
+
+    cp.def_partition(
+        partition=partition,
+        sharding_rule="m j, j -> m, m, j",
+        need_replication_factors=("j",),
+    )
+    return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
+
+
+def _thresholds_impl(acts, dead_f, *, k_main, k_aux, rows, iters, interpret):
+    """Per-shard pallas_call → (t_main (m,), t_aux (m,), fired (n_dict,) f32)."""
     m, n_dict = acts.shape
     m_pad = -(-m // rows) * rows
     if m_pad != m:
         acts = jnp.pad(acts, ((0, m_pad - m), (0, 0)))
-    dead = dead_mask.astype(jnp.float32).reshape(1, -1)
+    dead = dead_f.reshape(1, -1)
 
     t_main, t_aux, fired = pl.pallas_call(
         functools.partial(_kernel, k_main=k_main, k_aux=k_aux, valid_rows=m,
@@ -107,7 +155,7 @@ def topk_thresholds_fired(
         ],
         interpret=interpret,
     )(acts, dead)
-    return t_main[:m], t_aux[:m], fired[0] > 0
+    return t_main[:m, 0], t_aux[:m, 0], fired[0]
 
 
 def topk_thresholds(acts, dead_mask, k_main, k_aux, interpret: bool = False):

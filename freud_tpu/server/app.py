@@ -198,7 +198,14 @@ def make_handler(state: GuiState):
                     self.send_header("Access-Control-Allow-Origin", "*")
                     self.end_headers()
                     return
-                is_partial = True
+                if end < start:
+                    # RFC 7233: a byte-range with last-byte-pos <
+                    # first-byte-pos is syntactically invalid — IGNORE the
+                    # Range header and serve the full file with 200
+                    start, end = 0, size - 1
+                    is_partial = False
+                else:
+                    is_partial = True
             length = end - start + 1
             self.send_response(206 if is_partial else 200)
             self.send_header("Content-Type", mime)

@@ -338,7 +338,12 @@ def _prefetch(iterable, depth: int = 2):
                     continue
             if stop.is_set():
                 return
-        q.put(END)
+        while not stop.is_set():  # END must not block forever either: the
+            try:                  # consumer may close with the queue full
+                q.put(END, timeout=0.1)
+                return
+            except queue.Full:
+                continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -86,3 +86,56 @@ def test_training_losses_gradients_match():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_training_losses_input_gradient_matches():
+    """∂L/∂x through the hand-written VJP must match autodiff of the exact
+    forward (direct e/r terms + encode path + the total-variance
+    denominator) — regression: the custom backward used to return zeros."""
+    rng = np.random.default_rng(5)
+    cfg = TopKAutoEncoderConfig(expansion_factor=2, k=3, auxk_alpha=0.5)
+    params = init_topk(8, cfg, seed=1)
+    x = jnp.asarray(rng.standard_normal((4, 6, 8)).astype(np.float32))
+    dead = jnp.zeros(16, bool).at[2].set(True)
+
+    def loss_exact(xx):
+        out = topk.forward(params, xx, cfg, dead_mask=dead)
+        return out.fvu + out.auxk_loss
+
+    def loss_fast(xx):
+        terms, _ = topk.training_losses(params, xx, cfg, dead)
+        return terms["fvu"] + terms["auxk_loss"]
+
+    g1 = jax.grad(loss_exact)(x)
+    g2 = jax.grad(loss_fast)(x)
+    assert np.abs(np.asarray(g2)).max() > 0  # not the old silent zeros
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_thresholds_partition_without_gather():
+    """Data-sharded rows must partition the threshold kernel (no all-gather);
+    fired is the one all-reduced output."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from freud_tpu.parallel.mesh import make_mesh
+    from freud_tpu.ops.topk_threshold import topk_thresholds_fired
+
+    rng = np.random.default_rng(7)
+    acts = jnp.asarray(rng.standard_normal((8 * 16, 32)).astype(np.float32))
+    dead = jnp.zeros(32, bool).at[3].set(True).at[9].set(True)
+    mesh = make_mesh()
+    ash = jax.device_put(acts, NamedSharding(mesh, P("data", None)))
+
+    fn = jax.jit(lambda a: topk_thresholds_fired(a, dead, 4, 2,
+                                                 interpret=True))
+    tm_s, ta_s, f_s = fn(ash)
+    tm_p, ta_p, f_p = topk_thresholds_fired(acts, dead, 4, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(tm_s), np.asarray(tm_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ta_s), np.asarray(ta_p), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_p))
+    txt = fn.lower(ash).compile().as_text().lower()
+    assert "all-gather" not in txt
