@@ -32,10 +32,14 @@ from ..constants import TIMESTEP_S
 from ..data.loaders import FlyActivationLoader, MemoryMappedActivationLoader
 
 
-@partial(jax.jit, static_argnames=("feature_idx",))
-def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx: int):
-    """(C, T, F) chunk → per-file (signed_max, plain_argmax) of feature trace."""
-    trace = chunk[:, :, feature_idx]  # (C, T)
+@jax.jit
+def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx):
+    """(C, T, F) chunk → per-file (signed_max, plain_argmax) of feature trace.
+
+    ``feature_idx`` is a TRACED scalar — one compiled program serves every
+    feature the GUI queries (a static index would recompile per feature; a
+    fresh remote compile costs minutes on the tunneled TPU)."""
+    trace = jnp.take(chunk, feature_idx, axis=2)  # (C, T)
     t = jnp.arange(trace.shape[1])[None, :]
     valid = t < n_frames[:, None]
     masked = jnp.where(valid, trace, -jnp.inf)
@@ -47,9 +51,10 @@ def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx: int):
     return plain_max, plain_argmax, signed_at_absmax
 
 
-@partial(jax.jit, static_argnames=("feature_idx",))
-def _densify_indexed(vals: jnp.ndarray, idx: jnp.ndarray, feature_idx: int):
-    """(C, T, k) indexed rows → (C, T) dense trace of one feature."""
+@jax.jit
+def _densify_indexed(vals: jnp.ndarray, idx: jnp.ndarray, feature_idx):
+    """(C, T, k) indexed rows → (C, T) dense trace of one feature
+    (``feature_idx`` traced — see ``_dense_stats``)."""
     return jnp.sum(jnp.where(idx == feature_idx, vals, 0.0), axis=-1)
 
 
@@ -92,14 +97,28 @@ def top_activations(
         from ..data.feature_store import FeatureMajorReader
 
         if FeatureMajorReader.exists(reader.data_path, reader.layer_name):
-            return _top_activations_indexed_plane(
-                loader, reader, feature_idx, n_files, max_val, min_val,
-                absolute_magnitude, return_max_per_file, mesh=mesh,
-            )
+            fm = FeatureMajorReader(reader.data_path, reader.layer_name,
+                                    subset_size=len(reader))
+            if fm.mmap.shape[1] >= len(reader):
+                return _top_activations_indexed_plane(
+                    loader, reader, feature_idx, n_files, max_val, min_val,
+                    absolute_magnitude, return_max_per_file, mesh=mesh,
+                    fm=fm,
+                )
+            # the store grew after the index was built: the plane would be
+            # missing the new files — fall through to the full scan (rebuild
+            # with scripts/index_activations.py to restore the fast path)
+            print("feature-major index is stale (store grew); scanning")
 
     entries = []  # (value_for_ranking, file, n_frames, trace_source)
     max_per_file: list[float] = []
     offset = 0
+
+    if hasattr(loader, "set_position"):
+        # the server shares one loader across requests; an aborted previous
+        # scan would otherwise leave its resume cursor mid-epoch and silently
+        # misalign this scan's file/offset bookkeeping
+        loader.set_position(0)
 
     for batch in loader:
         if loader.activation_type == "tensor":
@@ -179,14 +198,16 @@ def top_activations(
 
 def _top_activations_indexed_plane(
     loader, reader, feature_idx, n_files, max_val, min_val,
-    absolute_magnitude, return_max_per_file, mesh=None,
+    absolute_magnitude, return_max_per_file, mesh=None, fm=None,
 ):
     """Fast path: one feature plane from the feature-major index."""
     from ..data.feature_store import FeatureMajorReader
 
-    plane = FeatureMajorReader(
-        reader.data_path, reader.layer_name, subset_size=len(reader)
-    ).feature(feature_idx)  # (N, T)
+    if fm is None:
+        fm = FeatureMajorReader(
+            reader.data_path, reader.layer_name, subset_size=len(reader)
+        )
+    plane = fm.feature(feature_idx)  # (N, T)
     filenames = reader.filenames
     if reader.n_frames is not None:
         n_frames = np.asarray(reader.n_frames, np.int32)

@@ -85,29 +85,50 @@ class AudioBatchPipeline:
     def __iter__(self) -> Iterator[tuple[jnp.ndarray, list[str], np.ndarray]]:
         batches = self._batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            for chunk in batches:
-                with profiling.span("decode_batch"):
-                    buf, lengths = load_audio_batch(
-                        chunk, frame_len=N_SAMPLES, n_threads=self.decode_threads
-                    )
-                q.put((buf, chunk, lengths))
-            q.put(None)
+            try:
+                for chunk in batches:
+                    with profiling.span("decode_batch"):
+                        buf, lengths = load_audio_batch(
+                            chunk, frame_len=N_SAMPLES,
+                            n_threads=self.decode_threads,
+                        )
+                    if not _put((buf, chunk, lengths)):
+                        return  # consumer abandoned the iteration
+            except BaseException as e:  # surface decode errors instead of
+                _put(e)                 # hanging the consumer's q.get
+                return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            buf, chunk, lengths = item
-            if self.compute_mels:
-                with profiling.span("mel_batch"):
-                    mels = self._mel_fn(jnp.asarray(buf))
-                yield mels, chunk, lengths
-            else:
-                # raw (n, N_SAMPLES) host waveforms — the mesh-sharded
-                # collection path computes mel+encode in one sharded jit
-                yield buf, chunk, lengths
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                buf, chunk, lengths = item
+                if self.compute_mels:
+                    with profiling.span("mel_batch"):
+                        mels = self._mel_fn(jnp.asarray(buf))
+                    yield mels, chunk, lengths
+                else:
+                    # raw (n, N_SAMPLES) host waveforms — the mesh-sharded
+                    # collection path computes mel+encode in one sharded jit
+                    yield buf, chunk, lengths
+            t.join()
+        finally:
+            stop.set()  # unblocks + retires the producer on early close

@@ -88,10 +88,16 @@ class DeviceShuffleCache:
                 cursor += 1
             rows = reader.batch(np.asarray(take))[0]
             slots = self._rng.integers(0, self.capacity, self.refresh_files)
-            try:
-                self._q.put((np.asarray(rows, np.float32), slots), timeout=0.5)
-            except queue.Full:
-                continue
+            item = (np.asarray(rows, np.float32), slots)
+            while not self._stop.is_set():
+                # retry the SAME item: dropping it on a full queue would
+                # busy-loop on wasted disk reads and skip these files'
+                # cache residency entirely
+                try:
+                    self._q.put(item, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     def next_batch(self, batch_size: int) -> jnp.ndarray:
         """On-device (batch, T, d) sample; applies any pending refresh first."""

@@ -274,13 +274,16 @@ def init_dataloader(
     subset_size: Optional[int] = None,
     shuffle: bool = False,
     drop_last: bool = False,
+    seed: int = 0,
 ):
     """(loader, feat_dim, dataset_len) — reference init_dataloader shape
-    (src/scripts/train_sae.py:32-67)."""
+    (src/scripts/train_sae.py:32-67). ``seed`` drives the shuffle stream
+    (the reference gets this through its global torch/numpy seeding)."""
     if from_disk:
         loader = MemoryMappedActivationLoader(
             data_path, layer_name, batch_size,
             subset_size=subset_size, shuffle=shuffle, drop_last=drop_last,
+            seed=seed,
         )
     else:
         loader = FlyActivationLoader(

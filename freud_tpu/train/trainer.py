@@ -328,22 +328,24 @@ def _prefetch(iterable, depth: int = 2):
     END = object()
     stop = threading.Event()
 
-    def worker():
-        for item in iterable:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
-            if stop.is_set():
-                return
-        while not stop.is_set():  # END must not block forever either: the
-            try:                  # consumer may close with the queue full
-                q.put(END, timeout=0.1)
-                return
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
             except queue.Full:
                 continue
+        return False
+
+    def worker():
+        try:
+            for item in iterable:
+                if not _put(item):
+                    return
+        except BaseException as e:  # surface loader errors to the consumer —
+            _put(e)                 # a dead producer would hang q.get forever
+            return
+        _put(END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -352,6 +354,8 @@ def _prefetch(iterable, depth: int = 2):
             item = q.get()
             if item is END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
         t.join()
     finally:
@@ -367,14 +371,20 @@ def validate(
     log_base_transcripts: bool,
     val_batch: int = 8,
     transcriber=None,
+    loader=None,
 ):
     """Reference ``validate`` semantics (train_sae.py:121-221): per-file
     losses/MSE (batch-size-1 math, vmapped), per-feature magnitude maxes, and
-    substituted transcripts for the first N_TRANSCRIPTS files."""
-    loader, _, _ = init_dataloader(
-        from_disk, val_folder, whisper_model, None, layer_name,
-        batch_size=val_batch, shuffle=False,
-    )
+    substituted transcripts for the first N_TRANSCRIPTS files. Pass a
+    ``loader`` to reuse one across validation calls (a fresh fly loader
+    re-loads Whisper and re-jits its encode per call otherwise)."""
+    if loader is None:
+        loader, _, _ = init_dataloader(
+            from_disk, val_folder, whisper_model, None, layer_name,
+            batch_size=val_batch, shuffle=False,
+        )
+    if hasattr(loader, "set_position"):
+        loader.set_position(0)  # a reused loader must scan from the start
     sums: dict[str, float] = {}
     counts = 0
     mags = []
@@ -406,7 +416,9 @@ def validate(
         mags.append(np.asarray(out["mag"]))
 
         if transcriber is not None and n_transcribed < N_TRANSCRIPTS:
-            take = min(N_TRANSCRIPTS - n_transcribed, x.shape[0])
+            # bound by the VALID file count, not the padded batch — indexing
+            # filenames past n_valid would IndexError on a tiny val set
+            take = min(N_TRANSCRIPTS - n_transcribed, n_valid)
             for j in range(take):
                 try:
                     audio = load_audio(filenames[j])
@@ -481,7 +493,7 @@ def train(
 
     loader, feat_dim, dset_len = init_dataloader(
         from_disk, train_folder, whisper_model, None, layer_name,
-        batch_size=batch_size, shuffle=True, drop_last=True,
+        batch_size=batch_size, shuffle=True, drop_last=True, seed=seed,
     )
 
     trainer = SAETrainer(
@@ -552,6 +564,7 @@ def train(
                 print(f"transcript logging disabled: {e}")
 
     logged_base_transcripts = False
+    val_loader = None
     t_start = time.perf_counter()
     steps_done_at_start = trainer.step
 
@@ -594,11 +607,19 @@ def train(
             trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
 
         if trainer.step % val_every == 0:
+            if val_loader is None:
+                # built once and reused: a fly val loader re-loads Whisper
+                # and re-jits its encode program per construction
+                val_loader, _, _ = init_dataloader(
+                    from_disk, val_folder, whisper_model, None,
+                    layer_name, batch_size=8, shuffle=False,
+                )
             (
                 losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
             ) = validate(
                 trainer, val_folder, layer_name, whisper_model, from_disk,
                 not logged_base_transcripts, transcriber=transcriber,
+                loader=val_loader,
             )
             logged_base_transcripts = True
             if autoencoder_variant == "l1":
