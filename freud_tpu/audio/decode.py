@@ -138,10 +138,19 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
         raise RuntimeError(
             f"Failed to load audio {file}: {lib.fa_last_error().decode()}"
         )
-    if file.lower().endswith(".wav"):
-        return _decode_wave(file, sr)
-    if shutil.which("ffmpeg"):
-        return _decode_ffmpeg_cli(file, sr)
+    # fallback decoders raise their own exception types (wave.Error,
+    # EOFError, CalledProcessError, OSError); normalize to the documented
+    # RuntimeError contract so per-file degrade paths (load_audio_batch,
+    # the upload endpoint's 400) catch every backend the same way
+    try:
+        if file.lower().endswith(".wav"):
+            return _decode_wave(file, sr)
+        if shutil.which("ffmpeg"):
+            return _decode_ffmpeg_cli(file, sr)
+    except RuntimeError:
+        raise
+    except Exception as e:
+        raise RuntimeError(f"Failed to load audio {file}: {e!r}") from e
     raise RuntimeError(
         f"No audio decode backend available for {file} "
         "(native libfreud_audio.so missing and not a PCM WAV)"

@@ -198,11 +198,22 @@ def _apply_rules(logits, token, prev, max_ts, at_first, st, suppress,
     text_mask = (~is_ts) & (vocab_ids != st.eot)
     logits = jnp.where(block_ts & is_ts[None, :], -jnp.inf, logits)
     logits = jnp.where(block_text & text_mask[None, :], -jnp.inf, logits)
-    # monotonic timestamps
-    logits = jnp.where(
-        is_ts[None, :] & (vocab_ids[None, :] < max_ts[:, None]), -jnp.inf, logits
+    # monotonic timestamps with whisper's nonzero-segment rule: once any
+    # timestamp was sampled, new ones must be ≥ it while a segment is open
+    # (lone trailing <ts>) and STRICTLY greater once it closed — equality
+    # after a closed pair would mint zero-length segments and loop forever
+    # (ApplyTimestampRules' timestamp_last = timestamps[-1] (+1))
+    no_ts_yet = (max_ts < ts0)[:, None]
+    open_seg = last_was_ts & ~penult_was_ts
+    min_allowed = jnp.where(
+        no_ts_yet, ts0, jnp.where(open_seg, max_ts[:, None], max_ts[:, None] + 1)
     )
-    # first sampled token: cap the initial timestamp
+    logits = jnp.where(
+        is_ts[None, :] & (vocab_ids[None, :] < min_allowed), -jnp.inf, logits
+    )
+    # first sampled token: MUST be a timestamp (whisper suppresses every
+    # non-timestamp token at sample_begin), capped at max_initial
+    logits = jnp.where(at_first & ~is_ts[None, :], -jnp.inf, logits)
     logits = jnp.where(
         at_first & (vocab_ids > max_initial)[None, :], -jnp.inf, logits
     )
@@ -313,7 +324,7 @@ def sample_decode(
     init = (
         prompt[:, 0],
         jnp.zeros((b,), jnp.int32),
-        jnp.full((b,), ts0, jnp.int32),
+        jnp.zeros((b,), jnp.int32),  # max_ts: < ts0 = none sampled yet
         self_k,
         self_v,
         jnp.zeros((b,), bool),
@@ -483,7 +494,7 @@ def beam_decode(
     init = (
         jnp.broadcast_to(prompt[:, :1], (b, beam_size)),
         jnp.zeros((b, beam_size), jnp.int32),
-        jnp.full((b, beam_size), ts0, jnp.int32),
+        jnp.zeros((b, beam_size), jnp.int32),  # max_ts: < ts0 = none yet
         self_k,
         self_v,
         cum0,
@@ -497,14 +508,16 @@ def beam_decode(
     carry, _ = jax.lax.scan(step, init, jnp.arange(ctx - 1))
     (_, _, _, _, _, cum, n_text, seq,
      fin_key, fin_score, fin_ntext, fin_seq) = carry
-    # MaximumLikelihoodRanker, length_penalty=None: avg logprob per token.
-    # Finished sequences rank first; live (unfinished) beams only compete
-    # when nothing finished (whisper's finalize appends unfinished then).
+    # MaximumLikelihoodRanker with length_penalty=None: sum_logprob / LENGTH
+    # (the +1 denominator is the avg_logprob STATISTIC only, whisper
+    # decode()'s ranker divides by the text-token count). Finished sequences
+    # rank first; live (unfinished) beams only compete when nothing finished
+    # (whisper's finalize appends unfinished then).
     valid = jnp.isfinite(fin_key)
     any_fin = valid.any(axis=1, keepdims=True)
-    live_score = jnp.where(any_fin, -jnp.inf,
-                           cum / (n_text.astype(jnp.float32) + 1.0))
-    fin_avg = fin_score / (fin_ntext.astype(jnp.float32) + 1.0)
+    live_len = jnp.maximum(n_text.astype(jnp.float32), 1.0)
+    live_score = jnp.where(any_fin, -jnp.inf, cum / live_len)
+    fin_avg = fin_score / jnp.maximum(fin_ntext.astype(jnp.float32), 1.0)
     fin_avg = jnp.where(valid, fin_avg, -jnp.inf)
     all_score = jnp.concatenate([fin_avg, live_score], axis=1)
     all_sum = jnp.concatenate([fin_score, cum], axis=1)

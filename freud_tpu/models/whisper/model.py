@@ -61,7 +61,7 @@ def _ln_init(d):
 
 
 def _block_init(key, d, cross_attention: bool):
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 10)
     p = {
         "attn_ln": _ln_init(d),
         "attn": {
@@ -79,10 +79,13 @@ def _block_init(key, d, cross_attention: bool):
     if cross_attention:
         p["cross_attn_ln"] = _ln_init(d)
         p["cross_attn"] = {
+            # distinct keys per projection: reusing one would make q == v
+            # byte-identical in every random:/test: model, hiding q/v wiring
+            # bugs from every structural test
             "q": _linear_init(keys[6], d, d),
             "k": {"w": _linear_init(keys[7], d, d)["w"]},
-            "v": _linear_init(keys[6], d, d),
-            "out": _linear_init(keys[7], d, d),
+            "v": _linear_init(keys[8], d, d),
+            "out": _linear_init(keys[9], d, d),
         }
     return p
 

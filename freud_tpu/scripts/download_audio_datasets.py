@@ -85,12 +85,19 @@ def download_dataset(dataset: str, out_root: str, keep_archives: bool = False) -
     for url in DATASETS[dataset]:
         fname = url.rsplit("/", 1)[-1]
         dest = out_dir / fname
+        marker = out_dir / f".{fname}.extracted"
+        if marker.exists():
+            # archives are deleted after extraction, so presence of the
+            # archive itself can't signal completion — the marker does
+            print(f"already extracted, skipping: {fname}")
+            continue
         if dest.exists():
             print(f"exists, skipping: {dest}")
             continue
         print(f"downloading {url}")
         download_file(url, dest)
         extract_archive(dest, out_dir, delete=not keep_archives)
+        marker.touch()
     print(f"done: {out_dir} ({shutil.disk_usage(out_dir).free >> 30} GiB free)")
 
 

@@ -97,8 +97,11 @@ class GuiState:
         self.n_features = self.loader.activation_shape[-1]
         self.allow_audio_upload = not no_audio_upload
         self.allow_any_audio_path = allow_any_audio_path
+        # realpath the roots too: requested files are realpath'd before the
+        # containment check, so a symlinked dataset root (abspath ≠ realpath)
+        # would otherwise 403 every legitimate file
         self.audio_roots = [
-            os.path.abspath(p)
+            os.path.realpath(p)
             for p in (config.get("data_path"), config.get("out_folder"))
             if p
         ]
@@ -196,6 +199,9 @@ def make_handler(state: GuiState):
                     self.send_response(416)
                     self.send_header("Content-Range", f"bytes */{size}")
                     self.send_header("Access-Control-Allow-Origin", "*")
+                    # explicit empty body: a keep-alive client would
+                    # otherwise wait forever for an unterminated body
+                    self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
                 if end < start:

@@ -38,12 +38,13 @@ def test_timestamps_monotonic_and_paired(decoded):
             assert all(t == st.eot for t in tail)
 
 
-def test_first_token_respects_initial_cap(decoded):
+def test_first_token_is_timestamp_within_initial_cap(decoded):
+    """whisper's ApplyTimestampRules forces the FIRST sampled token to be a
+    timestamp, capped at max_initial_timestamp (1.0 s → +50)."""
     tokens, st = decoded
     first = tokens[:, 3]
     for t in first:
-        if t >= st.timestamp_begin:
-            assert t <= st.timestamp_begin + 50
+        assert st.timestamp_begin <= t <= st.timestamp_begin + 50
 
 
 def test_no_suppressed_specials(decoded):
