@@ -175,6 +175,7 @@ def transcribe_long(
 
     segments: list[dict] = []
     history: list[int] = []  # previous windows' text tokens
+    lang_pinned = None
     if initial_prompt:
         from .tokenizer import encode_text
 
@@ -188,7 +189,10 @@ def transcribe_long(
             win = np.pad(win, ((0, 0), (0, N_FRAMES - win.shape[-1])),
                          constant_values=-0.75)  # whisper zero-audio mel value
         encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
-        prompt, n_prompt = runtime._prompt(encoded)
+        # whisper.transcribe detects the language once (first window), pins it
+        prompt, n_prompt = runtime._prompt(encoded, lang_idx=lang_pinned)
+        if lang_pinned is None and runtime._st.multilingual:
+            lang_pinned = int(np.asarray(prompt)[0, 1]) - runtime._st.lang_base
         start = None
         if (condition_on_previous_text or initial_prompt) and history:
             base = [int(t) for t in np.asarray(prompt)[0]]

@@ -80,12 +80,17 @@ class WhisperRuntime:
 
     # -- transcription ------------------------------------------------------
 
-    def _prompt(self, encoded: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+    def _prompt(self, encoded: jnp.ndarray,
+                lang_idx=None) -> tuple[jnp.ndarray, int]:
+        """``lang_idx`` overrides detection — whisper.transcribe detects the
+        language ONCE on the first window and pins it for the recording."""
         batch = encoded.shape[0]
         seq = self._st.sot_sequence(lang_index=0, timestamps=True)
         arr = np.tile(np.asarray(seq, np.int32), (batch, 1))
         if self._st.multilingual:
-            if self.language is None:
+            if lang_idx is not None:
+                lang_idx = np.broadcast_to(np.asarray(lang_idx), (batch,))
+            elif self.language is None:
                 lang_idx = np.asarray(detect_language(self.params, self.dims, encoded))
             else:
                 lang_idx = np.full(
