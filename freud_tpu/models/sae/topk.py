@@ -232,7 +232,9 @@ def _forward_impl(params, x, cfg, dead_mask, matmul_dtype):
     top = select_topk(acts, cfg.k)
     thresh = jnp.min(top.top_acts, axis=-1, keepdims=True)
     keep = acts >= thresh
-    fired = jnp.any(keep.reshape(-1, keep.shape[-1]), axis=0)
+    # zero activations never fire (see ops/topk_threshold.py — a silent
+    # frame's threshold is 0 and would otherwise fire the whole dictionary)
+    fired = jnp.any((keep & (acts > 0)).reshape(-1, keep.shape[-1]), axis=0)
     sae_out = _masked_dense_decode(params, acts, thresh, matmul_dtype).astype(x.dtype)
     e = sae_out - x
 

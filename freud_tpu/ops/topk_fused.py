@@ -132,8 +132,11 @@ def _kernel(x_ref, wenc_ref, benc_ref, bdec_ref, wdec_ref, dead_ref,
                               preferred_element_type=jnp.float32)
         row = (jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0)
                + (i - 1) * bits.shape[0])
+        # zero activations never fire (bits > 0 ⇔ value > 0 post-ReLU): a
+        # row with < k positives has threshold 0, which would otherwise mark
+        # the whole dictionary fired and disable AuxK dead-latent revival
         tile_fired = jnp.max(
-            (keep_m & (row < valid_rows)).astype(jnp.float32),
+            (keep_m & (bits > 0) & (row < valid_rows)).astype(jnp.float32),
             axis=0, keepdims=True,
         )
 

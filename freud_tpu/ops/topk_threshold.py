@@ -54,9 +54,12 @@ def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
     # fired[j] = did latent j cross its row threshold anywhere — the acts
     # tile is already VMEM-resident, so folding this in here saves the
     # trainer a full extra HBM pass over (M, n_dict). Padded rows (all-zero,
-    # threshold 0) must not count.
+    # threshold 0) must not count; neither may zero activations — a row with
+    # fewer than k positives converges to threshold 0, and post-ReLU every
+    # latent satisfies acts >= 0, so one silent frame would otherwise mark
+    # the ENTIRE dictionary as fired and permanently disable AuxK revival.
     row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * a.shape[0]
-    keep = (a >= t_main) & (row < valid_rows)
+    keep = (a >= t_main) & (a > 0) & (row < valid_rows)
     tile_fired = jnp.max(keep.astype(jnp.float32), axis=0, keepdims=True)
 
     @pl.when(i == 0)

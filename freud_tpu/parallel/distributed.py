@@ -26,8 +26,13 @@ def initialize(
     On Cloud TPU the arguments auto-detect from the metadata server; set them
     explicitly (or via JAX_COORDINATOR_ADDRESS etc.) elsewhere.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # already-initialized check WITHOUT touching the XLA backend:
+    # jax.process_count() would initialize it, after which
+    # jax.distributed.initialize() unconditionally raises — and the swallow
+    # below would leave every host silently un-distributed
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and state.client is not None:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -57,9 +57,11 @@ def dict_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
 def pad_and_shard(mesh: Mesh, buf, batch_size: int):
     """Zero-pad a host batch's leading dim to ``batch_size`` and device_put
     it with that dim sharded over ``data`` (the collection loaders' ragged-
-    tail rule: one compiled shape per run, outputs trimmed by the caller)."""
-    import jax.numpy as jnp
+    tail rule: one compiled shape per run, outputs trimmed by the caller).
 
+    device_put runs directly on the HOST array — a ``jnp.asarray`` first
+    would commit the whole buffer to device 0 and then redistribute,
+    doubling the host→device transfer on the collection hot path."""
     buf = np.asarray(buf)
     n = buf.shape[0]
     if n < batch_size:
@@ -67,7 +69,7 @@ def pad_and_shard(mesh: Mesh, buf, batch_size: int):
             [buf, np.zeros((batch_size - n, *buf.shape[1:]), buf.dtype)],
             axis=0,
         )
-    return jax.device_put(jnp.asarray(buf), batch_sharding(mesh, buf.ndim))
+    return jax.device_put(buf, batch_sharding(mesh, buf.ndim))
 
 
 def put_batch(mesh: Mesh, *arrays):

@@ -139,3 +139,45 @@ def test_thresholds_partition_without_gather():
     np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_p))
     txt = fn.lower(ash).compile().as_text().lower()
     assert "all-gather" not in txt
+
+
+def test_silent_frames_do_not_fire_everything():
+    """A row with fewer than k positive activations converges to threshold 0;
+    post-ReLU every latent is >= 0, so without the acts > 0 qualifier one
+    silent frame would mark the ENTIRE dictionary as fired and permanently
+    disable AuxK dead-latent revival."""
+    from freud_tpu.ops.topk_threshold import topk_thresholds_fired
+    import jax
+
+    interp = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(9)
+    acts = np.abs(rng.standard_normal((8, 32)).astype(np.float32))
+    acts[3] = 0.0  # silent frame
+    dead = np.zeros(32, bool)
+    _, _, fired = topk_thresholds_fired(
+        jnp.asarray(acts), jnp.asarray(dead), 4, 2, interpret=interp)
+    fired = np.asarray(fired)
+    assert fired.sum() < 32  # the zero row must not fire every latent
+    # latents that genuinely crossed a positive threshold still fire
+    assert fired.sum() >= 4
+
+    # same property through the fused bf16 kernel
+    from freud_tpu.models.sae import TopKAutoEncoderConfig, init_topk
+    from freud_tpu.ops.topk_fused import topk_sae_forward
+
+    cfg = TopKAutoEncoderConfig(expansion_factor=2, k=4, auxk_alpha=0.1)
+    params = init_topk(16, cfg, seed=0)
+    x = rng.standard_normal((12, 16)).astype(np.float32)
+    x[5] = 0.0  # zero input → acts = relu(0 @ W + 0) = all zeros
+    _, _, _, _, _, fired_k = topk_sae_forward(
+        jnp.asarray(x), params.encoder_weight.T, params.encoder_bias,
+        params.b_dec, params.W_dec, jnp.zeros(32, jnp.float32), cfg.k, 8,
+        interpret=interp)
+    assert np.asarray(fired_k).sum() < 32
+
+    # and through the XLA forward (forward_with_fired)
+    from freud_tpu.models.sae import topk as topk_mod
+
+    _, fired_f = topk_mod.forward_with_fired(
+        params, jnp.asarray(x[None]), cfg)
+    assert np.asarray(fired_f).sum() < 32
