@@ -29,15 +29,14 @@ _MEDFILT_WIDTH = 7
 
 
 def median_filter(x: np.ndarray, width: int = _MEDFILT_WIDTH) -> np.ndarray:
-    """Median filter along the last axis with edge replication (whisper
-    timing.py median_filter semantics)."""
-    if width <= 1 or x.shape[-1] == 0:
-        return x
+    """Median filter along the last axis with REFLECT padding (whisper
+    timing.py median_filter: F.pad(..., mode="reflect"); sequences shorter
+    than the half-width pass through unchanged, as there)."""
     pad = width // 2
-    xp = np.concatenate(
-        [np.repeat(x[..., :1], pad, axis=-1), x,
-         np.repeat(x[..., -1:], pad, axis=-1)], axis=-1
-    )
+    if width <= 1 or x.shape[-1] <= pad:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    xp = np.pad(x, cfg, mode="reflect")
     windows = np.lib.stride_tricks.sliding_window_view(xp, width, axis=-1)
     return np.median(windows, axis=-1)
 

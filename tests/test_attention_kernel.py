@@ -31,9 +31,12 @@ def test_kernel_matches_einsum(s):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
-def test_padding_does_not_leak():
-    """Keys beyond the true length must never receive attention mass: feed a
-    huge value in what would be the padded region if masking were wrong."""
+def test_padding_parity_at_non_multiple_length():
+    """A length that forces internal padding (700 → 1024) must still match
+    einsum exactly — the additive pad bias keeps the zero-filled tail out of
+    the softmax. (The pad region is created inside the kernel from jnp.pad,
+    so garbage values can't be injected from outside; this pins the masked
+    result, not an adversarial fill.)"""
     rng = np.random.default_rng(1)
     s = 700  # pads to 1024 internally
     q = jnp.asarray(rng.standard_normal((1, 1, s, 64)).astype(np.float32))

@@ -30,9 +30,10 @@ def test_sample_shapes_and_provenance(store):
         # every sampled row is a real store row
         tags = batch[:, 0, 0]
         assert all(int(t) in range(20) for t in tags)
-        # different draws differ (randomized indices)
-        b2 = np.asarray(cache.next_batch(5))
-        assert not np.array_equal(batch, b2) or True  # non-flaky: just run
+        # different draws differ (randomized indices): over several draws of
+        # 5 rows from 20 files, identical sequences are (20^-5)^4-improbable
+        draws = [np.asarray(cache.next_batch(5)) for _ in range(4)]
+        assert any(not np.array_equal(batch, d) for d in draws)
     finally:
         cache.close()
 

@@ -118,8 +118,12 @@ def test_feature_analyzer_top_and_manipulate():
     true_len = activation_length_from_samples(len(audio))
     for i, tr in zip(idx, traces):
         assert tr.shape == (true_len,)
-        # reference sanity assert: reported value == trace max
-        assert tr.max() == max(t.max() for t in [tr])
+    # ranking invariant (the reference's max==value sanity assert,
+    # utils/activations.py:204-206): traces arrive in descending order of
+    # their per-feature maxima — misaligned trace/feature columns break this
+    maxes = [float(t.max()) for t in traces]
+    assert maxes == sorted(maxes, reverse=True)
+    assert maxes[0] > 0
 
     base, manip, std, s_trace, m_trace = an.manipulate(audio, idx[0], 2.0)
     assert isinstance(manip, str) and isinstance(std, str)

@@ -63,7 +63,10 @@ def test_kernel_fwd_matches_xla_branch():
 
 
 def test_kernel_exact_counts():
-    """Integer bisection must select EXACTLY k (no tie fuzz) on distinct data."""
+    """The integer bisection returns the EXACT k-th value: selection counts
+    are ≥ k everywhere and exactly k wherever the k-th and (k+1)-th values
+    are distinct (bf16 ties legitimately admit extras — the same semantics
+    as the dense where-mask decode)."""
     cfg, params, x, dead = _setup(seed=3)
     from freud_tpu.ops.topk_fused import topk_sae_forward
 

@@ -18,15 +18,27 @@ def test_dtw_identity_diagonal():
     assert all((i, i) in diag for i in range(n))
 
 
-def test_median_filter_matches_naive():
+def test_median_filter_matches_naive_reflect():
+    """Independent oracle with whisper's REFLECT padding (timing.py uses
+    F.pad(mode='reflect'), NOT edge replication — the prefix of [a,b,c,…]
+    at width 5 is [c,b], so boundary medians differ whenever a != c)."""
     rng = np.random.default_rng(0)
     x = rng.standard_normal((3, 20))
     got = timing.median_filter(x, 5)
-    pad = np.concatenate([x[:, :1]] * 2 + [x] + [x[:, -1:]] * 2, axis=1)
+    pad = np.concatenate(
+        [x[:, 2:0:-1], x, x[:, -2:-4:-1]], axis=1)  # reflect: [c,b] | x | …
     want = np.stack(
         [np.median(pad[:, j:j + 5], axis=1) for j in range(20)], axis=1
     )
     np.testing.assert_allclose(got, want)
+    # boundary value is NOT the edge-replication result when a != c
+    edge_pad = np.concatenate([x[:, :1]] * 2 + [x] + [x[:, -1:]] * 2, axis=1)
+    edge0 = np.median(edge_pad[:, 0:5], axis=1)
+    assert not np.allclose(got[:, 0], edge0)
+
+    # short sequences pass through unchanged (whisper's edge case)
+    short = rng.standard_normal((2, 2))
+    np.testing.assert_array_equal(timing.median_filter(short, 7), short)
 
 
 def test_token_times_monotonic_synthetic():
