@@ -15,8 +15,6 @@ inherits os.walk's filesystem order.
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from typing import Iterator, Optional
 
 import jax
@@ -83,52 +81,25 @@ class AudioBatchPipeline:
         return out
 
     def __iter__(self) -> Iterator[tuple[jnp.ndarray, list[str], np.ndarray]]:
-        batches = self._batches()
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        from .prefetch import prefetch_iter
 
-        def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+        def decoded():
+            for chunk in self._batches():
+                with profiling.span("decode_batch"):
+                    buf, lengths = load_audio_batch(
+                        chunk, frame_len=N_SAMPLES,
+                        n_threads=self.decode_threads,
+                    )
+                yield buf, chunk, lengths
 
-        def producer():
-            try:
-                for chunk in batches:
-                    with profiling.span("decode_batch"):
-                        buf, lengths = load_audio_batch(
-                            chunk, frame_len=N_SAMPLES,
-                            n_threads=self.decode_threads,
-                        )
-                    if not _put((buf, chunk, lengths)):
-                        return  # consumer abandoned the iteration
-            except BaseException as e:  # surface decode errors instead of
-                _put(e)                 # hanging the consumer's q.get
-                return
-            _put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                buf, chunk, lengths = item
-                if self.compute_mels:
-                    with profiling.span("mel_batch"):
-                        mels = self._mel_fn(jnp.asarray(buf))
-                    yield mels, chunk, lengths
-                else:
-                    # raw (n, N_SAMPLES) host waveforms — the mesh-sharded
-                    # collection path computes mel+encode in one sharded jit
-                    yield buf, chunk, lengths
-            t.join()
-        finally:
-            stop.set()  # unblocks + retires the producer on early close
+        # the shared cancellable prefetch handles early close and forwards
+        # decode exceptions instead of hanging the consumer
+        for buf, chunk, lengths in prefetch_iter(decoded(), self.prefetch):
+            if self.compute_mels:
+                with profiling.span("mel_batch"):
+                    mels = self._mel_fn(jnp.asarray(buf))
+                yield mels, chunk, lengths
+            else:
+                # raw (n, N_SAMPLES) host waveforms — the mesh-sharded
+                # collection path computes mel+encode in one sharded jit
+                yield buf, chunk, lengths

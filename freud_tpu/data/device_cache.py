@@ -67,6 +67,7 @@ class DeviceShuffleCache:
 
         self._q: queue.Queue = queue.Queue(maxsize=2)
         self._stop = threading.Event()
+        self._error: BaseException | None = None
         if self.refresh_files:
             self._thread = threading.Thread(target=self._producer, daemon=True)
             self._thread.start()
@@ -74,33 +75,39 @@ class DeviceShuffleCache:
             self._thread = None
 
     def _producer(self):
-        reader = self.loader.reader
-        n = self.loader.dataset_length
-        cursor = self.capacity
-        order = self._rng.permutation(n)
-        while not self._stop.is_set():
-            take = []
-            while len(take) < self.refresh_files:
-                if cursor >= n:
-                    order = self._rng.permutation(n)
-                    cursor = 0
-                take.append(order[cursor])
-                cursor += 1
-            rows = reader.batch(np.asarray(take))[0]
-            slots = self._rng.integers(0, self.capacity, self.refresh_files)
-            item = (np.asarray(rows, np.float32), slots)
+        try:
+            reader = self.loader.reader
+            n = self.loader.dataset_length
+            cursor = self.capacity
+            order = self._rng.permutation(n)
             while not self._stop.is_set():
-                # retry the SAME item: dropping it on a full queue would
-                # busy-loop on wasted disk reads and skip these files'
-                # cache residency entirely
-                try:
-                    self._q.put(item, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                take = []
+                while len(take) < self.refresh_files:
+                    if cursor >= n:
+                        order = self._rng.permutation(n)
+                        cursor = 0
+                    take.append(order[cursor])
+                    cursor += 1
+                rows = reader.batch(np.asarray(take))[0]
+                slots = self._rng.integers(0, self.capacity, self.refresh_files)
+                item = (np.asarray(rows, np.float32), slots)
+                while not self._stop.is_set():
+                    # retry the SAME item: dropping it on a full queue would
+                    # busy-loop on wasted disk reads and skip these files'
+                    # cache residency entirely
+                    try:
+                        self._q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface I/O errors to next_batch —
+            self._error = e         # a silently dead refresher would freeze
+            return                  # the shuffle window for the whole run
 
     def next_batch(self, batch_size: int) -> jnp.ndarray:
         """On-device (batch, T, d) sample; applies any pending refresh first."""
+        if self._error is not None:
+            raise RuntimeError("device-cache refresh thread died") from self._error
         if self._thread is not None:
             try:
                 rows, slots = self._q.get_nowait()

@@ -37,6 +37,18 @@ from .audio_dataset import AudioBatchPipeline
 from .store import ActivationStoreReader
 
 
+def decodable_mask(lengths: np.ndarray, filenames: list[str]) -> np.ndarray:
+    """Per-file decode-degrade policy (shared by single- and multi-layer
+    collection): lengths < 0 mark undecodable files — warn once per batch and
+    return the keep mask (the reference aborts the whole run on its first
+    ffmpeg failure, audio_utils.py:55-56)."""
+    ok = lengths >= 0
+    if not ok.all():
+        bad = [f for f, good in zip(filenames, ok) if not good]
+        print(f"skipping {len(bad)} undecodable file(s): {bad[:3]}…")
+    return ok
+
+
 def load_sae(checkpoint: str):
     """(variant, cfg, activation_size, params) from a trainer checkpoint."""
     return sae_serialize.sae_from_checkpoint(checkpoint)
@@ -182,10 +194,8 @@ class FlyActivationLoader:
         failure (audio_utils.py:55-56); collection here degrades per-file."""
         for mels, filenames, lengths in self.pipeline:
             outs = self._compute(mels, len(filenames))
-            ok = lengths >= 0
+            ok = decodable_mask(lengths, filenames)
             if not ok.all():
-                bad = [f for f, good in zip(filenames, ok) if not good]
-                print(f"skipping {len(bad)} undecodable file(s): {bad[:3]}…")
                 outs = tuple(np.asarray(o)[ok] for o in outs)
                 filenames = [f for f, good in zip(filenames, ok) if good]
                 lengths = lengths[ok]

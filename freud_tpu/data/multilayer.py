@@ -85,13 +85,13 @@ class MultiLayerActivationLoader:
                 caps = self._encode(self.runtime.params, mels)
             if self.mesh is not None and n < self.batch_size:
                 caps = {k: v[:n] for k, v in caps.items()}
-            # per-file decode degrade, same policy as the single-layer
-            # loader: drop undecodable files (length < 0) instead of writing
-            # their zero rows + negative n_frames into every layer store
-            ok = lengths >= 0
+            # per-file decode degrade (shared policy, loaders.decodable_mask):
+            # drop undecodable files instead of writing their zero rows +
+            # negative n_frames into every layer store
+            from .loaders import decodable_mask
+
+            ok = decodable_mask(lengths, filenames)
             if not ok.all():
-                bad = [f for f, good in zip(filenames, ok) if not good]
-                print(f"skipping {len(bad)} undecodable file(s): {bad[:3]}…")
                 caps = {k: np.asarray(v)[ok] for k, v in caps.items()}
                 filenames = [f for f, good in zip(filenames, ok) if good]
                 lengths = lengths[ok]

@@ -488,7 +488,9 @@ def _training_losses_xla(
     t_aux = t_aux.reshape(*lead, 1).astype(acts.dtype)
 
     keep = acts >= t_main
-    fired = jnp.any(keep.reshape(-1, n_dict), axis=0)
+    # zero activations never fire (silent-frame threshold is 0 — see
+    # ops/topk_threshold.py; same qualifier as every other fired site)
+    fired = jnp.any((keep & (acts > 0)).reshape(-1, n_dict), axis=0)
     sae_out = _masked_dense_decode(params, acts, t_main, matmul_dtype).astype(x.dtype)
     e = sae_out - x
     tv = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)

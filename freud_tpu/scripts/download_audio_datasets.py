@@ -92,10 +92,12 @@ def download_dataset(dataset: str, out_root: str, keep_archives: bool = False) -
             print(f"already extracted, skipping: {fname}")
             continue
         if dest.exists():
-            print(f"exists, skipping: {dest}")
-            continue
-        print(f"downloading {url}")
-        download_file(url, dest)
+            # archive present but no marker: a previous run died between
+            # download and extraction — finish the extraction, don't skip it
+            print(f"archive present, extracting: {dest}")
+        else:
+            print(f"downloading {url}")
+            download_file(url, dest)
         extract_archive(dest, out_dir, delete=not keep_archives)
         marker.touch()
     print(f"done: {out_dir} ({shutil.disk_usage(out_dir).free >> 30} GiB free)")

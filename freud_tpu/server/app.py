@@ -264,8 +264,16 @@ def make_handler(state: GuiState):
                     }
                 )
             elif path == "/top_files":
+                feat = int(q.get("feature_idx", 0))
+                if not (0 <= feat < state.n_features):
+                    # an out-of-range traced index would gather NaNs (jit
+                    # fill mode), not raise — reject up front instead
+                    self.send_error(
+                        400, f"feature_idx {feat} outside "
+                             f"[0, {state.n_features})")
+                    return
                 args = {
-                    "feature_idx": int(q.get("feature_idx", 0)),
+                    "feature_idx": feat,
                     "n_files": int(q.get("n_files", 10)),
                     "max_val": float(q["max_val"]) if q.get("max_val") else None,
                     "min_val": float(q["min_val"]) if q.get("min_val") else None,

@@ -25,9 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-import queue
 import random
-import threading
 import time
 from pathlib import Path
 from typing import Optional
@@ -42,6 +40,7 @@ from ..constants import get_n_mels
 from ..audio.mel import mels_from_array
 from ..audio.decode import load_audio
 from ..data.loaders import init_dataloader
+from ..data.prefetch import prefetch_iter as _prefetch
 from ..models.sae import config as sae_config
 from ..models.sae import l1 as l1_mod
 from ..models.sae import topk as topk_mod
@@ -320,46 +319,6 @@ class SAETrainer:
 # Full training entry point (reference train(**config) surface)
 
 
-def _prefetch(iterable, depth: int = 2):
-    """Background-thread prefetch. Closing the generator (GeneratorExit —
-    e.g. the trainer breaking out at ``steps``) unblocks and retires the
-    producer thread instead of leaving it parked on a full queue."""
-    q: queue.Queue = queue.Queue(maxsize=depth)
-    END = object()
-    stop = threading.Event()
-
-    def _put(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def worker():
-        try:
-            for item in iterable:
-                if not _put(item):
-                    return
-        except BaseException as e:  # surface loader errors to the consumer —
-            _put(e)                 # a dead producer would hang q.get forever
-            return
-        _put(END)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
-    finally:
-        stop.set()
 
 
 def validate(
