@@ -19,6 +19,7 @@ from .. import profiling
 from ..constants import SAMPLE_RATE, TIMESTEP_S, get_n_mels
 from ..models.whisper import WhisperRuntime, encoder_forward
 from .audio_dataset import AudioBatchPipeline
+from .loaders import decodable_mask
 from .store import ActivationStoreWriter
 
 
@@ -88,8 +89,6 @@ class MultiLayerActivationLoader:
             # per-file decode degrade (shared policy, loaders.decodable_mask):
             # drop undecodable files instead of writing their zero rows +
             # negative n_frames into every layer store
-            from .loaders import decodable_mask
-
             ok = decodable_mask(lengths, filenames)
             if not ok.all():
                 caps = {k: np.asarray(v)[ok] for k, v in caps.items()}

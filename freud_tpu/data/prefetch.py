@@ -17,13 +17,25 @@ from typing import Iterable, Iterator
 _END = object()
 
 
+class _ProducerError:
+    """Wrapper distinguishing a producer FAILURE from an iterable that
+    legitimately yields exception objects as data."""
+
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_iter(iterable: Iterable, depth: int = 2) -> Iterator:
     """Yield from ``iterable`` with a background producer thread.
 
     Closing the generator (GeneratorExit — e.g. a train loop breaking at
     ``steps``) unblocks and retires the producer; an exception raised by the
-    producer is re-raised in the consumer."""
-    q: queue.Queue = queue.Queue(maxsize=depth)
+    producer is re-raised in the consumer. ``depth`` is clamped to ≥ 1
+    (queue.Queue(0) would mean UNBOUNDED and race the producer through the
+    whole dataset into RAM)."""
+    q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
 
     def _put(item) -> bool:
@@ -41,7 +53,7 @@ def prefetch_iter(iterable: Iterable, depth: int = 2) -> Iterator:
                 if not _put(item):
                     return
         except BaseException as e:
-            _put(e)
+            _put(_ProducerError(e))
             return
         _put(_END)
 
@@ -52,8 +64,8 @@ def prefetch_iter(iterable: Iterable, depth: int = 2) -> Iterator:
             item = q.get()
             if item is _END:
                 break
-            if isinstance(item, BaseException):
-                raise item
+            if isinstance(item, _ProducerError):
+                raise item.exc
             yield item
         t.join()
     finally:

@@ -29,9 +29,11 @@ def initialize(
     # already-initialized check WITHOUT touching the XLA backend:
     # jax.process_count() would initialize it, after which
     # jax.distributed.initialize() unconditionally raises — and the swallow
-    # below would leave every host silently un-distributed
-    state = getattr(jax._src.distributed, "global_state", None)
-    if state is not None and state.client is not None:
+    # below would leave every host silently un-distributed. The private-API
+    # probe is fully guarded so a jax upgrade degrades to the try/except.
+    state = getattr(getattr(getattr(jax, "_src", None), "distributed", None),
+                    "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
         return
     try:
         jax.distributed.initialize(
@@ -40,11 +42,18 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
-        if num_processes not in (None, 1):
+        # a host that was TOLD it is part of a pod must never proceed alone
+        pod_signals = (
+            coordinator_address,
+            os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            os.environ.get("COORDINATOR_ADDRESS"),
+        )
+        if num_processes not in (None, 1) or any(pod_signals):
             raise
-        # single-process environments (tests, one chip) proceed un-distributed
-        if os.environ.get("FREUD_DEBUG_DIST"):
-            print(f"jax.distributed not initialized: {e}")
+        # single-process environments (tests, one chip) proceed
+        # un-distributed — but say so, a silent swallow here once masked a
+        # whole pod running N independent trainings
+        print(f"jax.distributed not initialized (single-process): {e}")
 
 
 def process_info() -> dict:
