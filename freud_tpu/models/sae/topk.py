@@ -472,7 +472,7 @@ def _training_losses_xla(
     matmul_dtype=None,
 ):
     """XLA-autodiff formulation (kept for multi_topk; same semantics)."""
-    from ...ops.topk_threshold import topk_thresholds
+    from ...ops.topk_threshold import topk_thresholds_fired
 
     acts = pre_acts(params, x, matmul_dtype=matmul_dtype)
     n_dict = acts.shape[-1]
@@ -480,9 +480,17 @@ def _training_losses_xla(
     k_aux = d_in // 2
     flat = jax.lax.stop_gradient(acts.reshape(-1, n_dict))
     interpret = jax.default_backend() == "cpu"
-    t_main, t_aux = topk_thresholds(
-        flat, dead_mask, cfg.k, k_aux, interpret=interpret
-    )
+    # all thresholds (k, k_aux-over-dead, and multi_topk's 4k when enabled)
+    # come from ONE resident pass over the latent
+    if cfg.multi_topk:
+        t_main, t_aux, _, t4 = topk_thresholds_fired(
+            flat, dead_mask, cfg.k, k_aux, interpret=interpret,
+            k_multi=4 * cfg.k,
+        )
+    else:
+        t_main, t_aux, _ = topk_thresholds_fired(
+            flat, dead_mask, cfg.k, k_aux, interpret=interpret
+        )
     lead = acts.shape[:-1]
     t_main = t_main.reshape(*lead, 1).astype(acts.dtype)
     t_aux = t_aux.reshape(*lead, 1).astype(acts.dtype)
@@ -504,12 +512,6 @@ def _training_losses_xla(
     auxk_loss = cfg.auxk_alpha * scale * jnp.sum((e_hat - e) ** 2) / tv
 
     if cfg.multi_topk:
-        # 4k-sparse threshold through the same single-pass kernel (XLA-level
-        # bisection re-reads the latent from HBM every iteration)
-        t4, _ = topk_thresholds(
-            flat, jnp.zeros((n_dict,), bool), 4 * cfg.k, 1,
-            interpret=interpret,
-        )
         thresh4 = t4.reshape(*lead, 1).astype(acts.dtype)
         multi_out = _masked_dense_decode(params, acts, thresh4, matmul_dtype)
         multi_topk_fvu = jnp.sum((multi_out - x) ** 2) / tv

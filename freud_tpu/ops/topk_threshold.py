@@ -41,8 +41,9 @@ def _bisect(masked: jnp.ndarray, k: int, iters: int = _ITERS) -> jnp.ndarray:
     return lo
 
 
-def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
-            *, k_main: int, k_aux: int, valid_rows: int, iters: int):
+def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, tmulti_ref, fired_ref,
+            *, k_main: int, k_aux: int, k_multi: int, valid_rows: int,
+            iters: int):
     i = pl.program_id(0)
     a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
     t_main = _bisect(a, k_main, iters)
@@ -50,6 +51,13 @@ def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
     dead = dead_ref[...] > 0  # (1, n_dict)
     masked = jnp.where(dead, a, -jnp.inf)
     taux_ref[...] = _bisect(masked, k_aux, iters)
+    if k_multi:
+        # third threshold (multi_topk's 4k) in the SAME resident pass — a
+        # separate kernel invocation would re-read the whole (M, n_dict)
+        # latent from HBM just for this
+        tmulti_ref[...] = _bisect(a, k_multi, iters)
+    else:
+        tmulti_ref[...] = t_main
 
     # fired[j] = did latent j cross its row threshold anywhere — the acts
     # tile is already VMEM-resident, so folding this in here saves the
@@ -72,7 +80,9 @@ def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, fired_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_main", "k_aux", "interpret", "rows", "iters")
+    jax.jit,
+    static_argnames=("k_main", "k_aux", "interpret", "rows", "iters",
+                     "k_multi"),
 )
 def topk_thresholds_fired(
     acts: jnp.ndarray,  # (M, n_dict) — any float dtype (cast to f32 in VMEM)
@@ -82,27 +92,33 @@ def topk_thresholds_fired(
     interpret: bool = False,
     rows: int = ROWS,
     iters: int = _ITERS,
+    k_multi: int = 0,
 ):
-    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool).
+    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool)
+    — or, with ``k_multi`` set (multi_topk's 4k), a 4-tuple ending in
+    t_multi (M, 1): all three thresholds from ONE pass over the latent.
 
     Carries the same GSPMD row-partitioning rule as ops/topk_fused (one
     kernel per chip on a data-sharded batch; the fired mask pmax-es across
     the row-sharding axes inside the partition's lower_fn)."""
-    tm, ta, fired_f = _partitioned_thresholds(
-        k_main, k_aux, rows, iters, interpret
+    tm, ta, tmu, fired_f = _partitioned_thresholds(
+        k_main, k_aux, k_multi, rows, iters, interpret
     )(acts, dead_mask.astype(jnp.float32))
+    if k_multi:
+        return tm[:, None], ta[:, None], fired_f > 0, tmu[:, None]
     return tm[:, None], ta[:, None], fired_f > 0
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_thresholds(k_main: int, k_aux: int, rows: int, iters: int,
-                            interpret: bool):
+def _partitioned_thresholds(k_main: int, k_aux: int, k_multi: int, rows: int,
+                            iters: int, interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def body(acts, dead_f):
         return _thresholds_impl(acts, dead_f, k_main=k_main, k_aux=k_aux,
-                                rows=rows, iters=iters, interpret=interpret)
+                                k_multi=k_multi, rows=rows, iters=iters,
+                                interpret=interpret)
 
     cp = custom_partitioning(body)
 
@@ -112,35 +128,37 @@ def _partitioned_thresholds(k_main: int, k_aux: int, rows: int, iters: int,
         axes = (m,) if isinstance(m, str) else tuple(m or ())
 
         def lower_fn(*args):
-            tm, ta, fired = body(*args)
+            tm, ta, tmu, fired = body(*args)
             for ax in axes:
                 fired = jax.lax.pmax(fired, ax)
-            return tm, ta, fired
+            return tm, ta, tmu, fired
 
         row1 = NamedSharding(mesh, P(m))
         row2 = NamedSharding(mesh, P(m, None))
         rep = NamedSharding(mesh, P())
-        return mesh, lower_fn, (row1, row1, rep), (row2, rep)
+        return mesh, lower_fn, (row1, row1, row1, rep), (row2, rep)
 
     cp.def_partition(
         partition=partition,
-        sharding_rule="m j, j -> m, m, j",
+        sharding_rule="m j, j -> m, m, m, j",
         need_replication_factors=("j",),
     )
     return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
 
 
-def _thresholds_impl(acts, dead_f, *, k_main, k_aux, rows, iters, interpret):
-    """Per-shard pallas_call → (t_main (m,), t_aux (m,), fired (n_dict,) f32)."""
+def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
+                     interpret):
+    """Per-shard pallas_call → (t_main (m,), t_aux (m,), t_multi (m,),
+    fired (n_dict,) f32)."""
     m, n_dict = acts.shape
     m_pad = -(-m // rows) * rows
     if m_pad != m:
         acts = jnp.pad(acts, ((0, m_pad - m), (0, 0)))
     dead = dead_f.reshape(1, -1)
 
-    t_main, t_aux, fired = pl.pallas_call(
-        functools.partial(_kernel, k_main=k_main, k_aux=k_aux, valid_rows=m,
-                          iters=iters),
+    t_main, t_aux, t_multi, fired = pl.pallas_call(
+        functools.partial(_kernel, k_main=k_main, k_aux=k_aux,
+                          k_multi=k_multi, valid_rows=m, iters=iters),
         grid=(m_pad // rows,),
         in_specs=[
             pl.BlockSpec((rows, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -149,16 +167,18 @@ def _thresholds_impl(acts, dead_f, *, k_main, k_aux, rows, iters, interpret):
         out_specs=[
             pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, n_dict), jnp.float32),
         ],
         interpret=interpret,
     )(acts, dead)
-    return t_main[:m, 0], t_aux[:m, 0], fired[0]
+    return t_main[:m, 0], t_aux[:m, 0], t_multi[:m, 0], fired[0]
 
 
 def topk_thresholds(acts, dead_mask, k_main, k_aux, interpret: bool = False):

@@ -181,3 +181,21 @@ def test_silent_frames_do_not_fire_everything():
     _, fired_f = topk_mod.forward_with_fired(
         params, jnp.asarray(x[None]), cfg)
     assert np.asarray(fired_f).sum() < 32
+
+
+def test_training_losses_multi_topk_single_pass():
+    """multi_topk's 4k threshold now rides the SAME kernel pass; the XLA
+    training branch must still match the exact forward's multi_topk_fvu."""
+    cfg = TopKAutoEncoderConfig(expansion_factor=2, k=2, auxk_alpha=0.5,
+                                multi_topk=True)
+    params = init_topk(8, cfg, seed=2)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, 4, 8)).astype(np.float32))
+    dead = jnp.zeros(16, bool).at[5].set(True)
+
+    terms, fired = topk.training_losses(params, x, cfg, dead)
+    out = topk.forward(params, x, cfg, dead_mask=dead)
+    np.testing.assert_allclose(float(terms["multi_topk_fvu"]),
+                               float(out.multi_topk_fvu), rtol=1e-4)
+    np.testing.assert_allclose(float(terms["fvu"]), float(out.fvu), rtol=1e-4)
+    assert np.asarray(fired).shape == (16,)
