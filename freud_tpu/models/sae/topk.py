@@ -370,7 +370,7 @@ def _fused_losses_fwd(k, k_aux, alpha, mm_name, use_kernel, params, x, dead_f):
             + params.encoder_bias.astype(mm_name or x.dtype)
         )  # (M, n_dict) in matmul dtype — the step's one big resident tensor
 
-        t_main, t_aux, fired = topk_thresholds_fired(
+        t_main, t_aux, _, fired = topk_thresholds_fired(
             acts, dead_f > 0, k, k_aux, interpret=interpret,
         )
         af = acts.astype(jnp.float32)
@@ -481,24 +481,18 @@ def _training_losses_xla(
     flat = jax.lax.stop_gradient(acts.reshape(-1, n_dict))
     interpret = jax.default_backend() == "cpu"
     # all thresholds (k, k_aux-over-dead, and multi_topk's 4k when enabled)
-    # come from ONE resident pass over the latent
-    if cfg.multi_topk:
-        t_main, t_aux, _, t4 = topk_thresholds_fired(
-            flat, dead_mask, cfg.k, k_aux, interpret=interpret,
-            k_multi=4 * cfg.k,
-        )
-    else:
-        t_main, t_aux, _ = topk_thresholds_fired(
-            flat, dead_mask, cfg.k, k_aux, interpret=interpret
-        )
+    # AND the fired mask come from ONE resident pass over the latent
+    t_main, t_aux, t4, fired = topk_thresholds_fired(
+        flat, dead_mask, cfg.k, k_aux, interpret=interpret,
+        k_multi=4 * cfg.k if cfg.multi_topk else 0,
+    )
     lead = acts.shape[:-1]
     t_main = t_main.reshape(*lead, 1).astype(acts.dtype)
     t_aux = t_aux.reshape(*lead, 1).astype(acts.dtype)
 
-    keep = acts >= t_main
-    # zero activations never fire (silent-frame threshold is 0 — see
-    # ops/topk_threshold.py; same qualifier as every other fired site)
-    fired = jnp.any((keep & (acts > 0)).reshape(-1, n_dict), axis=0)
+    # fired comes straight from the kernel's resident pass (same
+    # (a ≥ t) & (a > 0) silent-frame semantics, padded rows excluded) — an
+    # XLA recompute here would re-read the whole (M, n_dict) latent from HBM
     sae_out = _masked_dense_decode(params, acts, t_main, matmul_dtype).astype(x.dtype)
     e = sae_out - x
     tv = jnp.sum((x - jnp.mean(x, axis=0)) ** 2)

@@ -41,9 +41,13 @@ def _bisect(masked: jnp.ndarray, k: int, iters: int = _ITERS) -> jnp.ndarray:
     return lo
 
 
-def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, tmulti_ref, fired_ref,
-            *, k_main: int, k_aux: int, k_multi: int, valid_rows: int,
+def _kernel(acts_ref, dead_ref, *out_refs,
+            k_main: int, k_aux: int, k_multi: int, valid_rows: int,
             iters: int):
+    if k_multi:
+        tmain_ref, taux_ref, tmulti_ref, fired_ref = out_refs
+    else:
+        tmain_ref, taux_ref, fired_ref = out_refs
     i = pl.program_id(0)
     a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
     t_main = _bisect(a, k_main, iters)
@@ -56,8 +60,6 @@ def _kernel(acts_ref, dead_ref, tmain_ref, taux_ref, tmulti_ref, fired_ref,
         # separate kernel invocation would re-read the whole (M, n_dict)
         # latent from HBM just for this
         tmulti_ref[...] = _bisect(a, k_multi, iters)
-    else:
-        tmulti_ref[...] = t_main
 
     # fired[j] = did latent j cross its row threshold anywhere — the acts
     # tile is already VMEM-resident, so folding this in here saves the
@@ -94,19 +96,22 @@ def topk_thresholds_fired(
     iters: int = _ITERS,
     k_multi: int = 0,
 ):
-    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, fired (n_dict,) bool)
-    — or, with ``k_multi`` set (multi_topk's 4k), a 4-tuple ending in
-    t_multi (M, 1): all three thresholds from ONE pass over the latent.
+    """→ (t_main (M, 1) f32, t_aux (M, 1) f32, t_multi (M, 1) f32 | None,
+    fired (n_dict,) bool). ``k_multi`` (multi_topk's 4k) adds a third
+    bisection to the SAME resident pass; with the default 0, t_multi is
+    None and no third output buffer is even allocated.
 
     Carries the same GSPMD row-partitioning rule as ops/topk_fused (one
     kernel per chip on a data-sharded batch; the fired mask pmax-es across
     the row-sharding axes inside the partition's lower_fn)."""
-    tm, ta, tmu, fired_f = _partitioned_thresholds(
+    outs = _partitioned_thresholds(
         k_main, k_aux, k_multi, rows, iters, interpret
     )(acts, dead_mask.astype(jnp.float32))
     if k_multi:
-        return tm[:, None], ta[:, None], fired_f > 0, tmu[:, None]
-    return tm[:, None], ta[:, None], fired_f > 0
+        tm, ta, tmu, fired_f = outs
+        return tm[:, None], ta[:, None], tmu[:, None], fired_f > 0
+    tm, ta, fired_f = outs
+    return tm[:, None], ta[:, None], None, fired_f > 0
 
 
 @functools.lru_cache(maxsize=None)
@@ -128,19 +133,21 @@ def _partitioned_thresholds(k_main: int, k_aux: int, k_multi: int, rows: int,
         axes = (m,) if isinstance(m, str) else tuple(m or ())
 
         def lower_fn(*args):
-            tm, ta, tmu, fired = body(*args)
+            *ts, fired = body(*args)
             for ax in axes:
                 fired = jax.lax.pmax(fired, ax)
-            return tm, ta, tmu, fired
+            return (*ts, fired)
 
         row1 = NamedSharding(mesh, P(m))
         row2 = NamedSharding(mesh, P(m, None))
         rep = NamedSharding(mesh, P())
-        return mesh, lower_fn, (row1, row1, row1, rep), (row2, rep)
+        n_t = 3 if k_multi else 2
+        return mesh, lower_fn, (*([row1] * n_t), rep), (row2, rep)
 
     cp.def_partition(
         partition=partition,
-        sharding_rule="m j, j -> m, m, m, j",
+        sharding_rule=("m j, j -> m, m, m, j" if k_multi
+                       else "m j, j -> m, m, j"),
         need_replication_factors=("j",),
     )
     return jax.custom_batching.sequential_vmap(lambda *a: cp(*a))
@@ -148,15 +155,18 @@ def _partitioned_thresholds(k_main: int, k_aux: int, k_multi: int, rows: int,
 
 def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
                      interpret):
-    """Per-shard pallas_call → (t_main (m,), t_aux (m,), t_multi (m,),
-    fired (n_dict,) f32)."""
+    """Per-shard pallas_call → (t_main (m,), t_aux (m,), [t_multi (m,)
+    when k_multi], fired (n_dict,) f32)."""
     m, n_dict = acts.shape
     m_pad = -(-m // rows) * rows
     if m_pad != m:
         acts = jnp.pad(acts, ((0, m_pad - m), (0, 0)))
     dead = dead_f.reshape(1, -1)
 
-    t_main, t_aux, t_multi, fired = pl.pallas_call(
+    n_t = 3 if k_multi else 2  # threshold outputs; no dead buffer for k_multi=0
+    row_spec = pl.BlockSpec((rows, 1), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
         functools.partial(_kernel, k_main=k_main, k_aux=k_aux,
                           k_multi=k_multi, valid_rows=m, iters=iters),
         grid=(m_pad // rows,),
@@ -164,26 +174,21 @@ def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
             pl.BlockSpec((rows, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=[row_spec] * n_t + [
             pl.BlockSpec((1, n_dict), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((m_pad, 1), jnp.float32)] * n_t + [
             jax.ShapeDtypeStruct((1, n_dict), jnp.float32),
         ],
         interpret=interpret,
     )(acts, dead)
-    return t_main[:m, 0], t_aux[:m, 0], t_multi[:m, 0], fired[0]
+    *ts, fired = outs
+    return (*(t[:m, 0] for t in ts), fired[0])
 
 
 def topk_thresholds(acts, dead_mask, k_main, k_aux, interpret: bool = False):
     """→ (t_main (M, 1), t_aux (M, 1)), f32. (fired-less compatibility wrapper)"""
-    t_main, t_aux, _ = topk_thresholds_fired(
+    t_main, t_aux, _, _ = topk_thresholds_fired(
         acts, dead_mask, k_main, k_aux, interpret=interpret
     )
     return t_main, t_aux

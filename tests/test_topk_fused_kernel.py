@@ -42,7 +42,7 @@ def test_kernel_fwd_matches_xla_branch():
     )
     np.testing.assert_array_equal(np.asarray(acts_k), np.asarray(acts_x))
 
-    tm_x, ta_x, fired_x = topk_thresholds_fired(
+    tm_x, ta_x, _, fired_x = topk_thresholds_fired(
         acts_x, dead, cfg.k, d_in // 2, interpret=INTERPRET)
     af = np.asarray(acts_x, np.float32)
     # identical SELECTION SETS (thresholds themselves may differ inside the

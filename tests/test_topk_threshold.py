@@ -131,11 +131,14 @@ def test_thresholds_partition_without_gather():
     ash = jax.device_put(acts, NamedSharding(mesh, P("data", None)))
 
     fn = jax.jit(lambda a: topk_thresholds_fired(a, dead, 4, 2,
-                                                 interpret=True))
-    tm_s, ta_s, f_s = fn(ash)
-    tm_p, ta_p, f_p = topk_thresholds_fired(acts, dead, 4, 2, interpret=True)
+                                                 interpret=True,
+                                                 k_multi=8))
+    tm_s, ta_s, tmu_s, f_s = fn(ash)
+    tm_p, ta_p, tmu_p, f_p = topk_thresholds_fired(acts, dead, 4, 2,
+                                                    interpret=True, k_multi=8)
     np.testing.assert_allclose(np.asarray(tm_s), np.asarray(tm_p), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ta_s), np.asarray(ta_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tmu_s), np.asarray(tmu_p), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_p))
     txt = fn.lower(ash).compile().as_text().lower()
     assert "all-gather" not in txt
@@ -154,7 +157,7 @@ def test_silent_frames_do_not_fire_everything():
     acts = np.abs(rng.standard_normal((8, 32)).astype(np.float32))
     acts[3] = 0.0  # silent frame
     dead = np.zeros(32, bool)
-    _, _, fired = topk_thresholds_fired(
+    _, _, _, fired = topk_thresholds_fired(
         jnp.asarray(acts), jnp.asarray(dead), 4, 2, interpret=interp)
     fired = np.asarray(fired)
     assert fired.sum() < 32  # the zero row must not fire every latent
