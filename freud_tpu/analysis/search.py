@@ -92,6 +92,16 @@ def top_activations(
     splits the scan across chips with no collectives; the host top-n merge
     is unchanged (tests/test_search.py pins sharded ≡ single-device).
     """
+    n_feat = getattr(loader, "activation_shape", (None, None))[-1]
+    if n_feat is not None and not (0 <= int(feature_idx) < n_feat):
+        # feature_idx is TRACED in the jitted stats (no recompile per
+        # feature), so an out-of-range value would silently become jnp.take's
+        # fill value instead of failing at trace time — validate host-side
+        # here for direct library callers (the HTTP endpoint also validates)
+        raise ValueError(
+            f"feature_idx {feature_idx} out of range [0, {n_feat})"
+        )
+
     reader = getattr(loader, "reader", None)
     if reader is not None and reader.activation_type == "tensor":
         from ..data.feature_store import FeatureMajorReader
@@ -99,15 +109,17 @@ def top_activations(
         if FeatureMajorReader.exists(reader.data_path, reader.layer_name):
             fm = FeatureMajorReader(reader.data_path, reader.layer_name,
                                     subset_size=len(reader))
-            if fm.mmap.shape[1] >= len(reader):
+            if fm.n_files >= len(reader):
                 return _top_activations_indexed_plane(
                     loader, reader, feature_idx, n_files, max_val, min_val,
                     absolute_magnitude, return_max_per_file, mesh=mesh,
                     fm=fm,
                 )
-            # the store grew after the index was built: the plane would be
-            # missing the new files — fall through to the full scan (rebuild
-            # with scripts/index_activations.py to restore the fast path)
+            # the store grew after the index was built AND no growth segment
+            # covers the new files (collection extends the index on flush —
+            # this path means the store was grown by an external writer):
+            # fall through to the full scan; extend_feature_major_index or
+            # scripts/index_activations.py restores the fast path
             print("feature-major index is stale (store grew); scanning")
 
     entries = []  # (value_for_ranking, file, n_frames, trace_source)

@@ -11,6 +11,14 @@ device computes the trimmed maxima in one shot.
 
 The index is an optional acceleration: search falls back to the scan when the
 file is absent, and the primary store format stays reference-compatible.
+
+Growth: the (features, files, time) layout cannot be appended in place (the
+file axis is interior), so the index is SEGMENTED — the base
+``{layer}_feature_major.npy`` plus ``{layer}_feature_major.seg{K}.npy``
+files, each covering a contiguous file range. ``extend_feature_major_index``
+transposes only the files added since the last build into a new segment (the
+collection pipeline calls it on flush whenever an index exists), and a
+feature query concatenates the per-segment planes — still O(one feature).
 """
 
 from __future__ import annotations
@@ -25,6 +33,22 @@ from .store import ActivationStoreReader
 
 def index_path(data_path: str | Path, layer_name: str) -> Path:
     return Path(data_path) / f"{layer_name}_feature_major.npy"
+
+
+def segment_paths(data_path: str | Path, layer_name: str) -> list[Path]:
+    """All existing index segments in file order: base, seg1, seg2, …"""
+    base = index_path(data_path, layer_name)
+    if not base.exists():
+        return []
+    segs = []
+    k = 1
+    while True:
+        p = Path(data_path) / f"{layer_name}_feature_major.seg{k}.npy"
+        if not p.exists():
+            break
+        segs.append(p)
+        k += 1
+    return [base] + segs
 
 
 def build_feature_major_index(
@@ -58,12 +82,62 @@ def build_feature_major_index(
     return out_path
 
 
+def extend_feature_major_index(
+    data_path: str | Path,
+    layer_name: str,
+    chunk_files: int = 256,
+    verbose: bool = True,
+) -> Optional[Path]:
+    """Transpose the files added since the last build into a new segment.
+
+    Returns the new segment path, or None when the index already covers the
+    store. Called by the collection pipeline on flush whenever an index
+    exists, so a grown store never silently degrades search to a full scan
+    (the staleness path in analysis/search.py)."""
+    reader = ActivationStoreReader(data_path, layer_name)
+    if reader.activation_type != "tensor":
+        raise ValueError("feature-major index requires a dense store")
+    segs = segment_paths(data_path, layer_name)
+    if not segs:
+        return build_feature_major_index(
+            data_path, layer_name, chunk_files, verbose)
+    covered = 0
+    for p in segs:
+        covered += np.load(p, mmap_mode="r").shape[1]
+    n = len(reader)
+    if covered >= n:
+        return None
+    t, f = reader.tensor_shape
+    out_path = Path(data_path) / f"{layer_name}_feature_major.seg{len(segs)}.npy"
+    out = np.lib.format.open_memmap(
+        out_path, mode="w+", dtype=np.float32, shape=(f, n - covered, t)
+    )
+    for start in range(covered, n, chunk_files):
+        idx = np.arange(start, min(start + chunk_files, n))
+        chunk = reader.batch(idx)[0]  # (C, T, F)
+        out[:, idx[0] - covered : idx[-1] - covered + 1, :] = (
+            np.ascontiguousarray(chunk.transpose(2, 0, 1))
+        )
+        if verbose:
+            print(f"\rindexed {idx[-1] + 1}/{n} files", end="", flush=True)
+    out.flush()
+    del out
+    if verbose:
+        print()
+    return out_path
+
+
 class FeatureMajorReader:
-    """mmap access to one feature's (files, time) activation plane."""
+    """mmap access to one feature's (files, time) activation plane, spliced
+    across the base index and any growth segments."""
 
     def __init__(self, data_path: str | Path, layer_name: str,
                  subset_size: Optional[int] = None):
-        self.mmap = np.load(index_path(data_path, layer_name), mmap_mode="r")
+        self.mmaps = [np.load(p, mmap_mode="r")
+                      for p in segment_paths(data_path, layer_name)]
+        if not self.mmaps:
+            raise FileNotFoundError(index_path(data_path, layer_name))
+        self.n_files = sum(m.shape[1] for m in self.mmaps)
         self.subset_size = subset_size
 
     @staticmethod
@@ -71,7 +145,8 @@ class FeatureMajorReader:
         return index_path(data_path, layer_name).exists()
 
     def feature(self, feature_idx: int) -> np.ndarray:
-        plane = self.mmap[feature_idx]
+        planes = [m[feature_idx] for m in self.mmaps]
+        plane = planes[0] if len(planes) == 1 else np.concatenate(planes, 0)
         if self.subset_size is not None:
             plane = plane[: self.subset_size]
         return np.asarray(plane)

@@ -359,7 +359,8 @@ def beam_decode(
     n_prompt: int,
     max_new: int = 224,
     beam_size: int = 5,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    start: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search as ONE fixed-shape lax.scan (whisper's
     BeamSearchDecoder semantics, TPU-native formulation).
 
@@ -374,8 +375,14 @@ def beam_decode(
     MaximumLikelihoodRanker with length_penalty=None — argmax of
     sum_logprob / (n_text + 1) over the finished pool, with live beams
     competing only when nothing finished (their pool scores start at −inf).
-    Returns ``(tokens (b, n_prompt+max_new), sum_logprob (b,), n_text (b,))``
-    of the winning sequence.
+    ``start`` ((b,) int32, optional) is the conditioned-prompt left-crop
+    offset, identical semantics to ``sample_decode`` — it lets beam search
+    compose with ``condition_on_previous_text`` / ``initial_prompt`` (the
+    whisper-default long-audio quality path). Returns ``(tokens
+    (b, n_prompt+max_new), sum_logprob (b,), n_text (b,), no_speech_prob
+    (b,))`` of the winning sequence — ``no_speech_prob`` is the raw-logits
+    <|nospeech|> mass at the SOT step (identical across beams then), the
+    statistic whisper's decode_with_fallback silence escape consumes.
     """
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
@@ -393,6 +400,7 @@ def beam_decode(
 
     self_k = jnp.zeros((L, b * beam_size, ctx, d), encoded.dtype)
     self_v = jnp.zeros((L, b * beam_size, ctx, d), encoded.dtype)
+    start_rep = None if start is None else jnp.repeat(start, beam_size)
 
     def gather_beam(t, parent):
         """Reorder a (b, n, …) leaf by (b, k) indices along axis 1."""
@@ -401,9 +409,18 @@ def beam_decode(
 
     def step(carry, pos):
         (token, prev, max_ts, sk, sv, cum, n_text, seq,
-         fin_key, fin_score, fin_ntext, fin_seq) = carry
+         fin_key, fin_score, fin_ntext, fin_seq, nsp) = carry
         logits, sk, sv = _decode_step(
-            params, dims, token.reshape(-1), pos, sk, sv, (cross_k, cross_v)
+            params, dims, token.reshape(-1), pos, sk, sv, (cross_k, cross_v),
+            start=start_rep,
+        )
+        # SOT-step <|nospeech|> mass from the RAW logits (pre-rules); during
+        # the prompt phase every beam is identical, so beam 0 suffices
+        logits0 = logits.reshape(b, beam_size, V)[:, 0, :]
+        nsp = jnp.where(
+            token[:, 0] == st.sot,
+            jax.nn.softmax(logits0, axis=-1)[:, st.no_speech],
+            nsp,
         )
         at_first = pos + 1 == n_prompt
         logits = _apply_rules(
@@ -484,7 +501,7 @@ def beam_decode(
             seq, new_tok[:, :, None], pos + 1, axis=2
         )
         return (new_tok, prev_tok, max_ts, sk, sv, new_cum, n_text, seq,
-                fin_key, fin_score, fin_ntext, fin_seq), None
+                fin_key, fin_score, fin_ntext, fin_seq, nsp), None
 
     cum0 = jnp.broadcast_to(
         jnp.where(jnp.arange(beam_size) == 0, 0.0, -jnp.inf), (b, beam_size)
@@ -504,10 +521,11 @@ def beam_decode(
         jnp.full((b, beam_size), -jnp.inf),   # finished-pool scores
         jnp.zeros((b, beam_size), jnp.int32),
         jnp.full((b, beam_size, ctx), st.eot, jnp.int32),
+        jnp.zeros((b,), jnp.float32),         # no_speech_prob
     )
     carry, _ = jax.lax.scan(step, init, jnp.arange(ctx - 1))
     (_, _, _, _, _, cum, n_text, seq,
-     fin_key, fin_score, fin_ntext, fin_seq) = carry
+     fin_key, fin_score, fin_ntext, fin_seq, nsp) = carry
     # MaximumLikelihoodRanker with length_penalty=None: sum_logprob / LENGTH
     # (the +1 denominator is the avg_logprob STATISTIC only, whisper
     # decode()'s ranker divides by the text-token count). Finished sequences
@@ -527,4 +545,4 @@ def beam_decode(
     tokens = jnp.take_along_axis(all_seq, best[:, None, None], axis=1)[:, 0]
     sum_lp = jnp.take_along_axis(all_sum, best[:, None], axis=1)[:, 0]
     n_best = jnp.take_along_axis(all_ntext, best[:, None], axis=1)[:, 0]
-    return tokens, sum_lp, n_best
+    return tokens, sum_lp, n_best, nsp

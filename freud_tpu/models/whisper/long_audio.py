@@ -139,18 +139,89 @@ def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
     return segments, advance
 
 
+def _decode_window_with_fallback(
+    runtime, encoded, prompt, n_prompt, start, temperatures, beam_size,
+    compression_ratio_threshold, logprob_threshold, no_speech_threshold,
+    st, key_base,
+):
+    """whisper transcribe.py's ``decode_with_fallback`` for ONE window.
+
+    Walks the temperature ladder; a rung is accepted when its zlib
+    compression ratio ≤ threshold AND avg_logprob ≥ threshold — except that
+    confident silence (no_speech_prob > threshold) accepts the current rung
+    immediately (whisper's ``needs_fallback = False`` escape). Every rung
+    reuses the SAME traced-temperature compiled program (t=0 optionally beam).
+    → (tokens, sum_lp, n_text, nsp, temperature_used, compression_ratio)."""
+    import zlib
+
+    from .decoding import beam_decode, sample_decode
+    from .tokenizer import decode_text
+
+    dims = runtime.dims
+    out = None
+    for ti, t in enumerate(temperatures):
+        if t == 0.0 and beam_size:
+            tokens, sum_lp, n_text, nsp = beam_decode(
+                runtime.params, dims, encoded, prompt, n_prompt,
+                max_new=runtime.max_new_tokens, beam_size=beam_size,
+                start=start,
+            )
+        else:
+            tokens, sum_lp, n_text, nsp = sample_decode(
+                runtime.params, dims, encoded, prompt, n_prompt,
+                max_new=runtime.max_new_tokens, temperature=float(t),
+                key=jax.random.fold_in(jax.random.PRNGKey(key_base), ti),
+                start=start,
+            )
+        gen = np.asarray(tokens)[0, n_prompt:]
+        text = decode_text([int(x) for x in gen if x < st.eot], dims.n_vocab)
+        ratio = 0.0
+        if text:
+            raw = text.encode("utf-8")
+            ratio = len(raw) / max(len(zlib.compress(raw)), 1)
+        out = (tokens, sum_lp, n_text, nsp, float(t), ratio)
+        if ti == len(temperatures) - 1:
+            break
+        needs_fallback = False
+        if (compression_ratio_threshold is not None
+                and ratio > compression_ratio_threshold):
+            needs_fallback = True  # too repetitive
+        avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
+        if logprob_threshold is not None and avg_lp < logprob_threshold:
+            needs_fallback = True  # average log probability too low
+        if (no_speech_threshold is not None
+                and float(nsp[0]) > no_speech_threshold):
+            needs_fallback = False  # silence: don't escalate
+        if not needs_fallback:
+            break
+    return out
+
+
 def transcribe_long(
     runtime,
     audio: np.ndarray,
     verbose: bool = False,
+    temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    beam_size: int | None = None,
+    compression_ratio_threshold: float | None = 2.4,
     no_speech_threshold: float | None = 0.6,
     logprob_threshold: float | None = -1.0,
     condition_on_previous_text: bool = True,
     history_budget: int | None = None,
     initial_prompt: str | None = None,
+    seed: int = 0,
 ) -> dict:
-    """→ {"text", "segments": [{"start", "end", "text"}, …]} for a waveform of
-    any length, via ``runtime``'s (batch-1, fixed-shape) decode programs.
+    """→ {"text", "segments": [{"start", "end", "text", "tokens",
+    "temperature", "avg_logprob", "compression_ratio", "no_speech_prob"}, …]}
+    for a waveform of any length, via ``runtime``'s (batch-1, fixed-shape)
+    decode programs (whisper transcribe.py's segment record).
+
+    EVERY window decodes through the temperature-fallback ladder
+    (``_decode_window_with_fallback`` — whisper's ``decode_with_fallback``
+    applied per window, compression-ratio + logprob gates, optional beam at
+    the t=0 rung); when a window escalates past t=0.5, the conditioning
+    history is reset (whisper's ``prompt_reset_since`` rule — high-temperature
+    text is never fed forward as a prompt).
 
     Silence gating matches whisper transcribe.py: a window whose SOT-step
     <|nospeech|> probability exceeds ``no_speech_threshold`` is skipped —
@@ -165,7 +236,6 @@ def transcribe_long(
     (positions before it are masked out of attention and position numbering
     — decoding.py `_decode_step`), so every window of every recording runs
     the same compiled program regardless of history length."""
-    from .decoding import sample_decode
     from .tokenizer import decode_text
 
     dims = runtime.dims
@@ -200,19 +270,22 @@ def transcribe_long(
             if history_budget is not None:
                 buf_len = min(buf_len, len(base) + 1 + history_budget)
             budget = buf_len - len(base) - 1
-            tail = history[-budget:] if budget > 0 else []
-            seq = [st.sot_prev] + tail + base
-            pad_n = buf_len - len(seq)
-            prompt = jnp.asarray(
-                np.array([[st.sot_prev] * pad_n + seq], np.int32))
-            n_prompt = buf_len
-            start = jnp.asarray(np.array([pad_n], np.int32))
-        tokens, sum_lp, n_text, nsp = sample_decode(
-            runtime.params, dims, encoded, prompt, n_prompt,
-            max_new=runtime.max_new_tokens, start=start,
-        )
+            if budget > 0:  # max_new_tokens near n_text_ctx can leave no room
+                tail = history[-budget:]  # for even the sot_prev marker —
+                seq = [st.sot_prev] + tail + base  # then skip conditioning
+                pad_n = buf_len - len(seq)  # (≥ 0 by the budget cap above)
+                prompt = jnp.asarray(
+                    np.array([[st.sot_prev] * pad_n + seq], np.int32))
+                n_prompt = buf_len
+                start = jnp.asarray(np.array([pad_n], np.int32))
+        tokens, sum_lp, n_text, nsp, used_t, ratio = (
+            _decode_window_with_fallback(
+                runtime, encoded, prompt, n_prompt, start, temperatures,
+                beam_size, compression_ratio_threshold, logprob_threshold,
+                no_speech_threshold, st, key_base=seed * 1009 + seek,
+            ))
+        avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
         if no_speech_threshold is not None and float(nsp[0]) > no_speech_threshold:
-            avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
             if logprob_threshold is None or avg_lp < logprob_threshold:
                 seek += N_FRAMES  # silent window: skip it entirely
                 continue
@@ -229,9 +302,18 @@ def transcribe_long(
             if condition_on_previous_text:
                 history.extend(toks)
             s["text"] = decode_text(toks, dims.n_vocab)
+            s["tokens"] = toks
+            s["temperature"] = used_t
+            s["avg_logprob"] = avg_lp
+            s["compression_ratio"] = ratio
+            s["no_speech_prob"] = float(nsp[0])
             if verbose:
                 print(f"[{s['start']:.2f} -> {s['end']:.2f}] {s['text']}")
         segments.extend(segs)
+        if used_t > 0.5:
+            # whisper's prompt_reset_since: a window that escalated past 0.5
+            # never conditions later windows (its own tokens included)
+            history.clear()
         seek += advance
     return {
         "text": "".join(s["text"] for s in segments),

@@ -141,6 +141,7 @@ class WhisperRuntime:
         beam_size: Optional[int] = None,
         compression_ratio_threshold: Optional[float] = 2.4,
         logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
         seed: int = 0,
     ) -> list[str]:
         """whisper.transcribe's decode-with-fallback schedule, batched.
@@ -152,6 +153,11 @@ class WhisperRuntime:
         where zlib compression ratio ≤ ``compression_ratio_threshold`` AND
         avg_logprob ≥ ``logprob_threshold`` (whisper transcribe.py's
         ``decode_with_fallback``); the last rung accepts unconditionally.
+        A clip whose SOT-step <|nospeech|> probability exceeds
+        ``no_speech_threshold`` also accepts the current rung — whisper's
+        silence escape (``needs_fallback = False`` when
+        ``no_speech_prob > threshold``) that keeps silent clips from walking
+        the whole ladder into a t=1.0 hallucination.
         (The reference GUI paths use plain greedy ``model.decode`` — this is
         the transcription-quality extension beyond that parity line.)"""
         import zlib
@@ -172,18 +178,19 @@ class WhisperRuntime:
 
         for ti, t in enumerate(temperatures):
             if t == 0.0 and beam_size:
-                tokens, sum_lp, n_text = beam_decode(
+                tokens, sum_lp, n_text, nsp = beam_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, beam_size=beam_size,
                 )
             else:
-                tokens, sum_lp, n_text, _ = sample_decode(
+                tokens, sum_lp, n_text, nsp = sample_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, temperature=float(t),
                     key=jax.random.PRNGKey(seed + ti),
                 )
             tokens = np.asarray(tokens)
             sum_lp, n_text = np.asarray(sum_lp), np.asarray(n_text)
+            nsp = np.asarray(nsp)
             last = ti == len(temperatures) - 1
             for i in range(b):
                 if texts[i] is not None:
@@ -197,6 +204,11 @@ class WhisperRuntime:
                     raw = text.encode("utf-8")
                     ratio = len(raw) / max(len(zlib.compress(raw)), 1)
                     ok = ok and ratio <= compression_ratio_threshold
+                if (no_speech_threshold is not None
+                        and nsp[i] > no_speech_threshold):
+                    # whisper decode_with_fallback: confident silence — don't
+                    # escalate, the current rung's (likely empty) text stands
+                    ok = True
                 if ok or last:
                     texts[i] = text
             if all(x is not None for x in texts):
@@ -228,10 +240,9 @@ class WhisperRuntime:
             max_new=self.max_new_tokens,
         )
 
-        layers = sorted({
-            l for l, _ in timing.default_alignment_heads(
-                self.dims.n_text_layer, self.dims.n_text_head)
-        })
+        pairs = timing.load_alignment_heads(
+            self.model_name, self.dims.n_text_layer, self.dims.n_text_head)
+        layers = sorted({l for l, _ in pairs})
         capture = tuple(f"decoder.blocks.{l}.cross_attn.weights" for l in layers)
         if not hasattr(self, "_align_fwd"):
             self._align_fwd = jax.jit(
@@ -241,9 +252,12 @@ class WhisperRuntime:
                 static_argnames=(),
             )
         caps = self._align_fwd(self.params, tokens, encoded)
-        # (b, n_layers_sel·heads, T, frames)
-        w = np.concatenate([np.asarray(caps[k], np.float32) for k in capture],
-                           axis=1)
+        # select exactly the curated (layer, head) pairs → (b, n_pairs, T, f)
+        w = np.stack([
+            np.asarray(caps[f"decoder.blocks.{l}.cross_attn.weights"],
+                       np.float32)[:, h]
+            for l, h in pairs
+        ], axis=1)
 
         tokens = np.asarray(tokens)
         eot = self._st.eot

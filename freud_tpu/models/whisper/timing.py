@@ -13,8 +13,10 @@ functional decoder:
   O(tokens × frames) host-side numpy — far below any device-worthy size.
 
 Alignment heads: the released models ship curated head masks as repository
-metadata (not checkpoint tensors); absent that, whisper falls back to every
-head of the upper half of decoder layers, which is what we use.
+metadata (not checkpoint tensors); ``load_alignment_heads`` consumes them
+from the asset dirs when present (``alignment_heads.json`` — pair lists or
+whisper's base85-gzip dumps) and otherwise uses whisper's fallback: every
+head of the upper half of decoder layers.
 
 Beyond-reference surface: FREUD's decode paths are plain greedy
 ``model.decode`` (src/models/hooked_model.py:103-110) with no timing.
@@ -80,6 +82,63 @@ def default_alignment_heads(n_layers: int, n_heads: int) -> list[tuple[int, int]
     """whisper's fallback when no curated mask ships with the model: every
     head of the upper half of decoder layers."""
     return [(l, h) for l in range(n_layers // 2, n_layers) for h in range(n_heads)]
+
+
+def load_alignment_heads(
+    model_name: str, n_layers: int, n_heads: int
+) -> list[tuple[int, int]]:
+    """Curated alignment-head pairs for ``model_name``, with the upper-half
+    fallback otherwise.
+
+    The released whisper models' alignment masks are REPOSITORY metadata, not
+    checkpoint tensors (openai-whisper __init__.py ``_ALIGNMENT_HEADS``), so
+    in a zero-egress sandbox they arrive the same way tokenizer ranks do: an
+    ``alignment_heads.json`` searched in ``$FREUD_WHISPER_DIR``,
+    ``$FREUD_TOKENIZER_DIR``, then the package asset dir. Each entry maps a
+    model name to either
+
+    * a list of ``[layer, head]`` pairs, or
+    * whisper's published base85-gzip boolean-mask dump string (decoded
+      exactly as ``ModelDimensions.set_alignment_heads`` does), so the
+      upstream ``_ALIGNMENT_HEADS`` values can be pasted in verbatim.
+
+    ``random:``/``test:`` synthetic-model prefixes are stripped for lookup.
+    """
+    import base64
+    import gzip
+    import json
+    import os
+    from pathlib import Path
+
+    names = [model_name]
+    for prefix in ("random:", "test:"):
+        if model_name.startswith(prefix):
+            names.append(model_name[len(prefix):])
+    dirs = []
+    for env in ("FREUD_WHISPER_DIR", "FREUD_TOKENIZER_DIR"):
+        if os.environ.get(env):
+            dirs.append(Path(os.environ[env]))
+    dirs.append(Path(__file__).parent / "assets")
+    for d in dirs:
+        p = d / "alignment_heads.json"
+        if not p.exists():
+            continue
+        try:
+            table = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            entry = table.get(name)
+            if entry is None:
+                continue
+            if isinstance(entry, str):
+                mask = np.frombuffer(
+                    gzip.decompress(base64.b85decode(entry)), dtype=bool
+                ).reshape(n_layers, n_heads)
+                return [(l, h) for l in range(n_layers)
+                        for h in range(n_heads) if mask[l, h]]
+            return [(int(l), int(h)) for l, h in entry]
+    return default_alignment_heads(n_layers, n_heads)
 
 
 def token_times(

@@ -96,10 +96,15 @@ def get_activations(
             )
     if writer is not None:
         writer.close()
-    if build_index and writer is not None and not writer.indexed:
-        from ..data.feature_store import build_feature_major_index
+    if writer is not None and not writer.indexed:
+        from ..data.feature_store import (FeatureMajorReader,
+                                          extend_feature_major_index)
 
-        build_feature_major_index(out_folder, layer_name, verbose=verbose)
+        # keep an existing index current on every flush (a grown store must
+        # never silently degrade search to a full scan); build fresh only
+        # when asked
+        if build_index or FeatureMajorReader.exists(out_folder, layer_name):
+            extend_feature_major_index(out_folder, layer_name, verbose=verbose)
     elapsed = time.perf_counter() - t0
     if verbose:
         print()

@@ -37,16 +37,18 @@ def test_beam_one_equals_greedy(setup):
     params, dims, encoded, prompt, st = setup
     greedy = np.asarray(
         greedy_decode(params, dims, encoded, prompt, 3, max_new=MAX_NEW))
-    beam, _, _ = beam_decode(
+    beam, _, _, nsp = beam_decode(
         params, dims, encoded, prompt, 3, max_new=MAX_NEW, beam_size=1)
     np.testing.assert_array_equal(np.asarray(beam), greedy)
+    nsp = np.asarray(nsp)
+    assert ((0.0 <= nsp) & (nsp <= 1.0)).all()
 
 
 def test_beam_obeys_decoding_rules(setup):
     """Beam output must honor the same EOT-padding / monotonic-timestamp /
     suppression rules as greedy, and the ranking stats must be consistent."""
     params, dims, encoded, prompt, st = setup
-    tokens, sum_lp, n_text = beam_decode(
+    tokens, sum_lp, n_text, _ = beam_decode(
         params, dims, encoded, prompt, 3, max_new=MAX_NEW, beam_size=3)
     tokens = np.asarray(tokens)
     assert tokens.shape == (2, 3 + MAX_NEW)
@@ -88,6 +90,38 @@ def test_sampled_decode_statistics(setup):
         if st.eot in gen:
             tail = gen[list(gen).index(st.eot):]
             assert all(t == st.eot for t in tail)
+
+
+def test_beam_left_padded_prompt_with_start_equals_unpadded(setup):
+    """beam_decode's ``start`` offset must be exact, mirroring
+    test_long_audio.py's sample_decode equality: a left-padded prompt buffer
+    with a start offset decodes to identical tokens/statistics as the
+    unpadded prompt — the property that lets beam search compose with
+    condition_on_previous_text / initial_prompt."""
+    import jax.numpy as jnp
+
+    params, dims, encoded, prompt, st = setup
+    base = [st.sot_prev, 100, 101, st.sot, st.lang_base, st.transcribe]
+    plain = np.tile(np.asarray(base, np.int32), (2, 1))
+    tok_a, lp_a, nt_a, nsp_a = beam_decode(
+        params, dims, encoded, jnp.asarray(plain), len(base),
+        max_new=10, beam_size=3)
+
+    pad_n = 5
+    padded = np.tile(
+        np.asarray([st.sot_prev] * pad_n + base, np.int32), (2, 1))
+    start = jnp.asarray(np.full((2,), pad_n, np.int32))
+    tok_b, lp_b, nt_b, nsp_b = beam_decode(
+        params, dims, encoded, jnp.asarray(padded), len(base) + pad_n,
+        max_new=10, beam_size=3, start=start)
+
+    np.testing.assert_array_equal(np.asarray(tok_a),
+                                  np.asarray(tok_b)[:, pad_n:])
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nt_a), np.asarray(nt_b))
+    np.testing.assert_allclose(np.asarray(nsp_a), np.asarray(nsp_b),
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_runtime_fallback_schedule():

@@ -1,0 +1,154 @@
+"""Two-process jax.distributed integration (parallel/distributed.py).
+
+The multi-host path is exercised for real: two OS processes, each owning two
+virtual CPU devices, initialize through ``freud_tpu.parallel.distributed``
+into one 4-device global mesh, run one dp SAE train step and one sharded
+collection batch, and the results must match a single-process run over an
+identically-shaped mesh. (The reference has no distributed backend at all —
+SURVEY.md §5.8; this pins the pod-initialization story the TPU design adds.)
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+_WORKER = r'''
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid = int(sys.argv[1]); port = sys.argv[2]; audio_dir = sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from freud_tpu.parallel import distributed as dist
+dist.initialize(f"127.0.0.1:{port}", 2, pid)
+import numpy as np
+from freud_tpu.parallel import mesh as mesh_lib
+info = dist.process_info()
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 4, info
+mesh = mesh_lib.make_mesh()
+
+from freud_tpu.train.trainer import SAETrainer
+tr = SAETrainer("l1", {"expansion_factor": 2, "l1_alpha": 1e-3}, 16,
+                steps=4, seed=0, mesh=mesh, amp=False)
+batch = np.random.default_rng(0).standard_normal((8, 16)).astype(np.float32)
+tr.train_step(batch)
+m = tr.train_step(batch)
+param_sum = float(sum(np.float64(np.asarray(p)).sum()
+                      for p in jax.tree_util.tree_leaves(tr.params)))
+
+from freud_tpu.data.loaders import FlyActivationLoader
+loader = FlyActivationLoader(audio_dir, "test:tiny", None,
+                             "encoder.blocks.1", 4, mesh=mesh)
+chunk, files = next(iter(loader))
+# the batch axis is sharded across BOTH processes: gather to host-global
+from jax.experimental import multihost_utils
+acts = np.asarray(multihost_utils.process_allgather(chunk, tiled=True),
+                  np.float64)
+print("DISTJSON " + json.dumps({
+    "pid": pid,
+    "param_sum": param_sum,
+    "loss": float(m["loss"]),
+    "act_sum": float(acts.sum()),
+    "act_shape": list(acts.shape),
+    "files": [str(f) for f in files],
+}), flush=True)
+'''
+
+
+def _write_wav(path, audio):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        _write_wav(audio_dir / f"c{i}.wav",
+                   (rng.standard_normal(8000) * 0.1).astype(np.float32))
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # the workers set their own JAX_PLATFORMS/XLA_FLAGS before touching jax
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(audio_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("DISTJSON "):
+                r = json.loads(line[len("DISTJSON "):])
+                results[r["pid"]] = r
+    assert set(results) == {0, 1}, f"missing worker output:\n{outs}"
+
+    # both processes observe the SAME replicated training result
+    assert results[0]["param_sum"] == pytest.approx(
+        results[1]["param_sum"], rel=1e-6)
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+    assert results[0]["act_shape"] == results[1]["act_shape"]
+
+    # single-process reference over an identically-shaped (4-way data) mesh
+    import jax
+
+    from freud_tpu.data.loaders import FlyActivationLoader
+    from freud_tpu.parallel import mesh as mesh_lib
+    from freud_tpu.train.trainer import SAETrainer
+
+    mesh = mesh_lib.make_mesh(n_devices=4)
+    tr = SAETrainer("l1", {"expansion_factor": 2, "l1_alpha": 1e-3}, 16,
+                    steps=4, seed=0, mesh=mesh, amp=False)
+    batch = np.random.default_rng(0).standard_normal((8, 16)).astype(np.float32)
+    tr.train_step(batch)
+    m = tr.train_step(batch)
+    param_sum = float(sum(np.float64(np.asarray(p)).sum()
+                          for p in jax.tree_util.tree_leaves(tr.params)))
+    assert results[0]["param_sum"] == pytest.approx(param_sum, rel=1e-5)
+    assert results[0]["loss"] == pytest.approx(float(m["loss"]), rel=1e-5)
+
+    loader = FlyActivationLoader(str(audio_dir), "test:tiny", None,
+                                 "encoder.blocks.1", 4, mesh=mesh)
+    chunk, files = next(iter(loader))
+    acts = np.asarray(chunk, np.float64)
+    assert results[0]["act_shape"] == list(acts.shape)
+    assert results[0]["files"] == [str(f) for f in files]
+    assert results[0]["act_sum"] == pytest.approx(float(acts.sum()), rel=1e-4)

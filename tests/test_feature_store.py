@@ -53,3 +53,53 @@ def test_search_fast_path_matches_scan(tmp_path):
     os.unlink(index_path(tmp_path, "L"))
     s1, _ = top_activations(loader, 1, 10, min_val=0.5, max_val=1.5)
     assert [r[0] for r in s2] == [r[0] for r in s1]
+
+
+def test_extend_appends_segment_and_search_stays_fast(tmp_path, capsys):
+    """Growth path: extending after the store grew writes a .seg1 file (only
+    the new rows transposed), the reader splices it, and search keeps the
+    fast path — no stale-index full scan."""
+    from freud_tpu.data.feature_store import (extend_feature_major_index,
+                                              segment_paths)
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    data = _make_store(tmp_path, n=10)
+    build_feature_major_index(tmp_path, "L", verbose=False)
+    # extend with nothing new: no-op
+    assert extend_feature_major_index(tmp_path, "L", verbose=False) is None
+
+    # grow the store by 6 files (rewrite with the first 10 rows unchanged —
+    # what a re-run collection over a grown dataset produces)
+    rng = np.random.default_rng(9)
+    extra = rng.uniform(-2, 2, (6, 12, 6)).astype(np.float32)
+    w = ActivationStoreWriter(tmp_path, "L", (12, 6), (12, 6))
+    w.append_batch([f"/x/f{i}.wav" for i in range(10)], data,
+                   n_frames=[12] * 10)
+    w.append_batch([f"/x/g{i}.wav" for i in range(6)], extra,
+                   n_frames=[12] * 6)
+    w.close()
+
+    seg = extend_feature_major_index(tmp_path, "L", verbose=False)
+    assert seg is not None and seg.name == "L_feature_major.seg1.npy"
+    assert len(segment_paths(tmp_path, "L")) == 2
+    # segment holds ONLY the new rows
+    assert np.load(seg, mmap_mode="r").shape == (6, 6, 12)
+
+    full = np.concatenate([data, extra], axis=0)
+    r = FeatureMajorReader(tmp_path, "L")
+    assert r.n_files == 16
+    np.testing.assert_allclose(r.feature(4), full[:, :, 4])
+
+    loader = MemoryMappedActivationLoader(tmp_path, "L", batch_size=4)
+    capsys.readouterr()
+    fast, _ = top_activations(loader, 4, 5)
+    assert "stale" not in capsys.readouterr().out
+    # equivalence with the scan (index removed)
+    import os
+
+    for p in segment_paths(tmp_path, "L"):
+        os.unlink(p)
+    scan, _ = top_activations(loader, 4, 5)
+    assert [x[0] for x in fast] == [x[0] for x in scan]
+    for a, b in zip(fast, scan):
+        np.testing.assert_allclose(a[1], b[1])

@@ -146,3 +146,44 @@ def test_left_padded_prompt_with_start_equals_unpadded():
     np.testing.assert_array_equal(np.asarray(nt_a), np.asarray(nt_b))
     np.testing.assert_allclose(np.asarray(nsp_a), np.asarray(nsp_b),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_long_audio_fallback_ladder(monkeypatch):
+    """Per-window decode_with_fallback (whisper transcribe.py): a window that
+    fails the t=0 logprob gate escalates through the temperature ladder; the
+    accepted rung's temperature is recorded on its segments. Permissive
+    thresholds never leave t=0."""
+    from freud_tpu.models.whisper import decoding
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    calls = []
+    orig = decoding.sample_decode
+
+    def spy(*a, **k):
+        calls.append(float(k.get("temperature", 0.0)))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(decoding, "sample_decode", spy)
+    rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
+    audio = np.random.default_rng(5).standard_normal(
+        int(16000 * 35)).astype(np.float32) * 0.1
+
+    # impossible logprob gate (and no silence escape): every window must walk
+    # the ladder to its last rung and the segments record that temperature
+    out = rt.transcribe_long(
+        audio, temperatures=(0.0, 1.0), logprob_threshold=10.0,
+        no_speech_threshold=None)
+    assert 1.0 in calls, "ladder never escalated past t=0"
+    for s in out["segments"]:
+        assert s["temperature"] == 1.0
+        assert {"tokens", "avg_logprob", "compression_ratio",
+                "no_speech_prob"} <= set(s)
+
+    # permissive gates: the ladder accepts every window at t=0
+    calls.clear()
+    out0 = rt.transcribe_long(
+        audio, temperatures=(0.0, 1.0), logprob_threshold=None,
+        compression_ratio_threshold=None, no_speech_threshold=None)
+    assert calls and set(calls) == {0.0}
+    for s in out0["segments"]:
+        assert s["temperature"] == 0.0

@@ -165,3 +165,111 @@ def test_manipulate_feature(served):
         2.0 * np.asarray(body["standard_activations"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+# ---- React-contract replays -------------------------------------------------
+# These requests are DERIVED from the reference GUI source — the one consumer
+# the compatibility claim is about. Each test replays the exact URL template /
+# multipart shape the JS builds, so a param rename in app.py fails here.
+
+
+def test_react_status_poll(served):
+    """ActivationDisplay.js:17-23: fetch(`${API_BASE_URL}/status`), gates the
+    UI on data.status === "Initialization complete" and reads
+    data.n_features."""
+    base, _ = served
+    code, body = _get(base + "/status")
+    assert code == 200
+    assert body["status"] == "Initialization complete"
+    assert isinstance(body["n_features"], int)
+
+
+def test_react_top_files_url_template(served):
+    """ActivationSearchTab.js:52-75: `/top_files?feature_idx=${idx}
+    &n_files=${nResults}` then conditionally `&max_val=` `&min_val=`
+    `&absolute_magnitude=true`; consumes data.top_files / data.activations /
+    data.max_per_file."""
+    base, _ = served
+    # all optional params present, exactly as the JS appends them
+    url = (base + "/top_files?feature_idx=5&n_files=2"
+           + "&max_val=1000.5&min_val=-1000&absolute_magnitude=true")
+    code, body = _get(url)
+    assert code == 200
+    for key in ("top_files", "activations", "max_per_file"):
+        assert key in body
+    assert len(body["top_files"]) == len(body["activations"]) == 2
+
+    # minimal form (no optional params)
+    code2, body2 = _get(base + "/top_files?feature_idx=0&n_files=1")
+    assert code2 == 200 and len(body2["top_files"]) == 1
+
+
+def test_react_audio_url_is_one_encoded_segment(served):
+    """AudioPlayerWithActivation.js:109/142:
+    `${apiBaseUrl}/audio/${encodeURIComponent(audioFile)}` — the ABSOLUTE
+    file path percent-encoded as a single path segment (slashes become %2F).
+    The server must decode it back to the same file the raw-path form
+    serves."""
+    base, audio_dir = served
+    target = str(audio_dir / "c0.wav")
+    encoded = urllib.parse.quote(target, safe="")  # == encodeURIComponent
+    assert "%2F" in encoded
+    with urllib.request.urlopen(base + "/audio/" + encoded, timeout=60) as r:
+        assert r.status == 200
+        body_enc = r.read()
+    with urllib.request.urlopen(base + "/audio" + target, timeout=60) as r:
+        body_raw = r.read()
+    assert body_enc == body_raw and len(body_enc) > 100
+
+
+def test_react_top_features_multipart(served):
+    """TopFeaturesTab.js:19-29: POST `/top_features?top_n=${topN}` with a
+    FormData whose single field is named "audio"; consumes data.top_indices
+    and data.top_activations (parallel arrays)."""
+    base, _ = served
+    code, body = _post_multipart(base + "/top_features?top_n=3", _wav_bytes())
+    assert code == 200
+    assert len(body["top_indices"]) == len(body["top_activations"]) == 3
+
+    # a WRONGLY-named multipart field must be rejected — guards against the
+    # server silently accepting a different field name than the React client
+    boundary = "tb99"
+    wav = _wav_bytes()
+    raw = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="u.wav"\r\n'
+        f"Content-Type: audio/wav\r\n\r\n"
+    ).encode() + wav + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        base + "/top_features?top_n=3", data=raw,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            code2 = r.status
+    except urllib.error.HTTPError as e:
+        code2 = e.code
+    assert code2 == 400
+
+
+def test_react_manipulate_feature_multipart(served):
+    """ManipulateFeatureTab.js:17-30: POST `/manipulate_feature
+    ?feat_idx=${featureIndex}&manipulation_factor=${ablationFactor}` with
+    FormData field "audio"; renders data.baseline_text,
+    data.standard_activations, data.standard_text,
+    data.manipulated_activations, data.manipulated_text
+    (ManipulateFeatureTab.js:71-95)."""
+    base, _ = served
+    code, body = _post_multipart(
+        base + "/manipulate_feature?feat_idx=2&manipulation_factor=-1.5",
+        _wav_bytes(),
+    )
+    assert code == 200
+    for key in ("baseline_text", "standard_text", "manipulated_text",
+                "standard_activations", "manipulated_activations"):
+        assert key in body
+    np.testing.assert_allclose(
+        np.asarray(body["manipulated_activations"]),
+        -1.5 * np.asarray(body["standard_activations"]),
+        rtol=1e-5, atol=1e-6,
+    )

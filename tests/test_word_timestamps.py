@@ -78,3 +78,48 @@ def test_runtime_word_timestamps_structural():
     for ws in words2:
         for wd in ws:
             assert wd["end"] <= 15.0 + 1e-6
+
+
+def test_load_alignment_heads_table(tmp_path, monkeypatch):
+    """Curated-mask shim: an alignment_heads.json in the asset dir overrides
+    the upper-half fallback — both the pair-list form and whisper's
+    base85-gzip boolean dump form; absent/unknown models fall back."""
+    import base64
+    import gzip
+    import json
+
+    n_layers, n_heads = 4, 6
+    pairs = [[1, 2], [3, 0]]
+    mask = np.zeros((n_layers, n_heads), bool)
+    mask[2, 1] = mask[3, 5] = True
+    dump = base64.b85encode(gzip.compress(mask.tobytes())).decode()
+    (tmp_path / "alignment_heads.json").write_text(json.dumps({
+        "tiny": pairs,
+        "base": dump,
+    }))
+    monkeypatch.setenv("FREUD_WHISPER_DIR", str(tmp_path))
+
+    # pair-list entry (with the synthetic-model prefix stripped for lookup)
+    assert timing.load_alignment_heads("test:tiny", n_layers, n_heads) == [
+        (1, 2), (3, 0)]
+    # whisper-format dump entry
+    assert timing.load_alignment_heads("base", n_layers, n_heads) == [
+        (2, 1), (3, 5)]
+    # unknown model: upper-half fallback
+    assert timing.load_alignment_heads("large-v3", n_layers, n_heads) == \
+        timing.default_alignment_heads(n_layers, n_heads)
+
+    # and the runtime path consumes the curated pairs end-to-end
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
+    # test:tiny has 2 decoder layers / 6 heads; point the table at it
+    (tmp_path / "alignment_heads.json").write_text(json.dumps({
+        "tiny": [[1, 0], [1, 3]],
+    }))
+    mels = np.random.default_rng(3).standard_normal(
+        (1, 80, 3000)).astype(np.float32)
+    texts, words = rt.transcribe_with_word_timestamps(mels)
+    assert len(texts) == 1
+    for wd in words[0]:
+        assert set(wd) == {"word", "start", "end"}

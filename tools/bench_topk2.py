@@ -49,7 +49,7 @@ def main():
         for iters_ in (26, 16):
             @jax.jit
             def th(a, d, rows=rows, iters_=iters_):
-                tm, ta, f = topk_thresholds_fired(a, d, 32, 192,
+                tm, ta, _, f = topk_thresholds_fired(a, d, 32, 192,
                                                   rows=rows, iters=iters_)
                 return jnp.sum(tm[:4]) + jnp.sum(f[:4].astype(jnp.float32))
             timeit(f"thresholds_r{rows}_i{iters_}", th, acts_b, dead,
