@@ -131,12 +131,72 @@ def bench_topk_train(batch: int = 50, iters: int = 60, warmup: int = 3) -> dict:
     return {"steps_per_sec": iters / (time.perf_counter() - t0)}
 
 
+def bench_large_topk_train(batch: int = 32, iters: int = 30, warmup: int = 3) -> dict:
+    """large_v1_audioset recipe (configs/train/large_v1_audioset.json:1-34):
+    d=1280, expansion 16 (n_dict 20480), k 32, AuxK live, adam+linear,
+    batch 32 files. n_dict·d here exceeds the fused kernel's resident-weight
+    VMEM gate, so this exercises the threshold-kernel formulation."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    trainer = SAETrainer(
+        "topk",
+        {"expansion_factor": 16, "k": 32, "auxk_alpha": 0.03125,
+         "dead_feature_threshold": 1e6},
+        1280,
+        optimizer="adam",
+        scheduler="linear",
+        scheduler_params={"num_warmup_steps": 1000},
+        lr=1e-4,
+        steps=25_000,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 1500, 1280)).astype(np.float32))
+    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
+    for _ in range(warmup):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    return {"steps_per_sec": iters / (time.perf_counter() - t0)}
+
+
+def bench_large_l1_train(batch: int = 16, iters: int = 30, warmup: int = 3) -> dict:
+    """large_v3_l1 recipe (configs/train/large_v3_l1.json:1-27): d=1280,
+    expansion 16 (n_dict 20480), recon_alpha 1e4, radam+cosine, batch 16."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    trainer = SAETrainer(
+        "l1",
+        {"expansion_factor": 16, "recon_alpha": 1e4},
+        1280,
+        optimizer="radam",
+        scheduler="cosine",
+        lr=1e-4,
+        steps=25_000,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 1500, 1280)).astype(np.float32))
+    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
+    for _ in range(warmup):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        *state, m = trainer._train_step(*state, x)
+    float(m["loss"])
+    return {"steps_per_sec": iters / (time.perf_counter() - t0)}
+
+
 def main():
     backend = jax.default_backend()
     coll = bench_collection()
     coll_bf16 = bench_collection(dtype=jnp.bfloat16)
     sae = bench_sae_train()
     topk = bench_topk_train()
+    large_topk = bench_large_topk_train()
+    large_l1 = bench_large_l1_train()
     result = {
         "metric": "whisper_tiny_block2_collection_rtfx",
         "value": round(coll["rtfx"], 1),
@@ -144,6 +204,8 @@ def main():
         "vs_baseline": round(coll["rtfx"] / 100.0, 3),
         "tiny_l1_steps_per_sec": round(sae["steps_per_sec"], 2),
         "tiny_topk_steps_per_sec": round(topk["steps_per_sec"], 2),
+        "large_v1_topk_steps_per_sec": round(large_topk["steps_per_sec"], 2),
+        "large_v3_l1_steps_per_sec": round(large_l1["steps_per_sec"], 2),
         "collection_files_per_sec": round(coll["files_per_sec"], 2),
         "collection_rtfx_bf16": round(coll_bf16["rtfx"], 1),
         "backend": backend,

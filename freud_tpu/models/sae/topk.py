@@ -314,9 +314,16 @@ def training_losses(
         # the f32-bisection formulation instead
         return _training_losses_xla(params, x, cfg, dead_mask, matmul_dtype)
     mm_name = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
+    # width gate (same failure mode as the attention kernel's d² overflow,
+    # commit af6f609): the fused kernel keeps W_enc AND W_dec VMEM-resident;
+    # past ~64 MB of bf16 weights (large_v1/v3 recipes: d=1280 × n_dict=20480
+    # → 105 MB) the arena can't also hold the tile working set, so those
+    # shapes take the threshold-kernel formulation (still one resident pass
+    # for all thresholds + fired)
+    resident_weight_bytes = 2 * params.W_dec.shape[0] * x.shape[-1] * 2
     fvu, auxk_loss, fired = _fused_losses(
         cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), mm_name,
-        bool(prefer_kernel),
+        bool(prefer_kernel) and resident_weight_bytes <= 64 * 1024 * 1024,
         params, x, dead_mask.astype(jnp.float32),
     )
     return {

@@ -40,10 +40,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 128
 _ITERS = 15  # bf16 bit range after ReLU is [0, 0x7F81) < 2¹⁵
+_TWO_STAGE = True  # byte-packed high/low-byte split bisection (see below)
 _BF16_INF_BITS = 0x7F80  # +inf; sentinel "select nothing"
 _GUARD = -0x7FFF8000  # 0x80008000 as int32: per-half no-borrow guard bits
 _EXCL = 0x7FFF7FFF  # guardless halves: never ≥ any guarded mid
 _PAIR = 0x00010001
+# byte-domain (4 rows per i32) constants for the two-stage bisection
+_GUARD4 = -0x7F7F7F80  # 0x80808080: per-byte no-borrow guards
+_EXCL4 = 0x7F7F7F7F    # guardless bytes: never ≥ any guarded mid (mid ≤ 0x7F)
+_PAIR4 = 0x01010101
+_BMASK = 0x00FF00FF    # bytes 0 and 2 of an i32
+_HB7 = 0x007F007F      # 7-bit high-byte values at bytes 0 and 2
 
 
 def _pack_rows(x16: jnp.ndarray) -> jnp.ndarray:
@@ -97,10 +104,147 @@ def _int_bisect_packed(wm: jnp.ndarray, k: int, lo0, hi0) -> jnp.ndarray:
     return lo
 
 
+def _halfwise_min(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d = (a | _GUARD) - b  # halves < 2¹⁵ ⇒ guarded subtract never borrows
+    return _halfwise_select(b, a, d)
+
+
 def _bits_to_f32(b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(
         b.astype(jnp.int16), jnp.bfloat16
     ).astype(jnp.float32)
+
+
+# ---- two-stage byte-packed bisection ---------------------------------------
+#
+# The single-stage bisection pays 15 half-packed VPU iterations per selection.
+# bf16 bit patterns split as (hb = bits >> 8, 7 bits) · 256 + (lb = bits &
+# 0xFF): both sub-fields fit a BYTE with a spare guard bit, so 4 rows pack
+# per i32 — half the vector registers per pass of the 2-row packing. The
+# split bisection (the tools/bench_topk8.py round-2 analysis, now with the
+# 255-count overflow solved by lane-halving partial sums and the high==B
+# membership folded into the packed stage-2 operand):
+#
+#   stage 1:  7 byte-packed iterations find B = hb of the k-th value
+#             (hb is monotone in bits, so B is exact);
+#   stage 2a: 7 byte-packed iterations over v = lb >> 1 restricted to
+#             hb == B (non-members ride as guardless 0x7F bytes and never
+#             count), with k' = k − count(bits ≥ (B+1)·256);
+#   stage 2b: ONE half-packed counting pass decides the final lb bit.
+#
+# Row-block layout: the tile's packed-pair rows split into blocks A (rows
+# [0, R/2)) and B (rows [R/2, R)); byte lanes hold (A.low, B.low, A.high,
+# B.high), so counts unpack straight back into the existing packed-half
+# (R/2, 1) lo/hi format with contiguous slices — no sublane permutations.
+# Exactness: count(bits ≥ t) ≥ k and count(bits ≥ t+1) < k at every exit,
+# the same invariant as the single-stage path (pinned by
+# tests/test_topk_fused_kernel.py and the equality probe tools/bench_topk10).
+
+
+def _byte_counts_halves(ind: jnp.ndarray, n_dict: int) -> jnp.ndarray:
+    """(R/4, N) 0/1 byte lanes → (R/2, 1) packed per-half counts.
+
+    Lane-halving partial sums keep every byte ≤ N/(final lanes) ≤ 255 (the
+    SWAR guard bounds n_dict < 2¹⁵, and halving stops at ≤ 128 lanes or the
+    first odd length), then bytes widen into 16-bit packed-half totals."""
+    a = ind
+    length = n_dict
+    while length > 128 and length % 2 == 0:
+        half = length // 2
+        a = a[:, :half] + a[:, half:]
+        length = half
+    ca = jnp.sum(a & _BMASK, axis=-1, keepdims=True)          # block A halves
+    cb = jnp.sum(
+        jax.lax.shift_right_logical(a, 8) & _BMASK, axis=-1, keepdims=True
+    )                                                          # block B halves
+    return jnp.concatenate([ca, cb], axis=0)
+
+
+def _pack_mid4(mid: jnp.ndarray) -> jnp.ndarray:
+    """(R/2, 1) packed halves (values ≤ 0x7F) → (R/4, 1) byte lanes in the
+    (A.low, B.low, A.high, B.high) block layout."""
+    rq = mid.shape[0] // 2
+    ma, mb = mid[:rq], mid[rq:]
+    return (ma & _HB7) | ((mb & _HB7) << 8)
+
+
+def _byte_bisect(v4: jnp.ndarray, lo0, hi0, kk, n_dict: int,
+                 iters: int) -> jnp.ndarray:
+    """Byte-domain bisection: lo/hi/mid live in the packed-half format
+    (values ≤ 0x80 per half, so the existing halfwise helpers apply); only
+    the counting pass runs on the 4-row byte packing. ``v4`` bytes are
+    0x80|value (guarded, count when value ≥ mid) or 0x7F (guardless, never
+    count — mid ≤ 0x7F keeps every byte subtract borrow-free)."""
+
+    def body(_, lohi):
+        lo, hi = lohi
+        s = lo + hi
+        mid = _halfwise_max(jax.lax.shift_right_logical(s, 1) & _EXCL, lo)
+        d = v4 - _pack_mid4(mid)
+        ind = jax.lax.shift_right_logical(d, 7) & _PAIR4
+        cnt = _byte_counts_halves(ind, n_dict)
+        ok = (cnt | _GUARD) - kk
+        return _halfwise_select(mid, lo, ok), _halfwise_select(hi, mid, ok)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return lo
+
+
+def _count16(wm: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """(R/2, 1) packed per-half counts of (value ≥ cand) over guarded ``wm``."""
+    d = wm - cand
+    ind = jax.lax.shift_right_logical(d, 15) & _PAIR
+    return jnp.sum(ind, axis=-1, keepdims=True)
+
+
+def _two_stage_bisect(packed2, wm_m, g4_m, kk, lo0_hb, hi0_hb, n_dict,
+                      dp=None) -> jnp.ndarray:
+    """Packed-half k-th-value bit patterns via the high/low-byte split.
+
+    ``packed2``: unguarded packed bit patterns (for the hb==B membership
+    test); ``wm_m``: the guarded/masked 16-bit operand for counting passes;
+    ``g4_m``: the guarded/masked byte operand for stage 1; ``dp``: optional
+    per-column dead mask (−1/0 halves) restricting stage 2 membership."""
+    B = _byte_bisect(g4_m, lo0_hb, hi0_hb, kk, n_dict, 7)
+
+    # count strictly above the B band: cand = (B+1)·256, saturated to the
+    # +inf bit pattern when B+1 = 0x80 (bits < 0x7F80 ⇒ same zero count,
+    # and the half value stays < 2¹⁵ for the guarded compare)
+    b1 = B + _PAIR
+    cand0 = jax.lax.shift_left(b1, 8)  # halves ≤ 0x80 ⇒ stay in their half
+    over = (b1 | _GUARD) - jnp.int32(0x00800080)  # bit15 ⇔ B+1 ≥ 0x80
+    cand_hi = _halfwise_select(
+        jnp.full_like(B, 0x7F807F80), cand0, over
+    )
+    cnt_hi = _count16(wm_m, cand_hi)
+    kk2 = kk - cnt_hi
+
+    # stage-2 operand: v = lb >> 1 where hb == B (and dead, for aux), else
+    # a guardless 0x7F byte
+    hbh = jax.lax.shift_right_logical(packed2, 8) & _HB7
+    e = hbh ^ B
+    z = (e | _GUARD) - _PAIR
+    nem = jax.lax.shift_right_logical(z, 15) & _PAIR  # 1 ⇔ hb != B
+    em = (nem ^ _PAIR) * 0xFFFF                        # 0xFFFF ⇔ hb == B
+    if dp is not None:
+        em = em & dp
+    lbh = jax.lax.shift_right_logical(packed2, 1) & _HB7
+    v = ((lbh | jnp.int32(0x00800080)) & em) | (_HB7 & ~em)
+    rq = v.shape[0] // 2
+    v4 = (v[:rq] & _BMASK) | ((v[rq:] & _BMASK) << 8)
+
+    V = _byte_bisect(
+        v4, jnp.zeros_like(B), jnp.full_like(B, 0x00800080), kk2, n_dict, 7
+    )
+
+    # final lb bit: cnt here is over ALL (masked) columns — elements above
+    # the B band count too — so the target is the FULL k, not k'
+    bb = jax.lax.shift_left(B, 8)
+    vv1 = jax.lax.shift_left(V, 1) + _PAIR
+    cnt1 = _count16(wm_m, bb + vv1)
+    okv = (cnt1 | _GUARD) - kk
+    low = _halfwise_select(vv1, vv1 - _PAIR, okv)
+    return bb + low
 
 
 def _kernel(x_ref, wenc_ref, benc_ref, bdec_ref, wdec_ref, dead_ref,
@@ -160,24 +304,53 @@ def _kernel(x_ref, wenc_ref, benc_ref, bdec_ref, wdec_ref, dead_ref,
 
         bits16 = jax.lax.bitcast_convert_type(acts, jnp.int16)
         bits = bits16.astype(jnp.int32)
-        wm = _pack_rows(bits16) | _GUARD  # (ROWS/2, n_dict), rows pair-packed
-        tp_main = _int_bisect_packed(
-            wm, k,
-            _pack_rowvec(jnp.min(bits, axis=-1, keepdims=True)),
-            _pack_rowvec(jnp.max(bits, axis=-1, keepdims=True) + 1),
-        )
+        n_dict = acts.shape[-1]
+        packed2 = _pack_rows(bits16)  # (ROWS/2, n_dict), rows pair-packed
+        wm = packed2 | _GUARD
         # aux: non-dead columns become guardless 0x7FFF in BOTH halves —
         # below every guarded mid (never counted), positive after the
         # subtract (no borrow)
         dp = jnp.where(dead, jnp.int32(-1), jnp.int32(0))  # (1, n_dict)
         wm_aux = (wm & dp) | (jnp.invert(dp) & _EXCL)
         dbits = jnp.where(dead, bits, -1)
-        tp_aux = _int_bisect_packed(
-            wm_aux, k_aux,
-            _pack_rowvec(jnp.min(jnp.where(dead, bits, _BF16_INF_BITS),
-                                 axis=-1, keepdims=True)),
-            _pack_rowvec(jnp.max(dbits, axis=-1, keepdims=True) + 1),
-        )
+        minb = jnp.min(bits, axis=-1, keepdims=True)
+        maxb = jnp.max(bits, axis=-1, keepdims=True)
+        min_aux = jnp.min(jnp.where(dead, bits, _BF16_INF_BITS),
+                          axis=-1, keepdims=True)
+        max_aux = jnp.max(dbits, axis=-1, keepdims=True)
+        if _TWO_STAGE:
+            rq = packed2.shape[0] // 2
+            hb4 = (
+                (jax.lax.shift_right_logical(packed2[:rq], 8) & _HB7)
+                | ((jax.lax.shift_right_logical(packed2[rq:], 8) & _HB7) << 8)
+            )
+            g4 = hb4 | _GUARD4
+            tp_main = _two_stage_bisect(
+                packed2, wm, g4, k | (k << 16),
+                _pack_rowvec(minb >> 8),
+                _pack_rowvec((maxb >> 8) + 1), n_dict,
+            )
+            g4_aux = (g4 & dp) | (jnp.invert(dp) & _EXCL4)
+            tp_aux = _two_stage_bisect(
+                packed2, wm_aux, g4_aux, k_aux | (k_aux << 16),
+                _pack_rowvec(min_aux >> 8),
+                _pack_rowvec((jnp.maximum(max_aux, 0) >> 8) + 1), n_dict,
+                dp=dp,
+            )
+            # fewer dead latents than k_aux (or none): the split path's
+            # stage invariants don't hold (counts never reach k_aux) — the
+            # single-stage answer is the per-row min over dead (select ALL
+            # dead; +inf sentinel when there are none), exactly min_aux
+            tp_aux = jnp.where(jnp.sum(dead) >= k_aux, tp_aux,
+                               _pack_rowvec(min_aux))
+        else:
+            tp_main = _int_bisect_packed(
+                wm, k, _pack_rowvec(minb), _pack_rowvec(maxb + 1),
+            )
+            tp_aux = _int_bisect_packed(
+                wm_aux, k_aux,
+                _pack_rowvec(min_aux), _pack_rowvec(max_aux + 1),
+            )
         # unpack row pairs back to (ROWS, 1) int32 thresholds
         t_main = pltpu.bitcast(tp_main, jnp.int16).astype(jnp.int32)
         t_aux = pltpu.bitcast(tp_aux, jnp.int16).astype(jnp.int32)

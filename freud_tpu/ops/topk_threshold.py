@@ -180,6 +180,12 @@ def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
         out_shape=[jax.ShapeDtypeStruct((m_pad, 1), jnp.float32)] * n_t + [
             jax.ShapeDtypeStruct((1, n_dict), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the f32 tile (rows × n_dict) plus its double buffer exceed the
+            # 16 MB default scoped window at large-recipe widths (n_dict
+            # 20480: 30 MB requested — the large_v1 VMEM OOM)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(acts, dead)
     *ts, fired = outs
