@@ -38,9 +38,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 128
+ROWS = 256  # tools/bench_topk9/10: 256-row tiles win ~1.5 ms/fwd over 128
 _ITERS = 15  # bf16 bit range after ReLU is [0, 0x7F81) < 2¹⁵
-_TWO_STAGE = True  # byte-packed high/low-byte split bisection (see below)
+# Byte-packed two-stage bisection: implemented below and EXACT (thresholds
+# bit-identical on chip, tools/bench_topk10.py), but measured SLOWER than the
+# single-stage path (20.7 vs 17.7 ms fwd at rows=128; 17.7 vs 16.2 at 256) —
+# the 4-rows-per-i32 density win is eaten by the lane-halving count chain and
+# the stage-2 membership prep. Kept off; the r2 VERDICT's exactness-gated
+# implementation exists for re-evaluation on future hardware.
+_TWO_STAGE = False
 _BF16_INF_BITS = 0x7F80  # +inf; sentinel "select nothing"
 _GUARD = -0x7FFF8000  # 0x80008000 as int32: per-half no-borrow guard bits
 _EXCL = 0x7FFF7FFF  # guardless halves: never ≥ any guarded mid

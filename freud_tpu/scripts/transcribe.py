@@ -97,9 +97,12 @@ def transcribe_folder_long(
     max_new_tokens: int = 224,
     precision: str = "float32",
     verbose: bool = True,
+    beam_size: int | None = None,
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
-    duration, each decoded window at a fixed compiled shape."""
+    duration, each decoded window at a fixed compiled shape through the
+    per-window temperature-fallback ladder (``beam_size`` switches the t=0
+    rung to beam search, whisper.transcribe's quality path)."""
     from ..audio.decode import load_audio
     from ..data.audio_dataset import list_audio_files
 
@@ -115,7 +118,7 @@ def transcribe_folder_long(
         except RuntimeError:
             out[f] = "<decode-failed>"
             continue
-        out[f] = rt.transcribe_long(audio)
+        out[f] = rt.transcribe_long(audio, beam_size=beam_size)
         if verbose:
             print(json.dumps({"file": f, "result": out[f]}))
     return out
@@ -144,7 +147,7 @@ def main() -> None:
     if args.long:
         result = transcribe_folder_long(
             args.data_path, args.model, args.language, args.max_new_tokens,
-            args.precision,
+            args.precision, beam_size=args.beam_size,
         )
     else:
         result = transcribe_folder(
