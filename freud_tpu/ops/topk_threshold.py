@@ -49,17 +49,59 @@ def _kernel(acts_ref, dead_ref, *out_refs,
     else:
         tmain_ref, taux_ref, fired_ref = out_refs
     i = pl.program_id(0)
-    a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
-    t_main = _bisect(a, k_main, iters)
-    tmain_ref[...] = t_main
     dead = dead_ref[...] > 0  # (1, n_dict)
-    masked = jnp.where(dead, a, -jnp.inf)
-    taux_ref[...] = _bisect(masked, k_aux, iters)
-    if k_multi:
-        # third threshold (multi_topk's 4k) in the SAME resident pass — a
-        # separate kernel invocation would re-read the whole (M, n_dict)
-        # latent from HBM just for this
-        tmulti_ref[...] = _bisect(a, k_multi, iters)
+    n_dict = acts_ref.shape[-1]
+    int_path = (acts_ref.dtype == jnp.bfloat16 and n_dict < 2 ** 15
+                and acts_ref.shape[0] % 2 == 0)
+    if int_path:
+        # bf16 input: the EXACT 15-iteration row-pair SWAR integer bisection
+        # (ops/topk_fused) replaces 26 f32 counting passes — at large-recipe
+        # scale (48000 × 20480 latents) the f32 bisection alone is tens of
+        # ms of VPU time per selection. Requires non-negative values (the
+        # post-ReLU trainer latents this op exists for): bf16 bit patterns
+        # are order-isomorphic to their int16 bits only on [0, +inf).
+        from .topk_fused import (_BF16_INF_BITS, _GUARD, _EXCL,
+                                 _bits_to_f32, _int_bisect_packed,
+                                 _pack_rows, _pack_rowvec)
+
+        ab = acts_ref[...]
+        bits16 = jax.lax.bitcast_convert_type(ab, jnp.int16)
+        bits = bits16.astype(jnp.int32)
+        wm = _pack_rows(bits16) | _GUARD
+        minb = jnp.min(bits, axis=-1, keepdims=True)
+        maxb1 = jnp.max(bits, axis=-1, keepdims=True) + 1
+        tp = _int_bisect_packed(
+            wm, k_main, _pack_rowvec(minb), _pack_rowvec(maxb1))
+        t_main = _bits_to_f32(pltpu.bitcast(tp, jnp.int16).astype(jnp.int32))
+        tmain_ref[...] = t_main
+        dp = jnp.where(dead, jnp.int32(-1), jnp.int32(0))
+        wm_aux = (wm & dp) | (jnp.invert(dp) & _EXCL)
+        tp_aux = _int_bisect_packed(
+            wm_aux, k_aux,
+            _pack_rowvec(jnp.min(jnp.where(dead, bits, _BF16_INF_BITS),
+                                 axis=-1, keepdims=True)),
+            _pack_rowvec(jnp.max(jnp.where(dead, bits, -1),
+                                 axis=-1, keepdims=True) + 1),
+        )
+        taux_ref[...] = _bits_to_f32(
+            pltpu.bitcast(tp_aux, jnp.int16).astype(jnp.int32))
+        if k_multi:
+            tp4 = _int_bisect_packed(
+                wm, k_multi, _pack_rowvec(minb), _pack_rowvec(maxb1))
+            tmulti_ref[...] = _bits_to_f32(
+                pltpu.bitcast(tp4, jnp.int16).astype(jnp.int32))
+        a = ab.astype(jnp.float32)
+    else:
+        a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
+        t_main = _bisect(a, k_main, iters)
+        tmain_ref[...] = t_main
+        masked = jnp.where(dead, a, -jnp.inf)
+        taux_ref[...] = _bisect(masked, k_aux, iters)
+        if k_multi:
+            # third threshold (multi_topk's 4k) in the SAME resident pass —
+            # a separate kernel invocation would re-read the whole
+            # (M, n_dict) latent from HBM just for this
+            tmulti_ref[...] = _bisect(a, k_multi, iters)
 
     # fired[j] = did latent j cross its row threshold anywhere — the acts
     # tile is already VMEM-resident, so folding this in here saves the
@@ -100,6 +142,12 @@ def topk_thresholds_fired(
     fired (n_dict,) bool). ``k_multi`` (multi_topk's 4k) adds a third
     bisection to the SAME resident pass; with the default 0, t_multi is
     None and no third output buffer is even allocated.
+
+    bfloat16 inputs with n_dict < 2¹⁵ take the EXACT integer-bisection fast
+    path (15 SWAR iterations instead of ``iters`` f32 counting passes; the
+    returned thresholds are then exact bf16 k-th values). That path assumes
+    NON-NEGATIVE inputs — the post-ReLU SAE latents this op serves; pass f32
+    for anything signed.
 
     Carries the same GSPMD row-partitioning rule as ops/topk_fused (one
     kernel per chip on a data-sharded batch; the fired mask pmax-es across

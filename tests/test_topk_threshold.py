@@ -202,3 +202,45 @@ def test_training_losses_multi_topk_single_pass():
                                float(out.multi_topk_fvu), rtol=1e-4)
     np.testing.assert_allclose(float(terms["fvu"]), float(out.fvu), rtol=1e-4)
     assert np.asarray(fired).shape == (16,)
+
+
+def test_bf16_integer_fast_path_matches_f32_selection():
+    """bf16 inputs take the exact SWAR integer bisection; its thresholds are
+    exact bf16 k-th values and must produce the SAME selection sets as the
+    f32 counting path on the same (bf16-valued) data."""
+    import jax
+
+    from freud_tpu.ops.topk_threshold import topk_thresholds_fired
+
+    interpret = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(11)
+    acts_b = jnp.asarray(
+        np.abs(rng.standard_normal((64, 256))).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    dead = np.zeros(256, bool)
+    dead[rng.choice(256, 80, replace=False)] = True
+    dead = jnp.asarray(dead)
+
+    tm_i, ta_i, t4_i, f_i = topk_thresholds_fired(
+        acts_b, dead, 7, 13, interpret=interpret, k_multi=28)
+    tm_f, ta_f, t4_f, f_f = topk_thresholds_fired(
+        acts_b.astype(jnp.float32), dead, 7, 13, interpret=interpret,
+        k_multi=28)
+
+    af = np.asarray(acts_b, np.float32)
+    d = np.asarray(dead)
+    np.testing.assert_array_equal(af >= np.asarray(tm_i),
+                                  af >= np.asarray(tm_f))
+    np.testing.assert_array_equal((af >= np.asarray(ta_i)) & d,
+                                  (af >= np.asarray(ta_f)) & d)
+    np.testing.assert_array_equal(af >= np.asarray(t4_i),
+                                  af >= np.asarray(t4_f))
+    np.testing.assert_array_equal(np.asarray(f_i), np.asarray(f_f))
+    # the integer path's thresholds are ATTAINED bf16 values
+    assert np.isin(np.asarray(tm_i).ravel(), af).all()
+
+    # no dead latents: aux threshold is the +inf sentinel on both paths
+    none_dead = jnp.zeros((256,), bool)
+    _, ta0, _, _ = topk_thresholds_fired(
+        acts_b, none_dead, 7, 13, interpret=interpret)
+    assert np.isposinf(np.asarray(ta0)).all()
