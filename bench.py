@@ -70,22 +70,24 @@ def bench_collection(
     }
 
 
-def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict:
+def _bench_train(variant: str, cfg: dict, d_in: int, batch: int,
+                 optimizer: str, scheduler: str, iters: int, warmup: int,
+                 scheduler_params=None, lr: float = 1e-4,
+                 steps: int = 100_000) -> dict:
+    """One trainer recipe's steps/s. All timing goes through this single
+    helper so the axon-backend discipline (force a scalar computed IN the
+    jit — block_until_ready is a no-op on tunneled backends) lives in one
+    place."""
     from freud_tpu.train.trainer import SAETrainer
 
     trainer = SAETrainer(
-        "l1",
-        {"n_dict_components": 200, "recon_alpha": 1e4},
-        384,
-        optimizer="radam",
-        scheduler="cosine",
-        lr=4e-4,
-        steps=100_000,
+        variant, cfg, d_in,
+        optimizer=optimizer, scheduler=scheduler,
+        scheduler_params=scheduler_params, lr=lr, steps=steps,
         clip_thresh=1.0,
     )
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, 1500, 384)).astype(np.float32))
-
+    x = jnp.asarray(rng.standard_normal((batch, 1500, d_in)).astype(np.float32))
     state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
     for _ in range(warmup):
         *state, m = trainer._train_step(*state, x)
@@ -103,32 +105,23 @@ def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict
     }
 
 
+def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict:
+    """tiny_l1 recipe (configs/train/tiny_l1.json)."""
+    return _bench_train(
+        "l1", {"n_dict_components": 200, "recon_alpha": 1e4}, 384, batch,
+        "radam", "cosine", iters, warmup, lr=4e-4,
+    )
+
+
 def bench_topk_train(batch: int = 50, iters: int = 60, warmup: int = 3) -> dict:
     """tiny_topk recipe: expansion 16 (dict 6144), k 32, AuxK live."""
-    from freud_tpu.train.trainer import SAETrainer
-
-    trainer = SAETrainer(
+    return _bench_train(
         "topk",
         {"expansion_factor": 16, "k": 32, "auxk_alpha": 0.03125,
          "dead_feature_threshold": 1e6},
-        384,
-        optimizer="adam",
-        scheduler="linear",
+        384, batch, "adam", "linear", iters, warmup,
         scheduler_params={"num_warmup_steps": 1000},
-        lr=1e-4,
-        steps=100_000,
     )
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, 1500, 384)).astype(np.float32))
-    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
-    for _ in range(warmup):
-        *state, m = trainer._train_step(*state, x)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        *state, m = trainer._train_step(*state, x)
-    float(m["loss"])
-    return {"steps_per_sec": iters / (time.perf_counter() - t0)}
 
 
 def bench_large_topk_train(batch: int = 32, iters: int = 30, warmup: int = 3) -> dict:
@@ -136,57 +129,22 @@ def bench_large_topk_train(batch: int = 32, iters: int = 30, warmup: int = 3) ->
     d=1280, expansion 16 (n_dict 20480), k 32, AuxK live, adam+linear,
     batch 32 files. n_dict·d here exceeds the fused kernel's resident-weight
     VMEM gate, so this exercises the threshold-kernel formulation."""
-    from freud_tpu.train.trainer import SAETrainer
-
-    trainer = SAETrainer(
+    return _bench_train(
         "topk",
         {"expansion_factor": 16, "k": 32, "auxk_alpha": 0.03125,
          "dead_feature_threshold": 1e6},
-        1280,
-        optimizer="adam",
-        scheduler="linear",
-        scheduler_params={"num_warmup_steps": 1000},
-        lr=1e-4,
-        steps=25_000,
+        1280, batch, "adam", "linear", iters, warmup,
+        scheduler_params={"num_warmup_steps": 1000}, steps=25_000,
     )
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, 1500, 1280)).astype(np.float32))
-    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
-    for _ in range(warmup):
-        *state, m = trainer._train_step(*state, x)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        *state, m = trainer._train_step(*state, x)
-    float(m["loss"])
-    return {"steps_per_sec": iters / (time.perf_counter() - t0)}
 
 
 def bench_large_l1_train(batch: int = 16, iters: int = 30, warmup: int = 3) -> dict:
     """large_v3_l1 recipe (configs/train/large_v3_l1.json:1-27): d=1280,
     expansion 16 (n_dict 20480), recon_alpha 1e4, radam+cosine, batch 16."""
-    from freud_tpu.train.trainer import SAETrainer
-
-    trainer = SAETrainer(
-        "l1",
-        {"expansion_factor": 16, "recon_alpha": 1e4},
-        1280,
-        optimizer="radam",
-        scheduler="cosine",
-        lr=1e-4,
-        steps=25_000,
+    return _bench_train(
+        "l1", {"expansion_factor": 16, "recon_alpha": 1e4}, 1280, batch,
+        "radam", "cosine", iters, warmup, steps=25_000,
     )
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, 1500, 1280)).astype(np.float32))
-    state = (trainer.params, trainer.opt_state, trainer.num_frames_since_fired)
-    for _ in range(warmup):
-        *state, m = trainer._train_step(*state, x)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        *state, m = trainer._train_step(*state, x)
-    float(m["loss"])
-    return {"steps_per_sec": iters / (time.perf_counter() - t0)}
 
 
 def main():

@@ -107,20 +107,23 @@ def top_activations(
         from ..data.feature_store import FeatureMajorReader
 
         if FeatureMajorReader.exists(reader.data_path, reader.layer_name):
-            fm = FeatureMajorReader(reader.data_path, reader.layer_name,
-                                    subset_size=len(reader))
-            if fm.n_files >= len(reader):
+            from ..data.feature_store import index_is_current
+
+            if index_is_current(reader.data_path, reader.layer_name,
+                                len(reader)):
+                fm = FeatureMajorReader(reader.data_path, reader.layer_name,
+                                        subset_size=len(reader))
                 return _top_activations_indexed_plane(
                     loader, reader, feature_idx, n_files, max_val, min_val,
                     absolute_magnitude, return_max_per_file, mesh=mesh,
                     fm=fm,
                 )
-            # the store grew after the index was built AND no growth segment
-            # covers the new files (collection extends the index on flush —
-            # this path means the store was grown by an external writer):
-            # fall through to the full scan; extend_feature_major_index or
-            # scripts/index_activations.py restores the fast path
-            print("feature-major index is stale (store grew); scanning")
+            # the store changed under the index (grown, truncated, or
+            # re-collected by an external writer — the sidecar filename
+            # fingerprint no longer matches): fall through to the full
+            # scan; the next collection flush or
+            # scripts/index_activations.py rebuilds the fast path
+            print("feature-major index is stale (store changed); scanning")
 
     entries = []  # (value_for_ranking, file, n_frames, trace_source)
     max_per_file: list[float] = []

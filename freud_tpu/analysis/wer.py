@@ -42,3 +42,26 @@ def word_error_rate(reference: str, hypothesis: str) -> float:
             ))
         prev = cur
     return prev[-1] / len(ref)
+
+
+def find_reference_transcript(audio_path: str) -> str | None:
+    """Resolve the known transcript asset for ``audio_path``.
+
+    Shared by the parity test suite and scripts/parity_check.py so both
+    surfaces agree on precedence: $FREUD_EXPECTED_TRANSCRIPT (literal text)
+    first, then the FIRST match of <stem>.txt / <stem>.trans.txt next to the
+    audio file, then the same names under $FREUD_WHISPER_DIR.
+    """
+    import os
+    from pathlib import Path
+
+    if os.environ.get("FREUD_EXPECTED_TRANSCRIPT"):
+        return os.environ["FREUD_EXPECTED_TRANSCRIPT"]
+    stem = Path(audio_path).stem
+    for d in (Path(audio_path).parent,
+              Path(os.environ.get("FREUD_WHISPER_DIR", "/nonexistent"))):
+        for name in (f"{stem}.txt", f"{stem}.trans.txt"):
+            p = d / name
+            if p.exists():
+                return p.read_text().strip()
+    return None

@@ -51,16 +51,77 @@ def segment_paths(data_path: str | Path, layer_name: str) -> list[Path]:
     return [base] + segs
 
 
+def _meta_path(data_path: str | Path, layer_name: str) -> Path:
+    return Path(data_path) / f"{layer_name}_feature_major.meta.json"
+
+
+def _fingerprint(filenames: list[str]) -> str:
+    import hashlib
+
+    return hashlib.sha1("\n".join(filenames).encode()).hexdigest()
+
+
+def _store_filenames(data_path: str | Path, layer_name: str) -> list[str]:
+    import json
+
+    with open(Path(data_path) / f"{layer_name}_metadata.json") as f:
+        return json.load(f)["filenames"]
+
+
+def _write_meta(data_path, layer_name, covered: int, filenames: list[str]):
+    import json
+
+    _meta_path(data_path, layer_name).write_text(json.dumps({
+        "covered": covered,
+        "fingerprint": _fingerprint(filenames[:covered]),
+    }))
+
+
+def index_is_current(data_path: str | Path, layer_name: str,
+                     n_query: int) -> bool:
+    """True iff the index VERIFIABLY covers the store's first ``n_query``
+    files: the sidecar meta's filename fingerprint must match the store's
+    current metadata. A same-size re-collection changes the fingerprint, so
+    a stale index can never silently serve the previous run's activations
+    (it rebuilds on the next collection flush, and search falls back to the
+    scan until then)."""
+    import json
+
+    segs = segment_paths(data_path, layer_name)
+    mp = _meta_path(data_path, layer_name)
+    if not segs or not mp.exists():
+        return False
+    try:
+        meta = json.loads(mp.read_text())
+        covered = sum(np.load(p, mmap_mode="r").shape[1] for p in segs)
+        if covered != meta.get("covered") or covered < n_query:
+            return False
+        filenames = _store_filenames(data_path, layer_name)
+        if covered > len(filenames):
+            return False
+        return _fingerprint(filenames[:covered]) == meta.get("fingerprint")
+    except (OSError, ValueError, KeyError):
+        return False
+
+
 def build_feature_major_index(
     data_path: str | Path,
     layer_name: str,
     chunk_files: int = 256,
     verbose: bool = True,
 ) -> Path:
-    """Transpose a dense store to (features, files, time), chunked by files."""
+    """Transpose a dense store to (features, files, time), chunked by files.
+
+    A full (re)build: any existing growth segments and sidecar meta are
+    removed first, and a fresh fingerprint meta is written."""
     reader = ActivationStoreReader(data_path, layer_name)
     if reader.activation_type != "tensor":
         raise ValueError("feature-major index requires a dense store")
+    for p in segment_paths(data_path, layer_name)[1:]:
+        p.unlink()
+    mp = _meta_path(data_path, layer_name)
+    if mp.exists():
+        mp.unlink()
     n = len(reader)
     t, f = reader.tensor_shape
     out_path = index_path(data_path, layer_name)
@@ -77,6 +138,8 @@ def build_feature_major_index(
             print(f"\rindexed {idx[-1] + 1}/{n} files", end="", flush=True)
     out.flush()
     del out
+    _write_meta(data_path, layer_name, n,
+                _store_filenames(data_path, layer_name))
     if verbose:
         print()
     return out_path
@@ -90,10 +153,14 @@ def extend_feature_major_index(
 ) -> Optional[Path]:
     """Transpose the files added since the last build into a new segment.
 
-    Returns the new segment path, or None when the index already covers the
-    store. Called by the collection pipeline on flush whenever an index
-    exists, so a grown store never silently degrades search to a full scan
-    (the staleness path in analysis/search.py)."""
+    Returns the new segment path (or the full-rebuild base path), or None
+    when the index verifiably already covers the store. Called by the
+    collection pipeline on flush whenever an index exists, so a grown store
+    never silently degrades search to a full scan (the staleness path in
+    analysis/search.py). The sidecar fingerprint guards against a
+    TRUNCATING or same-size re-collection: if the store's covered-prefix
+    filenames no longer match what was indexed, the whole index rebuilds
+    instead of splicing the previous run's planes with new ones."""
     reader = ActivationStoreReader(data_path, layer_name)
     if reader.activation_type != "tensor":
         raise ValueError("feature-major index requires a dense store")
@@ -105,7 +172,27 @@ def extend_feature_major_index(
     for p in segs:
         covered += np.load(p, mmap_mode="r").shape[1]
     n = len(reader)
-    if covered >= n:
+    import json
+
+    mp = _meta_path(data_path, layer_name)
+    verified = False
+    if mp.exists():
+        try:
+            meta = json.loads(mp.read_text())
+            filenames = _store_filenames(data_path, layer_name)
+            verified = (
+                meta.get("covered") == covered
+                and covered <= len(filenames)
+                and _fingerprint(filenames[:covered]) == meta.get("fingerprint")
+            )
+        except (OSError, ValueError, KeyError):
+            verified = False
+    if not verified or covered > n:
+        # the indexed prefix no longer matches the store (re-collection,
+        # truncation, or a pre-fingerprint index): rebuild from scratch
+        return build_feature_major_index(
+            data_path, layer_name, chunk_files, verbose)
+    if covered == n:
         return None
     t, f = reader.tensor_shape
     out_path = Path(data_path) / f"{layer_name}_feature_major.seg{len(segs)}.npy"
@@ -122,6 +209,8 @@ def extend_feature_major_index(
             print(f"\rindexed {idx[-1] + 1}/{n} files", end="", flush=True)
     out.flush()
     del out
+    _write_meta(data_path, layer_name, n,
+                _store_filenames(data_path, layer_name))
     if verbose:
         print()
     return out_path

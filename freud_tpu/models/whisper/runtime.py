@@ -244,7 +244,12 @@ class WhisperRuntime:
             self.model_name, self.dims.n_text_layer, self.dims.n_text_head)
         layers = sorted({l for l, _ in pairs})
         capture = tuple(f"decoder.blocks.{l}.cross_attn.weights" for l in layers)
-        if not hasattr(self, "_align_fwd"):
+        # cache keyed on the capture set: load_alignment_heads re-resolves
+        # from the (mutable) asset dirs per call, so a curated table appearing
+        # mid-process must rebuild the jitted forward, not reuse a closure
+        # captured over the fallback layers
+        if getattr(self, "_align_key", None) != capture:
+            self._align_key = capture
             self._align_fwd = jax.jit(
                 lambda p, t, e: decoder_forward(
                     p, self.dims, t, e, capture=capture

@@ -110,11 +110,6 @@ def _int_bisect_packed(wm: jnp.ndarray, k: int, lo0, hi0) -> jnp.ndarray:
     return lo
 
 
-def _halfwise_min(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    d = (a | _GUARD) - b  # halves < 2¹⁵ ⇒ guarded subtract never borrows
-    return _halfwise_select(b, a, d)
-
-
 def _bits_to_f32(b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(
         b.astype(jnp.int16), jnp.bfloat16

@@ -43,7 +43,7 @@ def _bisect(masked: jnp.ndarray, k: int, iters: int = _ITERS) -> jnp.ndarray:
 
 def _kernel(acts_ref, dead_ref, *out_refs,
             k_main: int, k_aux: int, k_multi: int, valid_rows: int,
-            iters: int):
+            iters: int, signed: bool):
     if k_multi:
         tmain_ref, taux_ref, tmulti_ref, fired_ref = out_refs
     else:
@@ -51,8 +51,8 @@ def _kernel(acts_ref, dead_ref, *out_refs,
     i = pl.program_id(0)
     dead = dead_ref[...] > 0  # (1, n_dict)
     n_dict = acts_ref.shape[-1]
-    int_path = (acts_ref.dtype == jnp.bfloat16 and n_dict < 2 ** 15
-                and acts_ref.shape[0] % 2 == 0)
+    int_path = (not signed and acts_ref.dtype == jnp.bfloat16
+                and n_dict < 2 ** 15 and acts_ref.shape[0] % 2 == 0)
     if int_path:
         # bf16 input: the EXACT 15-iteration row-pair SWAR integer bisection
         # (ops/topk_fused) replaces 26 f32 counting passes — at large-recipe
@@ -126,7 +126,7 @@ def _kernel(acts_ref, dead_ref, *out_refs,
 @functools.partial(
     jax.jit,
     static_argnames=("k_main", "k_aux", "interpret", "rows", "iters",
-                     "k_multi"),
+                     "k_multi", "signed"),
 )
 def topk_thresholds_fired(
     acts: jnp.ndarray,  # (M, n_dict) — any float dtype (cast to f32 in VMEM)
@@ -137,6 +137,7 @@ def topk_thresholds_fired(
     rows: int = ROWS,
     iters: int = _ITERS,
     k_multi: int = 0,
+    signed: bool = False,
 ):
     """→ (t_main (M, 1) f32, t_aux (M, 1) f32, t_multi (M, 1) f32 | None,
     fired (n_dict,) bool). ``k_multi`` (multi_topk's 4k) adds a third
@@ -146,14 +147,16 @@ def topk_thresholds_fired(
     bfloat16 inputs with n_dict < 2¹⁵ take the EXACT integer-bisection fast
     path (15 SWAR iterations instead of ``iters`` f32 counting passes; the
     returned thresholds are then exact bf16 k-th values). That path assumes
-    NON-NEGATIVE inputs — the post-ReLU SAE latents this op serves; pass f32
-    for anything signed.
+    NON-NEGATIVE inputs — the post-ReLU SAE latents this op serves (negative
+    bf16 bit patterns are not order-isomorphic to their int16 bits); callers
+    with signed bf16 data MUST pass ``signed=True`` to keep the f32
+    counting path.
 
     Carries the same GSPMD row-partitioning rule as ops/topk_fused (one
     kernel per chip on a data-sharded batch; the fired mask pmax-es across
     the row-sharding axes inside the partition's lower_fn)."""
     outs = _partitioned_thresholds(
-        k_main, k_aux, k_multi, rows, iters, interpret
+        k_main, k_aux, k_multi, rows, iters, interpret, signed
     )(acts, dead_mask.astype(jnp.float32))
     if k_multi:
         tm, ta, tmu, fired_f = outs
@@ -164,14 +167,14 @@ def topk_thresholds_fired(
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_thresholds(k_main: int, k_aux: int, k_multi: int, rows: int,
-                            iters: int, interpret: bool):
+                            iters: int, interpret: bool, signed: bool = False):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def body(acts, dead_f):
         return _thresholds_impl(acts, dead_f, k_main=k_main, k_aux=k_aux,
                                 k_multi=k_multi, rows=rows, iters=iters,
-                                interpret=interpret)
+                                interpret=interpret, signed=signed)
 
     cp = custom_partitioning(body)
 
@@ -202,7 +205,7 @@ def _partitioned_thresholds(k_main: int, k_aux: int, k_multi: int, rows: int,
 
 
 def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
-                     interpret):
+                     interpret, signed):
     """Per-shard pallas_call → (t_main (m,), t_aux (m,), [t_multi (m,)
     when k_multi], fired (n_dict,) f32)."""
     m, n_dict = acts.shape
@@ -216,7 +219,8 @@ def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel, k_main=k_main, k_aux=k_aux,
-                          k_multi=k_multi, valid_rows=m, iters=iters),
+                          k_multi=k_multi, valid_rows=m, iters=iters,
+                          signed=signed),
         grid=(m_pad // rows,),
         in_specs=[
             pl.BlockSpec((rows, n_dict), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -240,9 +244,10 @@ def _thresholds_impl(acts, dead_f, *, k_main, k_aux, k_multi, rows, iters,
     return (*(t[:m, 0] for t in ts), fired[0])
 
 
-def topk_thresholds(acts, dead_mask, k_main, k_aux, interpret: bool = False):
+def topk_thresholds(acts, dead_mask, k_main, k_aux, interpret: bool = False,
+                    signed: bool = False):
     """→ (t_main (M, 1), t_aux (M, 1)), f32. (fired-less compatibility wrapper)"""
     t_main, t_aux, _, _ = topk_thresholds_fired(
-        acts, dead_mask, k_main, k_aux, interpret=interpret
+        acts, dead_mask, k_main, k_aux, interpret=interpret, signed=signed
     )
     return t_main, t_aux

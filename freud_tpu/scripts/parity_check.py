@@ -120,7 +120,7 @@ def check_transcript(model: str, audio_path: str) -> bool | None:
             p.exists() for p in _rank_file_candidates(True)):
         print("[transcript]  skipped: needs weights + tokenizer ranks")
         return None
-    from ..analysis.wer import word_error_rate
+    from ..analysis.wer import find_reference_transcript, word_error_rate
     from ..audio.decode import load_audio
     from ..models.whisper.runtime import WhisperRuntime
 
@@ -128,14 +128,7 @@ def check_transcript(model: str, audio_path: str) -> bool | None:
     out = rt.transcribe_long(load_audio(audio_path))
     print(f"[transcript]  {out['text'].strip()!r}")
 
-    expected = os.environ.get("FREUD_EXPECTED_TRANSCRIPT")
-    if expected is None:
-        stem = Path(audio_path).stem
-        for d in (Path(audio_path).parent,
-                  Path(os.environ.get("FREUD_WHISPER_DIR", "/nonexistent"))):
-            for name in (f"{stem}.txt", f"{stem}.trans.txt"):
-                if (d / name).exists():
-                    expected = (d / name).read_text().strip()
+    expected = find_reference_transcript(audio_path)
     if not expected:
         print("[wer]         skipped: no reference transcript asset")
         return bool(out["text"].strip())

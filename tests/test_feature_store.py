@@ -103,3 +103,46 @@ def test_extend_appends_segment_and_search_stays_fast(tmp_path, capsys):
     assert [x[0] for x in fast] == [x[0] for x in scan]
     for a, b in zip(fast, scan):
         np.testing.assert_allclose(a[1], b[1])
+
+
+def test_recollection_invalidates_index(tmp_path, capsys):
+    """A re-collection over the same out_folder (same OR different size) must
+    never let the index silently serve the previous run's planes: the
+    filename fingerprint mismatches, extend rebuilds, and search (before any
+    rebuild) falls back to the scan."""
+    from freud_tpu.data.feature_store import (extend_feature_major_index,
+                                              index_is_current,
+                                              segment_paths)
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    _make_store(tmp_path, n=10, seed=1)
+    build_feature_major_index(tmp_path, "L", verbose=False)
+    assert index_is_current(tmp_path, "L", 10)
+
+    # same-SIZE re-collection with different files
+    rng = np.random.default_rng(7)
+    new = rng.uniform(-2, 2, (10, 12, 6)).astype(np.float32)
+    w = ActivationStoreWriter(tmp_path, "L", (12, 6), (12, 6))
+    w.append_batch([f"/y/h{i}.wav" for i in range(10)], new,
+                   n_frames=[12] * 10)
+    w.close()
+    assert not index_is_current(tmp_path, "L", 10)
+
+    # search refuses the stale fast path
+    loader = MemoryMappedActivationLoader(tmp_path, "L", batch_size=4)
+    capsys.readouterr()
+    res_scan, _ = top_activations(loader, 3, 4)
+    assert "stale" in capsys.readouterr().out
+
+    # the collection-flush extend path rebuilds rather than splicing
+    out = extend_feature_major_index(tmp_path, "L", verbose=False)
+    assert out is not None and out.name == "L_feature_major.npy"
+    assert len(segment_paths(tmp_path, "L")) == 1
+    assert index_is_current(tmp_path, "L", 10)
+    r = FeatureMajorReader(tmp_path, "L")
+    np.testing.assert_allclose(r.feature(2), new[:, :, 2])
+    # fast path agrees with the scan on the NEW data
+    res_fast, _ = top_activations(loader, 3, 4)
+    assert [x[0] for x in res_fast] == [x[0] for x in res_scan]
+    for a, b in zip(res_fast, res_scan):
+        np.testing.assert_allclose(a[1], b[1])

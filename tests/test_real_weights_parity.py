@@ -33,7 +33,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from freud_tpu.analysis.wer import normalize_text, word_error_rate
+from freud_tpu.analysis.wer import (find_reference_transcript,
+                                    normalize_text, word_error_rate)
 from freud_tpu.models.whisper.load import find_checkpoint
 from freud_tpu.models.whisper.tokenizer import _rank_file_candidates
 
@@ -56,17 +57,6 @@ needs_openai = pytest.mark.skipif(
 )
 
 
-def _expected_transcript(flac_path: str) -> str | None:
-    if os.environ.get("FREUD_EXPECTED_TRANSCRIPT"):
-        return os.environ["FREUD_EXPECTED_TRANSCRIPT"]
-    stem = Path(flac_path).stem
-    for d in (Path(flac_path).parent,
-              Path(os.environ.get("FREUD_WHISPER_DIR", "/nonexistent"))):
-        for name in (f"{stem}.txt", f"{stem}.trans.txt"):
-            p = d / name
-            if p.exists():
-                return p.read_text().strip()
-    return None
 
 
 # ---- dry form: always runs --------------------------------------------------
@@ -164,7 +154,7 @@ def test_transcribe_flac_wer(example_flac):
     """(b) transcribe the bundled LibriSpeech clip, score WER against its
     known text (provide it as <flac stem>.txt next to the flac / in
     $FREUD_WHISPER_DIR, or via $FREUD_EXPECTED_TRANSCRIPT)."""
-    expected = _expected_transcript(example_flac)
+    expected = find_reference_transcript(example_flac)
     if expected is None:
         pytest.skip("no reference transcript asset for the example clip")
 

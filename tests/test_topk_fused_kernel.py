@@ -245,3 +245,52 @@ def test_kernel_threshold_edge_cases():
 
         # decode of the all-zero row reconstructs from zero code
         np.testing.assert_allclose(np.asarray(ym)[3], 0.0, atol=1e-5)
+
+
+def test_two_stage_bisection_matches_single_stage():
+    """The (default-off) byte-packed two-stage bisection must stay
+    bit-identical to the single-stage path — CI coverage so the shared SWAR
+    helpers can't drift under it (it's re-evaluated on new hardware via
+    tools/bench_topk10.py)."""
+    from freud_tpu.ops import topk_fused
+
+    cfg, params, x, dead = _setup(seed=7, d_in=16, exp=8, M=48)
+    d_in = x.shape[-1]
+    x2 = x.reshape(-1, d_in)
+    args = (x2, params.encoder_weight.T, params.encoder_bias, params.b_dec,
+            params.W_dec, dead.astype(jnp.float32), cfg.k, d_in // 2)
+
+    def run():
+        topk_fused._partitioned_forward.cache_clear()
+        topk_fused.topk_sae_forward.clear_cache()
+        return topk_fused.topk_sae_forward(*args, interpret=INTERPRET)
+
+    prev = topk_fused._TWO_STAGE
+    try:
+        topk_fused._TWO_STAGE = False
+        _, _, _, tm1, ta1, f1 = run()
+        topk_fused._TWO_STAGE = True
+        _, _, _, tm2, ta2, f2 = run()
+    finally:
+        topk_fused._TWO_STAGE = prev
+        topk_fused._partitioned_forward.cache_clear()
+        topk_fused.topk_sae_forward.clear_cache()
+
+    np.testing.assert_array_equal(np.asarray(tm1), np.asarray(tm2))
+    np.testing.assert_array_equal(np.asarray(ta1), np.asarray(ta2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    # no-dead sentinel: both paths return +inf aux thresholds
+    none = jnp.zeros_like(dead.astype(jnp.float32))
+    try:
+        topk_fused._TWO_STAGE = True
+        topk_fused._partitioned_forward.cache_clear()
+        topk_fused.topk_sae_forward.clear_cache()
+        _, _, _, _, ta_n, _ = topk_fused.topk_sae_forward(
+            x2, params.encoder_weight.T, params.encoder_bias, params.b_dec,
+            params.W_dec, none, cfg.k, d_in // 2, interpret=INTERPRET)
+    finally:
+        topk_fused._TWO_STAGE = prev
+        topk_fused._partitioned_forward.cache_clear()
+        topk_fused.topk_sae_forward.clear_cache()
+    assert np.isposinf(np.asarray(ta_n)).all()
