@@ -209,12 +209,17 @@ def transcribe_long(
     condition_on_previous_text: bool = True,
     history_budget: int | None = None,
     initial_prompt: str | None = None,
+    word_timestamps: bool = False,
     seed: int = 0,
 ) -> dict:
     """→ {"text", "segments": [{"start", "end", "text", "tokens",
     "temperature", "avg_logprob", "compression_ratio", "no_speech_prob"}, …]}
     for a waveform of any length, via ``runtime``'s (batch-1, fixed-shape)
     decode programs (whisper transcribe.py's segment record).
+
+    ``word_timestamps=True`` adds whisper's per-word timing to every
+    segment (one teacher-forced alignment pass per window —
+    ``runtime.align_words`` — words split per segment by token spans).
 
     EVERY window decodes through the temperature-fallback ladder
     (``_decode_window_with_fallback`` — whisper's ``decode_with_fallback``
@@ -297,6 +302,21 @@ def transcribe_long(
             # whisper resets the prompt after every window in this mode (the
             # initial_prompt still conditioned the FIRST window above)
             history.clear()
+        aligned = None
+        if word_timestamps and segs:
+            # whisper's word_timestamps=True composed with the seek loop:
+            # ONE teacher-forced alignment pass over the window's text
+            # tokens (runtime.align_words — the clean notimestamps sequence,
+            # per whisper find_alignment), then words split per segment by
+            # token spans; times shift by the window's seek offset
+            window_tokens = [t for s in segs for t in s["text_tokens"]]
+            enc_frames = min(content_frames - seek, N_FRAMES) // 2
+            starts_w, ends_w, pieces_w = runtime.align_words(
+                encoded, window_tokens,
+                lang_idx=(lang_pinned or 0), num_frames=enc_frames,
+            )
+            aligned = (starts_w, ends_w, pieces_w)
+        tok_cursor = 0
         for s in segs:
             toks = s.pop("text_tokens")
             if condition_on_previous_text:
@@ -307,6 +327,20 @@ def transcribe_long(
             s["avg_logprob"] = avg_lp
             s["compression_ratio"] = ratio
             s["no_speech_prob"] = float(nsp[0])
+            if aligned is not None:
+                starts_w, ends_w, pieces_w = aligned
+                n_tok = min(len(toks), len(pieces_w) - tok_cursor)
+                sl = slice(tok_cursor, tok_cursor + n_tok)
+                from .timing import group_words
+
+                s["words"] = [
+                    {"word": wd["word"],
+                     "start": wd["start"] + seek * 0.01,
+                     "end": wd["end"] + seek * 0.01}
+                    for wd in group_words(
+                        pieces_w[sl], starts_w[sl], ends_w[sl])
+                ]
+                tok_cursor += n_tok
             if verbose:
                 print(f"[{s['start']:.2f} -> {s['end']:.2f}] {s['text']}")
         segments.extend(segs)

@@ -229,7 +229,6 @@ class WhisperRuntime:
         timestamp-mode token sequence with timestamp tokens' rows dropped,
         rather than re-decoding in no-timestamps mode."""
         from . import timing
-        from .model import decoder_forward
         from .tokenizer import token_pieces
 
         mels = self._batch(mels)
@@ -239,6 +238,29 @@ class WhisperRuntime:
             self.params, self.dims, encoded, prompt, n_prompt,
             max_new=self.max_new_tokens,
         )
+
+        # (b, n_pairs, T, frames) over the curated (layer, head) pairs
+        w = self._alignment_forward(tokens, encoded)
+
+        tokens = np.asarray(tokens)
+        eot = self._st.eot
+        texts, words = [], []
+        for i in range(tokens.shape[0]):
+            pos = [p for p in range(n_prompt, tokens.shape[1])
+                   if tokens[i, p] < eot]
+            ids = tokens[i, pos]
+            pieces = token_pieces(ids, self.dims.n_vocab)
+            nf = int(num_frames[i]) if num_frames is not None else None
+            starts, ends = timing.token_times(w[i][:, pos, :], nf)
+            texts.append(decode_text(tokens[i], self.dims.n_vocab))
+            words.append(timing.group_words(pieces, starts, ends))
+        return texts, words
+
+    def _alignment_forward(self, tokens: jnp.ndarray, encoded: jnp.ndarray):
+        """Teacher-forced decoder pass capturing the alignment heads'
+        cross-attention → (b, n_pairs, T, frames) in curated-pair order."""
+        from . import timing
+        from .model import decoder_forward
 
         pairs = timing.load_alignment_heads(
             self.model_name, self.dims.n_text_layer, self.dims.n_text_head)
@@ -257,26 +279,45 @@ class WhisperRuntime:
                 static_argnames=(),
             )
         caps = self._align_fwd(self.params, tokens, encoded)
-        # select exactly the curated (layer, head) pairs → (b, n_pairs, T, f)
-        w = np.stack([
+        return np.stack([
             np.asarray(caps[f"decoder.blocks.{l}.cross_attn.weights"],
                        np.float32)[:, h]
             for l, h in pairs
         ], axis=1)
 
-        tokens = np.asarray(tokens)
-        eot = self._st.eot
-        texts, words = [], []
-        for i in range(tokens.shape[0]):
-            pos = [p for p in range(n_prompt, tokens.shape[1])
-                   if tokens[i, p] < eot]
-            ids = tokens[i, pos]
-            pieces = token_pieces(ids, self.dims.n_vocab)
-            nf = int(num_frames[i]) if num_frames is not None else None
-            starts, ends = timing.token_times(w[i][:, pos, :], nf)
-            texts.append(decode_text(tokens[i], self.dims.n_vocab))
-            words.append(timing.group_words(pieces, starts, ends))
-        return texts, words
+    def align_words(
+        self,
+        encoded: jnp.ndarray,  # (1, frames, d)
+        text_tokens: list[int],
+        lang_idx: int = 0,
+        num_frames: Optional[int] = None,
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """→ (starts, ends, pieces) for ``text_tokens`` against one window.
+
+        whisper timing.py ``find_alignment``: the alignment sequence is the
+        CLEAN ``sot_sequence + <|notimestamps|> + text + <|eot|>`` —
+        independent of however the window was actually decoded (conditioned
+        prompts, timestamps) — teacher-forced once. The row pads with EOT to
+        one fixed ``len(base) + max_new_tokens + 1`` shape, so every window
+        of every recording reuses a single compiled program."""
+        from . import timing
+        from .tokenizer import token_pieces
+
+        st = self._st
+        base = st.sot_sequence(lang_index=lang_idx, timestamps=False)
+        cap = self.max_new_tokens
+        text_tokens = list(text_tokens)[:cap]
+        row = base + text_tokens + [st.eot]
+        buf = len(base) + cap + 1
+        row = row + [st.eot] * (buf - len(row))
+        tokens = jnp.asarray(np.asarray([row], np.int32))
+        w = self._alignment_forward(tokens, encoded)
+        pos = list(range(len(base), len(base) + len(text_tokens)))
+        if not pos:
+            return np.zeros(0), np.zeros(0), []
+        pieces = token_pieces(np.asarray(text_tokens), self.dims.n_vocab)
+        starts, ends = timing.token_times(w[0][:, pos, :], num_frames)
+        return starts, ends, pieces
 
     def transcribe_long(self, audio: np.ndarray, verbose: bool = False,
                         **kw) -> dict:

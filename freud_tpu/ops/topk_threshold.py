@@ -72,8 +72,8 @@ def _kernel(acts_ref, dead_ref, *out_refs,
         maxb1 = jnp.max(bits, axis=-1, keepdims=True) + 1
         tp = _int_bisect_packed(
             wm, k_main, _pack_rowvec(minb), _pack_rowvec(maxb1))
-        t_main = _bits_to_f32(pltpu.bitcast(tp, jnp.int16).astype(jnp.int32))
-        tmain_ref[...] = t_main
+        t_main_bits = pltpu.bitcast(tp, jnp.int16).astype(jnp.int32)
+        tmain_ref[...] = _bits_to_f32(t_main_bits)
         dp = jnp.where(dead, jnp.int32(-1), jnp.int32(0))
         wm_aux = (wm & dp) | (jnp.invert(dp) & _EXCL)
         tp_aux = _int_bisect_packed(
@@ -90,7 +90,12 @@ def _kernel(acts_ref, dead_ref, *out_refs,
                 wm, k_multi, _pack_rowvec(minb), _pack_rowvec(maxb1))
             tmulti_ref[...] = _bits_to_f32(
                 pltpu.bitcast(tp4, jnp.int16).astype(jnp.int32))
-        a = ab.astype(jnp.float32)
+        # fired entirely in the integer domain — the bit-pattern order
+        # isomorphism means (bits ≥ t_bits) ⇔ (acts ≥ t), so the f32 copy of
+        # the tile never materializes on this path
+        row = (jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0)
+               + i * bits.shape[0])
+        keep = (bits >= t_main_bits) & (bits > 0) & (row < valid_rows)
     else:
         a = acts_ref[...].astype(jnp.float32)  # (ROWS, n_dict)
         t_main = _bisect(a, k_main, iters)
@@ -102,6 +107,8 @@ def _kernel(acts_ref, dead_ref, *out_refs,
             # a separate kernel invocation would re-read the whole
             # (M, n_dict) latent from HBM just for this
             tmulti_ref[...] = _bisect(a, k_multi, iters)
+        row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * a.shape[0]
+        keep = (a >= t_main) & (a > 0) & (row < valid_rows)
 
     # fired[j] = did latent j cross its row threshold anywhere — the acts
     # tile is already VMEM-resident, so folding this in here saves the
@@ -110,8 +117,6 @@ def _kernel(acts_ref, dead_ref, *out_refs,
     # fewer than k positives converges to threshold 0, and post-ReLU every
     # latent satisfies acts >= 0, so one silent frame would otherwise mark
     # the ENTIRE dictionary as fired and permanently disable AuxK revival.
-    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * a.shape[0]
-    keep = (a >= t_main) & (a > 0) & (row < valid_rows)
     tile_fired = jnp.max(keep.astype(jnp.float32), axis=0, keepdims=True)
 
     @pl.when(i == 0)

@@ -98,11 +98,13 @@ def transcribe_folder_long(
     precision: str = "float32",
     verbose: bool = True,
     beam_size: int | None = None,
+    word_timestamps: bool = False,
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
     duration, each decoded window at a fixed compiled shape through the
     per-window temperature-fallback ladder (``beam_size`` switches the t=0
-    rung to beam search, whisper.transcribe's quality path)."""
+    rung to beam search, whisper.transcribe's quality path;
+    ``word_timestamps`` adds per-word times to every segment)."""
     from ..audio.decode import load_audio
     from ..data.audio_dataset import list_audio_files
 
@@ -118,7 +120,8 @@ def transcribe_folder_long(
         except RuntimeError:
             out[f] = "<decode-failed>"
             continue
-        out[f] = rt.transcribe_long(audio, beam_size=beam_size)
+        out[f] = rt.transcribe_long(audio, beam_size=beam_size,
+                                    word_timestamps=word_timestamps)
         if verbose:
             print(json.dumps({"file": f, "result": out[f]}))
     return out
@@ -148,6 +151,7 @@ def main() -> None:
         result = transcribe_folder_long(
             args.data_path, args.model, args.language, args.max_new_tokens,
             args.precision, beam_size=args.beam_size,
+            word_timestamps=args.word_timestamps,
         )
     else:
         result = transcribe_folder(

@@ -187,3 +187,29 @@ def test_long_audio_fallback_ladder(monkeypatch):
     assert calls and set(calls) == {0.0}
     for s in out0["segments"]:
         assert s["temperature"] == 0.0
+
+
+def test_long_audio_word_timestamps():
+    """word_timestamps=True composes with the seek loop: every segment
+    carries per-word times within its window, monotone non-decreasing and
+    offset by the window's seek position."""
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
+    audio = np.random.default_rng(8).standard_normal(
+        int(16000 * 35)).astype(np.float32) * 0.1
+    out = rt.transcribe_long(
+        audio, word_timestamps=True, logprob_threshold=None,
+        compression_ratio_threshold=None, no_speech_threshold=None)
+    assert out["segments"], "no segments decoded"
+    saw_words = False
+    for s in out["segments"]:
+        assert "words" in s
+        for wd in s["words"]:
+            saw_words = True
+            assert set(wd) == {"word", "start", "end"}
+            # within the recording (+ zero-padded tail) and ordered
+            assert 0.0 <= wd["start"] <= wd["end"] <= 35.0 + 30.0
+        starts = [wd["start"] for wd in s["words"]]
+        assert starts == sorted(starts)
+    assert saw_words, "no window produced any word"
