@@ -40,15 +40,21 @@ class WhisperRuntime:
         compute_dtype=jnp.float32,
         max_new_tokens: int = 224,
         language: Optional[str] = None,
+        task: str = "transcribe",
     ):
         """``language=None`` auto-detects per clip (multilingual models only),
         mirroring the reference's default DecodingOptions; pass a code like
-        ``"en"`` to pin it and skip the detection step."""
+        ``"en"`` to pin it and skip the detection step. ``task`` is whisper's
+        DecodingOptions.task: "transcribe" (default) or "translate"
+        (any-language → English, multilingual models only)."""
+        if task not in ("transcribe", "translate"):
+            raise ValueError(f"task must be transcribe|translate, got {task!r}")
         self.model_name = model_name
         self.layer_name = layer_name
         self.compute_dtype = compute_dtype
         self.max_new_tokens = max_new_tokens
         self.language = language
+        self.task = task
         self.params, self.dims = load_model(model_name)
         self._st = special_tokens(self.dims.n_vocab)
 
@@ -85,7 +91,9 @@ class WhisperRuntime:
         """``lang_idx`` overrides detection — whisper.transcribe detects the
         language ONCE on the first window and pins it for the recording."""
         batch = encoded.shape[0]
-        seq = self._st.sot_sequence(lang_index=0, timestamps=True)
+        seq = self._st.sot_sequence(
+            lang_index=0, task_translate=self.task == "translate",
+            timestamps=True)
         arr = np.tile(np.asarray(seq, np.int32), (batch, 1))
         if self._st.multilingual:
             if lang_idx is not None:
@@ -304,7 +312,9 @@ class WhisperRuntime:
         from .tokenizer import token_pieces
 
         st = self._st
-        base = st.sot_sequence(lang_index=lang_idx, timestamps=False)
+        base = st.sot_sequence(
+            lang_index=lang_idx, task_translate=self.task == "translate",
+            timestamps=False)
         cap = self.max_new_tokens
         text_tokens = list(text_tokens)[:cap]
         row = base + text_tokens + [st.eot]

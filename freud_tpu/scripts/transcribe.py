@@ -32,6 +32,7 @@ def transcribe_folder(
     model: str = "tiny",
     batch_size: int = 8,
     language: str | None = None,
+    task: str = "transcribe",
     beam_size: int | None = None,
     fallback: bool = False,
     max_new_tokens: int = 224,
@@ -46,7 +47,7 @@ def transcribe_folder(
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     rt = WhisperRuntime(
         model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
-        language=language,
+        language=language, task=task,
     )
     pipeline = AudioBatchPipeline(
         data_path, batch_size, rt.dims.n_mels, drop_last=False
@@ -99,6 +100,7 @@ def transcribe_folder_long(
     verbose: bool = True,
     beam_size: int | None = None,
     word_timestamps: bool = False,
+    task: str = "transcribe",
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
     duration, each decoded window at a fixed compiled shape through the
@@ -111,7 +113,7 @@ def transcribe_folder_long(
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     rt = WhisperRuntime(
         model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
-        language=language,
+        language=language, task=task,
     )
     out: dict = {}
     for f in list_audio_files(data_path):
@@ -133,6 +135,9 @@ def main() -> None:
     ap.add_argument("--model", default="tiny")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--language", default=None)
+    ap.add_argument("--task", default="transcribe",
+                    choices=("transcribe", "translate"),
+                    help="whisper DecodingOptions.task")
     ap.add_argument("--beam_size", type=int, default=None)
     ap.add_argument("--fallback", action="store_true",
                     help="temperature-fallback ladder (whisper.transcribe)")
@@ -151,13 +156,13 @@ def main() -> None:
         result = transcribe_folder_long(
             args.data_path, args.model, args.language, args.max_new_tokens,
             args.precision, beam_size=args.beam_size,
-            word_timestamps=args.word_timestamps,
+            word_timestamps=args.word_timestamps, task=args.task,
         )
     else:
         result = transcribe_folder(
             args.data_path, args.model, args.batch_size, args.language,
-            args.beam_size, args.fallback, args.max_new_tokens, args.precision,
-            args.word_timestamps,
+            args.task, args.beam_size, args.fallback, args.max_new_tokens,
+            args.precision, args.word_timestamps,
         )
     if args.out:
         with open(args.out, "w") as f:

@@ -76,3 +76,26 @@ def test_duration(tmp_path, example_flac):
     dur = audio_duration_s(example_flac)
     audio = load_audio(example_flac)
     assert abs(dur - len(audio) / SAMPLE_RATE) < 0.1
+
+
+def test_task_translate_prompt():
+    """task="translate" swaps the task token in the decoder prompt (whisper
+    DecodingOptions.task); invalid tasks are rejected."""
+    import numpy as np
+    import pytest
+
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=4, language="en",
+                        task="translate")
+    mels = np.random.default_rng(0).standard_normal((1, 80, 3000)).astype(
+        np.float32)
+    enc = rt.encode(mels)
+    prompt, n_prompt = rt._prompt(enc)
+    st = rt._st
+    assert int(np.asarray(prompt)[0, 2]) == st.translate
+    rt2 = WhisperRuntime("test:tiny", max_new_tokens=4, language="en")
+    prompt2, _ = rt2._prompt(enc)
+    assert int(np.asarray(prompt2)[0, 2]) == st.transcribe
+    with pytest.raises(ValueError):
+        WhisperRuntime("test:tiny", task="detect")
