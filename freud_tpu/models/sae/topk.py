@@ -38,6 +38,13 @@ import numpy as np
 
 from .config import TopKAutoEncoderConfig, get_n_dict_components
 
+# fused-kernel resident-weight budget: W_enc + W_dec live in VMEM for the
+# whole grid; past this many bytes (bf16) the tile working set no longer
+# fits the arena (large_v1/v3: 105 MB) and training_losses routes to the
+# threshold-kernel formulation instead. Module-level so tests can force the
+# gated path on small shapes.
+KERNEL_RESIDENT_BUDGET = 64 * 1024 * 1024
+
 
 class TopKEncoderOutput(NamedTuple):
     top_acts: jnp.ndarray  # (…, k)
@@ -323,7 +330,7 @@ def training_losses(
     resident_weight_bytes = 2 * params.W_dec.shape[0] * x.shape[-1] * 2
     fvu, auxk_loss, fired = _fused_losses(
         cfg.k, x.shape[-1] // 2, float(cfg.auxk_alpha), mm_name,
-        bool(prefer_kernel) and resident_weight_bytes <= 64 * 1024 * 1024,
+        bool(prefer_kernel) and resident_weight_bytes <= KERNEL_RESIDENT_BUDGET,
         params, x, dead_mask.astype(jnp.float32),
     )
     return {

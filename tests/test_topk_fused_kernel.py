@@ -294,3 +294,32 @@ def test_two_stage_bisection_matches_single_stage():
         topk_fused._partitioned_forward.cache_clear()
         topk_fused.topk_sae_forward.clear_cache()
     assert np.isposinf(np.asarray(ta_n)).all()
+
+
+def test_width_gate_path_matches_kernel_path(monkeypatch):
+    """The large-recipe VMEM width gate routes training_losses to the
+    threshold-kernel formulation; forcing the gate on small shapes must give
+    the same losses, fired mask, and gradients as the fused-kernel path
+    (both selections are exact, so only matmul rounding can differ)."""
+    import jax
+
+    cfg, params, x, dead = _setup(seed=9, M=32)
+
+    def run():
+        def loss(p):
+            terms, fired = topk.training_losses(
+                p, x, cfg, dead, matmul_dtype=jnp.bfloat16)
+            return terms["fvu"] + terms["auxk_loss"], fired
+
+        (l, fired), g = jax.value_and_grad(loss, has_aux=True)(params)
+        return l, fired, g
+
+    l_k, fired_k, g_k = run()
+    monkeypatch.setattr(topk, "KERNEL_RESIDENT_BUDGET", 0)
+    l_x, fired_x, g_x = run()
+
+    np.testing.assert_allclose(float(l_k), float(l_x), rtol=2e-2, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fired_k), np.asarray(fired_x))
+    for a, b in zip(g_k, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
