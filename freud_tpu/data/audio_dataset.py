@@ -51,10 +51,20 @@ class AudioBatchPipeline:
         drop_last: bool = False,
         compute_mels: bool = True,
         decode_threads: int | None = None,
+        shard: tuple[int, int] | None = None,
     ):
+        """``shard=(i, n)`` keeps every n-th file starting at i — the
+        multi-host collection split (each host walks the same sorted list,
+        so the shards are disjoint and exhaustive; subset_size applies to
+        the full list BEFORE sharding so hosts agree on the universe)."""
         self.files = list_audio_files(folder)
         if subset_size is not None:
             self.files = self.files[:subset_size]
+        if shard is not None:
+            idx, count = shard
+            if not (0 <= idx < count):
+                raise ValueError(f"bad shard {shard}")
+            self.files = self.files[idx::count]
         self.batch_size = batch_size
         self.n_mels = n_mels
         self.prefetch = prefetch

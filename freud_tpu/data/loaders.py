@@ -70,6 +70,7 @@ class FlyActivationLoader:
         compute_dtype=jnp.float32,
         decode_threads: int | None = None,
         mesh=None,
+        shard: tuple[int, int] | None = None,
     ):
         """``mesh``: a freud_tpu data×model Mesh shards collection over the
         ``data`` axis — the batch is device_put with the file dim partitioned,
@@ -77,7 +78,10 @@ class FlyActivationLoader:
         so each chip processes its own files, no collectives), and
         ``batch_size`` must divide by the data-axis size. Ragged tail batches
         pad to the full batch shape (one compiled program per run) and trim
-        after compute."""
+        after compute. ``shard=(i, n)``: process only every n-th file
+        starting at i — the multi-host split (collect_activations passes
+        (process_index, process_count) so each host owns a disjoint file
+        shard; merge the per-host stores with scripts/merge_stores.py)."""
         self.layer_name = layer_name
         self.runtime = WhisperRuntime(whisper_model, layer_name, compute_dtype=compute_dtype)
         self.batch_size = batch_size
@@ -106,6 +110,7 @@ class FlyActivationLoader:
             drop_last=drop_last,
             compute_mels=mesh is None,
             decode_threads=decode_threads,
+            shard=shard,
         )
         if mesh is not None:
             from ..parallel import mesh as mesh_lib

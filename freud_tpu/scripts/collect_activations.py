@@ -47,13 +47,27 @@ def get_activations(
     f32 for reference-tolerance parity. ``data_parallel`` shards every batch
     over the device mesh's data axis (one decode→mel→encoder→SAE pipeline
     per chip; batch_size must divide by the chip count)."""
+    import jax
     import jax.numpy as jnp
 
     mesh = None
+    shard = None
     if data_parallel:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh()
+        if jax.process_count() > 1:
+            # multi-host: each host collects a DISJOINT strided file shard
+            # with its local chips into <out_folder>/shard<i> — collection
+            # is embarrassingly parallel, so per-host sharding scales
+            # linearly with hosts and needs zero cross-host traffic; merge
+            # with scripts/merge_stores.py afterwards
+            from pathlib import Path
+
+            shard = (jax.process_index(), jax.process_count())
+            out_folder = str(Path(out_folder) / f"shard{jax.process_index()}")
+            mesh = make_mesh(devices=jax.local_devices())
+        else:
+            mesh = make_mesh()
 
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     loader = FlyActivationLoader(
@@ -66,6 +80,7 @@ def get_activations(
         compute_dtype=compute_dtype,
         decode_threads=dl_max_workers if dl_max_workers > 0 else None,
         mesh=mesh,
+        shard=shard,
     )
 
     writer: Optional[ActivationStoreWriter] = None

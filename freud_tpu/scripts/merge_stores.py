@@ -1,0 +1,95 @@
+"""Merge per-host collection shards into one reference-format store.
+
+Multi-host collection (``"data_parallel": true`` under
+``jax.process_count() > 1``) gives each host a disjoint strided file shard
+(file j of the sorted dataset lives in shard ``j % P`` at row ``j // P``)
+written to ``<out_folder>/shard<i>``. This tool interleaves the shards back
+into the original sorted file order as a single store in ``<out_folder>``,
+byte-compatible with a single-host collection of the same dataset (dense and
+indexed layouts both; ``n_frames`` metadata preserved).
+
+Usage: python -m freud_tpu.scripts.merge_stores \
+           --out_folder activations/run --layer_name encoder.blocks.2
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from ..data.store import ActivationStoreReader, ActivationStoreWriter
+
+
+def merge_shards(out_folder: str, layer_name: str, chunk: int = 256,
+                 verbose: bool = True) -> dict:
+    root = Path(out_folder)
+    shard_dirs = []
+    while (root / f"shard{len(shard_dirs)}").exists():
+        shard_dirs.append(root / f"shard{len(shard_dirs)}")
+    if not shard_dirs:
+        raise FileNotFoundError(f"no shard0/ under {out_folder}")
+    readers = [ActivationStoreReader(d, layer_name) for d in shard_dirs]
+    counts = [len(r) for r in readers]
+    total = sum(counts)
+    indexed = readers[0].activation_type == "indexed"
+
+    writer = ActivationStoreWriter(
+        out_folder, layer_name,
+        tensor_shape=readers[0].tensor_shape,
+        activation_shape=readers[0].activation_shape,
+        indexed=indexed,
+    )
+    p = len(readers)
+    written = 0
+    buf: list[tuple] = []
+
+    def flush():
+        nonlocal written
+        if not buf:
+            return
+        names = [b[0] for b in buf]
+        arrays = [np.stack([b[1][a] for b in buf])
+                  for a in range(len(buf[0][1]))]
+        n_frames = [b[2] for b in buf] if buf[0][2] is not None else None
+        writer.append_batch(names, *arrays, n_frames=n_frames)
+        written += len(buf)
+        buf.clear()
+        if verbose:
+            print(f"\rmerged {written}/{total} files", end="", flush=True)
+
+    for j in range(total):
+        r = readers[j % p]
+        row = j // p
+        if row >= len(r):
+            raise ValueError(
+                f"shard{j % p} is missing row {row} — shards are not a "
+                f"complete strided split of one dataset"
+            )
+        *arrays, names = r.batch(np.asarray([row]))
+        nf = None
+        if r.n_frames is not None:
+            nf = int(r.n_frames[row])
+        buf.append((names[0], [a[0] for a in arrays], nf))
+        if len(buf) >= chunk:
+            flush()
+    flush()
+    writer.close()
+    if verbose:
+        print()
+    return {"n_files": total, "shards": p, "out_folder": out_folder}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out_folder", required=True)
+    ap.add_argument("--layer_name", required=True)
+    args = ap.parse_args(argv)
+    import json
+
+    print(json.dumps(merge_shards(args.out_folder, args.layer_name)))
+
+
+if __name__ == "__main__":
+    main()

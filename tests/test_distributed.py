@@ -23,6 +23,7 @@ import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 pid = int(sys.argv[1]); port = sys.argv[2]; audio_dir = sys.argv[3]
+out_dir = sys.argv[4]
 import jax
 jax.config.update("jax_platforms", "cpu")
 from freud_tpu.parallel import distributed as dist
@@ -51,6 +52,16 @@ chunk, files = next(iter(loader))
 from jax.experimental import multihost_utils
 acts = np.asarray(multihost_utils.process_allgather(chunk, tiled=True),
                   np.float64)
+
+# the REAL multi-host collection path: process_count > 1 routes
+# get_activations to per-host file shards + local-device meshes, each host
+# writing <out>/shard<i> (merged/verified by the parent test)
+from freud_tpu.scripts.collect_activations import get_activations
+get_activations(
+    data_path=audio_dir, layer_name="encoder.blocks.1",
+    whisper_model="test:tiny", sae_model=None, batch_size=2,
+    out_folder=out_dir, verbose=False, data_parallel=True,
+)
 print("DISTJSON " + json.dumps({
     "pid": pid,
     "param_sum": param_sum,
@@ -93,9 +104,11 @@ def test_two_process_distributed_matches_single(tmp_path):
     # the workers set their own JAX_PLATFORMS/XLA_FLAGS before touching jax
     env.pop("XLA_FLAGS", None)
 
+    out_dir = tmp_path / "acts"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port), str(audio_dir)],
+            [sys.executable, str(worker), str(i), str(port), str(audio_dir),
+             str(out_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -152,3 +165,24 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["act_shape"] == list(acts.shape)
     assert results[0]["files"] == [str(f) for f in files]
     assert results[0]["act_sum"] == pytest.approx(float(acts.sum()), rel=1e-4)
+
+    # multi-host collection: the workers wrote disjoint shard stores; the
+    # merged store must equal a single-process collection of the same files
+    from freud_tpu.data.store import ActivationStoreReader
+    from freud_tpu.scripts.collect_activations import get_activations
+    from freud_tpu.scripts.merge_stores import merge_shards
+
+    assert (out_dir / "shard0").exists() and (out_dir / "shard1").exists()
+    merge_shards(out_dir, "encoder.blocks.1", verbose=False)
+    single = tmp_path / "acts_single"
+    get_activations(
+        data_path=str(audio_dir), layer_name="encoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(single), verbose=False,
+    )
+    rm = ActivationStoreReader(out_dir, "encoder.blocks.1")
+    rs = ActivationStoreReader(single, "encoder.blocks.1")
+    assert rm.filenames == rs.filenames
+    am, _ = rm.batch(np.arange(len(rm)))
+    as_, _ = rs.batch(np.arange(len(rs)))
+    np.testing.assert_allclose(am, as_, rtol=1e-4, atol=1e-5)

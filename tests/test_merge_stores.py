@@ -1,0 +1,68 @@
+"""Multi-host collection sharding: strided file split + shard-store merge."""
+
+import numpy as np
+
+from freud_tpu.data.store import ActivationStoreReader, ActivationStoreWriter
+from freud_tpu.scripts.merge_stores import merge_shards
+
+
+def _write(folder, layer, names, data, n_frames):
+    w = ActivationStoreWriter(folder, layer, data.shape[1:], data.shape[1:])
+    w.append_batch(names, data, n_frames=n_frames)
+    w.close()
+
+
+def test_merge_restores_original_order(tmp_path):
+    """shard j%P row j//P → merged store equals the single-host collection
+    of the same files, byte-for-byte (order, arrays, n_frames)."""
+    rng = np.random.default_rng(0)
+    n, t, f, p = 11, 6, 4, 3
+    data = rng.standard_normal((n, t, f)).astype(np.float32)
+    names = [f"/a/f{j:02d}.wav" for j in range(n)]
+    frames = [int(x) for x in rng.integers(1, t + 1, n)]
+
+    for i in range(p):
+        _write(tmp_path / f"shard{i}", "L", names[i::p], data[i::p],
+               [frames[j] for j in range(i, n, p)])
+
+    stats = merge_shards(tmp_path, "L", chunk=4, verbose=False)
+    assert stats == {"n_files": n, "shards": p, "out_folder": tmp_path}
+
+    r = ActivationStoreReader(tmp_path, "L")
+    assert len(r) == n
+    assert r.filenames == names
+    assert [int(x) for x in r.n_frames] == frames
+    got, got_names = r.batch(np.arange(n))
+    np.testing.assert_allclose(got, data)
+    assert got_names == names
+
+
+def test_pipeline_shard_param(tmp_path):
+    """AudioBatchPipeline(shard=(i, n)) keeps exactly files[i::n] of the
+    sorted universe — disjoint and exhaustive across shards."""
+    import wave
+
+    from freud_tpu.data.audio_dataset import AudioBatchPipeline
+
+    for j in range(7):
+        with wave.open(str(tmp_path / f"c{j}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(np.zeros(1600, np.int16).tobytes())
+
+    full = AudioBatchPipeline(str(tmp_path), 2, 80, compute_mels=False).files
+    assert len(full) == 7
+    shards = [
+        AudioBatchPipeline(str(tmp_path), 2, 80, compute_mels=False,
+                           shard=(i, 3)).files
+        for i in range(3)
+    ]
+    assert shards[0] == full[0::3]
+    assert sorted(sum(shards, [])) == sorted(full)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        AudioBatchPipeline(str(tmp_path), 2, 80, compute_mels=False,
+                           shard=(3, 3))
