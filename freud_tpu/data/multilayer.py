@@ -35,9 +35,11 @@ class MultiLayerActivationLoader:
         subset_size: Optional[int] = None,
         compute_dtype=None,
         mesh=None,
+        shard: tuple[int, int] | None = None,
     ):
         """``mesh`` shards each batch over the data axis the same way
-        ``FlyActivationLoader`` does (mel+capture in one sharded jit)."""
+        ``FlyActivationLoader`` does (mel+capture in one sharded jit);
+        ``shard=(i, n)`` keeps every n-th file (the multi-host split)."""
         self.layer_names = tuple(layer_names)
         self.runtime = WhisperRuntime(whisper_model, None)
         self.mesh = mesh
@@ -69,6 +71,7 @@ class MultiLayerActivationLoader:
         self.pipeline = AudioBatchPipeline(
             data_path, batch_size, get_n_mels(whisper_model),
             subset_size=subset_size, compute_mels=mesh is None,
+            shard=shard,
         )
 
     @property
@@ -110,15 +113,30 @@ def collect_multilayer(
     verbose: bool = True,
     data_parallel: bool = False,
 ) -> dict:
-    """One encoder pass per batch, one reference-format store per layer."""
+    """One encoder pass per batch, one reference-format store per layer.
+
+    Under ``jax.process_count() > 1`` with ``data_parallel``, the same
+    per-host strided file-shard scheme as single-layer collection applies:
+    each host writes ``<out>/shard<i>`` stores for every layer with its
+    local chips; merge each layer with scripts/merge_stores.py."""
+    import jax
+
     mesh = None
+    shard = None
     if data_parallel:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh()
+        if jax.process_count() > 1:
+            from pathlib import Path
+
+            shard = (jax.process_index(), jax.process_count())
+            out_folder = str(Path(out_folder) / f"shard{jax.process_index()}")
+            mesh = make_mesh(devices=jax.local_devices())
+        else:
+            mesh = make_mesh()
     loader = MultiLayerActivationLoader(
         data_path, whisper_model, layer_names, batch_size,
-        subset_size=collect_max, mesh=mesh,
+        subset_size=collect_max, mesh=mesh, shard=shard,
     )
     writers: dict[str, ActivationStoreWriter] = {}
     n_files = 0

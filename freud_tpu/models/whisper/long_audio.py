@@ -309,6 +309,8 @@ def transcribe_long(
             # tokens (runtime.align_words — the clean notimestamps sequence,
             # per whisper find_alignment), then words split per segment by
             # token spans; times shift by the window's seek offset
+            from .timing import group_words
+
             window_tokens = [t for s in segs for t in s["text_tokens"]]
             enc_frames = min(content_frames - seek, N_FRAMES) // 2
             starts_w, ends_w, pieces_w = runtime.align_words(
@@ -331,8 +333,6 @@ def transcribe_long(
                 starts_w, ends_w, pieces_w = aligned
                 n_tok = min(len(toks), len(pieces_w) - tok_cursor)
                 sl = slice(tok_cursor, tok_cursor + n_tok)
-                from .timing import group_words
-
                 s["words"] = [
                     {"word": wd["word"],
                      "start": wd["start"] + seek * 0.01,

@@ -57,6 +57,13 @@ class WhisperRuntime:
         self.task = task
         self.params, self.dims = load_model(model_name)
         self._st = special_tokens(self.dims.n_vocab)
+        if task == "translate" and not self._st.multilingual:
+            # sot_sequence has no task slot for English-only vocabularies —
+            # silently transcribing instead would drop the user's option
+            raise ValueError(
+                f"{model_name!r} is English-only; task='translate' needs a "
+                "multilingual model"
+            )
 
         capture = (layer_name,) if layer_name else ()
 
@@ -270,28 +277,30 @@ class WhisperRuntime:
         from . import timing
         from .model import decoder_forward
 
-        pairs = timing.load_alignment_heads(
-            self.model_name, self.dims.n_text_layer, self.dims.n_text_head)
+        pairs = tuple(timing.load_alignment_heads(
+            self.model_name, self.dims.n_text_layer, self.dims.n_text_head))
         layers = sorted({l for l, _ in pairs})
         capture = tuple(f"decoder.blocks.{l}.cross_attn.weights" for l in layers)
-        # cache keyed on the capture set: load_alignment_heads re-resolves
+        # cache keyed on the resolved pairs: load_alignment_heads re-resolves
         # from the (mutable) asset dirs per call, so a curated table appearing
         # mid-process must rebuild the jitted forward, not reuse a closure
-        # captured over the fallback layers
-        if getattr(self, "_align_key", None) != capture:
-            self._align_key = capture
-            self._align_fwd = jax.jit(
-                lambda p, t, e: decoder_forward(
-                    p, self.dims, t, e, capture=capture
-                )[1],
-                static_argnames=(),
-            )
-        caps = self._align_fwd(self.params, tokens, encoded)
-        return np.stack([
-            np.asarray(caps[f"decoder.blocks.{l}.cross_attn.weights"],
-                       np.float32)[:, h]
-            for l, h in pairs
-        ], axis=1)
+        # captured over the fallback heads. The head SELECTION happens inside
+        # the jit: only the curated (layer, head) planes ever cross the
+        # device→host link (on tunneled backends that link is ~50 MB/s, and
+        # all-heads transfer would multiply it by n_heads per window)
+        if getattr(self, "_align_key", None) != pairs:
+            self._align_key = pairs
+
+            def _fwd(p, t, e):
+                caps = decoder_forward(p, self.dims, t, e, capture=capture)[1]
+                return jnp.stack([
+                    caps[f"decoder.blocks.{l}.cross_attn.weights"][:, h]
+                    for l, h in pairs
+                ], axis=1)
+
+            self._align_fwd = jax.jit(_fwd)
+        return np.asarray(
+            self._align_fwd(self.params, tokens, encoded), np.float32)
 
     def align_words(
         self,
@@ -317,14 +326,14 @@ class WhisperRuntime:
             timestamps=False)
         cap = self.max_new_tokens
         text_tokens = list(text_tokens)[:cap]
+        if not text_tokens:  # timestamp-only window: nothing to align —
+            return np.zeros(0), np.zeros(0), []  # skip the decoder pass
         row = base + text_tokens + [st.eot]
         buf = len(base) + cap + 1
         row = row + [st.eot] * (buf - len(row))
         tokens = jnp.asarray(np.asarray([row], np.int32))
         w = self._alignment_forward(tokens, encoded)
         pos = list(range(len(base), len(base) + len(text_tokens)))
-        if not pos:
-            return np.zeros(0), np.zeros(0), []
         pieces = token_pieces(np.asarray(text_tokens), self.dims.n_vocab)
         starts, ends = timing.token_times(w[0][:, pos, :], num_frames)
         return starts, ends, pieces

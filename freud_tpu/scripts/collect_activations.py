@@ -111,7 +111,10 @@ def get_activations(
             )
     if writer is not None:
         writer.close()
-    if writer is not None and not writer.indexed:
+    if writer is not None and not writer.indexed and shard is None:
+        # (per-host shard stores skip indexing — a shard index would be
+        # orphaned by the merge; pass --build_index to merge_stores.py to
+        # index the merged store instead)
         from ..data.feature_store import (FeatureMajorReader,
                                           extend_feature_major_index)
 

@@ -22,8 +22,13 @@ import numpy as np
 from ..data.store import ActivationStoreReader, ActivationStoreWriter
 
 
-def merge_shards(out_folder: str, layer_name: str, chunk: int = 256,
-                 verbose: bool = True) -> dict:
+def merge_shards(out_folder: str, layer_name: str, chunk: int = 0,
+                 verbose: bool = True, build_index: bool = False) -> dict:
+    """``chunk``: rows buffered per write; 0 sizes it to ~64 MB of rows
+    (large-model dense rows are ~8 MB each — a fixed row count would balloon
+    to gigabytes on the single-core host). ``build_index``: build the
+    feature-major search index over the MERGED store (per-shard indexes are
+    never built — they would be orphaned by the merge)."""
     root = Path(out_folder)
     shard_dirs = []
     while (root / f"shard{len(shard_dirs)}").exists():
@@ -34,6 +39,10 @@ def merge_shards(out_folder: str, layer_name: str, chunk: int = 256,
     counts = [len(r) for r in readers]
     total = sum(counts)
     indexed = readers[0].activation_type == "indexed"
+    if chunk <= 0:
+        row_bytes = int(np.prod(readers[0].tensor_shape)) * 4 * (
+            2 if indexed else 1)
+        chunk = max(1, (64 * 1024 * 1024) // max(row_bytes, 1))
 
     writer = ActivationStoreWriter(
         out_folder, layer_name,
@@ -78,6 +87,10 @@ def merge_shards(out_folder: str, layer_name: str, chunk: int = 256,
     writer.close()
     if verbose:
         print()
+    if build_index and not indexed:
+        from ..data.feature_store import build_feature_major_index
+
+        build_feature_major_index(out_folder, layer_name, verbose=verbose)
     return {"n_files": total, "shards": p, "out_folder": out_folder}
 
 
@@ -85,10 +98,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out_folder", required=True)
     ap.add_argument("--layer_name", required=True)
+    ap.add_argument("--build_index", action="store_true",
+                    help="build the feature-major search index over the "
+                         "merged store (dense layouts)")
     args = ap.parse_args(argv)
     import json
 
-    print(json.dumps(merge_shards(args.out_folder, args.layer_name)))
+    print(json.dumps(merge_shards(args.out_folder, args.layer_name,
+                                  build_index=args.build_index)))
 
 
 if __name__ == "__main__":
