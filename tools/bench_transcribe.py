@@ -1,0 +1,64 @@
+"""Transcription (serving) throughput: batched greedy decode RTFx on TPU.
+
+The reference never measures decode (its GUI transcribes one clip at a
+time); this probe records the serving-side headline — how many audio-seconds
+per wall-second one chip transcribes with the fixed-shape KV-cached scan
+decoder at production-ish settings (batch 8, max_new 224, language pinned).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import freud_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
+from freud_tpu.models.whisper.decoding import sample_decode
+from freud_tpu.models.whisper.tokenizer import special_tokens
+
+
+def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2):
+    dims = dims_for(model)
+    params = init_params(dims, seed=0)
+    st = special_tokens(dims.n_vocab)
+    rng = np.random.default_rng(0)
+    mels = jnp.asarray(
+        rng.standard_normal((batch, dims.n_mels, 3000)).astype(np.float32) * 0.3)
+
+    @jax.jit
+    def pipeline(params, mels):
+        encoded, _ = encoder_forward(params, dims, mels)
+        seq = st.sot_sequence(lang_index=0, timestamps=True)
+        prompt = jnp.tile(jnp.asarray(seq, jnp.int32)[None], (batch, 1))
+        tokens, sum_lp, n_text, nsp = sample_decode(
+            params, dims, encoded, prompt, len(seq), max_new=max_new)
+        return jnp.sum(tokens[:, -1].astype(jnp.float32)) + jnp.sum(sum_lp)
+
+    for _ in range(warmup):
+        float(pipeline(params, mels))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(params, mels)
+    float(out)
+    dt = (time.perf_counter() - t0) / iters
+    audio_s = batch * 30.0
+    print(json.dumps({
+        "model": model, "batch": batch, "max_new": max_new,
+        "ms_per_batch": round(dt * 1e3, 1),
+        "transcribe_rtfx": round(audio_s / dt, 1),
+        "clips_per_sec": round(batch / dt, 2),
+    }))
+
+
+def main():
+    for batch in (8, 32):
+        run(batch=batch)
+
+
+if __name__ == "__main__":
+    main()
