@@ -236,6 +236,20 @@ def make_handler(state: GuiState):
             return parsed.path, dict(urllib.parse.parse_qsl(parsed.query))
 
         # ---- routes ----
+        def handle_one_request(self):
+            # unexpected handler exceptions must answer 500 JSON, not drop
+            # the connection mid-response (Flask's behavior the React client
+            # expects); headers-already-sent errors can only close
+            try:
+                super().handle_one_request()
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
+            except Exception as e:  # noqa: BLE001 — last-resort boundary
+                try:
+                    self._send_json({"error": f"internal error: {e}"}, 500)
+                except Exception:  # noqa: BLE001
+                    self.close_connection = True
+
         def do_OPTIONS(self):
             self.send_response(204)
             self.send_header("Access-Control-Allow-Origin", "*")

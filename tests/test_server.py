@@ -273,3 +273,28 @@ def test_react_manipulate_feature_multipart(served):
         -1.5 * np.asarray(body["standard_activations"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_internal_error_returns_json_500(served, monkeypatch):
+    """An unexpected handler exception must answer a JSON 500 (Flask's
+    behavior, which the React client's response.ok check expects), not drop
+    the connection mid-request."""
+    import freud_tpu.analysis.search as search_mod
+
+    base, _ = served
+
+    def boom(*a, **k):
+        raise RuntimeError("kaboom")
+
+    monkeypatch.setattr(search_mod, "top_activations", boom)
+    # the server process shares this interpreter (threaded, same module)
+    import freud_tpu.server.app as app_mod
+    monkeypatch.setattr(app_mod, "top_activations", boom)
+    try:
+        with urllib.request.urlopen(
+                base + "/top_files?feature_idx=1&n_files=1", timeout=60) as r:
+            code, body = r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        code, body = e.code, json.loads(e.read())
+    assert code == 500
+    assert "error" in body and "kaboom" in body["error"]
