@@ -71,12 +71,34 @@ def frame_signal(padded: jnp.ndarray, n_frames: int) -> jnp.ndarray:
 def power_spectrogram(audio: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     """|STFT|^2 of a (…, samples) waveform → (…, n_frames, N_FREQS)."""
     frames = frame_signal(reflect_pad_center(audio), n_frames)
+    return framed_power(frames)
+
+
+def framed_power(frames: jnp.ndarray) -> jnp.ndarray:
+    """|DFT|² of already-framed (…, T, N_FFT) windows → (…, T, N_FREQS)."""
     # HIGHEST keeps the DFT in true f32 on the MXU (default would be bf16).
     proj = jnp.dot(
         frames, jnp.asarray(_dft_basis()), precision=jax.lax.Precision.HIGHEST
     )
     re, im = proj[..., :N_FREQS], proj[..., N_FREQS:]
     return re * re + im * im
+
+
+def framed_log10_mel(frames: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """(…, T, N_FFT) framed windows → (…, T, n_mels) UNFLOORED log10-mel.
+
+    The projection core (DFT → power → mel bank → log10/clip) shared by the
+    standard 30-s path below and the long-audio chunker
+    (models/whisper/long_audio._chunk_log10_mel) — precision/clipping fixes
+    live in exactly one place."""
+    from .filters import mel_filterbank
+
+    mel = jnp.dot(
+        framed_power(frames),
+        jnp.asarray(mel_filterbank(n_mels).T),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.log10(jnp.clip(mel, min=1e-10))
 
 
 def log_mel_spectrogram(
@@ -88,13 +110,8 @@ def log_mel_spectrogram(
     reference's per-file invocation pattern (one clip per call,
     src/utils/audio_utils.py:102-123).
     """
-    mag = power_spectrogram(audio, n_frames)  # (…, T, 201)
-    mel = jnp.dot(
-        mag,
-        jnp.asarray(mel_filterbank(n_mels).T),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (…, T, n_mels)
-    log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
+    frames = frame_signal(reflect_pad_center(audio), n_frames)
+    log_spec = framed_log10_mel(frames, n_mels)  # (…, T, n_mels)
     peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
     log_spec = jnp.maximum(log_spec, peak - 8.0)
     log_spec = (log_spec + 4.0) / 4.0

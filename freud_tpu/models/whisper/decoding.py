@@ -177,7 +177,7 @@ def _suppress_tables(dims: WhisperDims):
 
 
 def _apply_rules(logits, token, prev, max_ts, at_first, st, suppress,
-                 suppress_blank):
+                 suppress_blank, at_second=False):
     """whisper's SuppressTokens + SuppressBlank + ApplyTimestampRules on a
     flat (N, vocab) logits block; ``token``/``prev``/``max_ts`` are (N,)."""
     n_vocab = logits.shape[-1]
@@ -189,7 +189,13 @@ def _apply_rules(logits, token, prev, max_ts, at_first, st, suppress,
 
     logits = logits + suppress
     last_was_ts = (token >= ts0)[:, None]
-    penult_was_ts = (prev >= ts0)[:, None]
+    # whisper ApplyTimestampRules: penultimate_was_timestamp is TRUE when
+    # fewer than two tokens have been sampled (len(sampled) < 2) — right
+    # after the forced initial timestamp the decoder must emit TEXT, not a
+    # second timestamp. ``prev`` is a prompt token there, so without the
+    # at_second override the pairing rule inverts and every decode opens
+    # with a spurious zero-length "<ts><ts>" segment.
+    penult_was_ts = (prev >= ts0)[:, None] | jnp.asarray(at_second)
     # SuppressBlank at the first sampled token only
     logits = jnp.where(at_first, logits + suppress_blank[None, :], logits)
     # paired timestamps: <ts> <ts> → text next; lone <ts> → ts/eot next
@@ -289,8 +295,9 @@ def sample_decode(
             nsp,
         )
         at_first = pos + 1 == n_prompt
+        at_second = pos + 1 == n_prompt + 1
         logits = _apply_rules(logits, token, prev, max_ts, at_first, st,
-                              suppress, suppress_blank)
+                              suppress, suppress_blank, at_second=at_second)
 
         greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         temp = jnp.maximum(temperature, 1e-6)
@@ -423,24 +430,39 @@ def beam_decode(
             nsp,
         )
         at_first = pos + 1 == n_prompt
+        at_second = pos + 1 == n_prompt + 1
         logits = _apply_rules(
             logits, token.reshape(-1), prev.reshape(-1), max_ts.reshape(-1),
-            at_first, st, suppress, suppress_blank,
+            at_first, st, suppress, suppress_blank, at_second=at_second,
         )
         lp = jax.nn.log_softmax(logits, axis=-1).reshape(b, beam_size, V)
         cand = cum[..., None] + lp  # (b, beam, V)
 
-        # whisper BeamSearchDecoder.update: look at the top 2·beam
-        # continuations; EOT-ending ones complete and move to the finished
-        # pool, the rest refill all `beam` live slots (each parent proposes
-        # at most one EOT candidate, so ≥ beam live candidates remain)
+        # whisper BeamSearchDecoder.update: each parent beam proposes its top
+        # beam_size+1 continuations; candidates are visited in global
+        # logprob order, EOT-ending ones complete into the finished pool
+        # UNTIL `beam` live slots fill (the loop's break), the rest refill
+        # all `beam` live slots. Reproduced on the global top-2·beam with a
+        # per-parent occurrence cap (candidates past a parent's
+        # (beam+1)-th are invisible to whisper) and a live-count-before
+        # gate on EOT acceptance. Each parent's visible set has ≥ beam
+        # non-EOT entries, so live refill never starves.
         vals2, idx2 = jax.lax.top_k(cand.reshape(b, beam_size * V),
                                     2 * beam_size)
         par2 = (idx2 // V).astype(jnp.int32)
         tok2 = (idx2 % V).astype(jnp.int32)
         is_eot = tok2 == st.eot
 
-        live_vals = jnp.where(is_eot, -jnp.inf, vals2)
+        same_parent = par2[:, :, None] == par2[:, None, :]  # (b, 2B, 2B)
+        r = jnp.arange(2 * beam_size)
+        occ = jnp.sum(same_parent & (r[None, None, :] <= r[None, :, None]),
+                      axis=-1)  # 1-based occurrence index within the parent
+        visible = occ <= beam_size + 1
+        live_cand = visible & ~is_eot
+        live_before = jnp.cumsum(live_cand.astype(jnp.int32), axis=1) \
+            - live_cand.astype(jnp.int32)  # exclusive
+
+        live_vals = jnp.where(live_cand, vals2, -jnp.inf)
         top_val, pick = jax.lax.top_k(live_vals, beam_size)
         parent = jnp.take_along_axis(par2, pick, axis=1)
         new_tok = jnp.take_along_axis(tok2, pick, axis=1)
@@ -460,8 +482,12 @@ def beam_decode(
         # holds `beam` sequences (BeamSearchDecoder.update's
         # ``len(finished) < beam`` guard) — reproduced with a monotone
         # insertion key: earlier steps/ranks always win the keep-smallest-k
-        # merge, so a full pool never changes
-        accepted = is_eot & ~is_prompt
+        # merge, so a full pool never changes. An EOT candidate is only SEEN
+        # at all while fewer than `beam` live candidates precede it (the
+        # update loop breaks at beam saved) and only within its parent's
+        # visible top-(beam+1)
+        accepted = (is_eot & visible & (live_before < beam_size)
+                    & ~is_prompt)
         cand_key = jnp.where(
             accepted,
             pos.astype(jnp.float32) * (2 * beam_size)
@@ -528,13 +554,16 @@ def beam_decode(
      fin_key, fin_score, fin_ntext, fin_seq, nsp) = carry
     # MaximumLikelihoodRanker with length_penalty=None: sum_logprob / LENGTH
     # (the +1 denominator is the avg_logprob STATISTIC only, whisper
-    # decode()'s ranker divides by the text-token count). Finished sequences
-    # rank first; live (unfinished) beams only compete when nothing finished
-    # (whisper's finalize appends unfinished then).
+    # decode()'s ranker divides by the text-token count). whisper's finalize
+    # pads the candidate set with the best UNFINISHED beams whenever fewer
+    # than beam_size sequences finished (``len(sequences) < beam_size``, not
+    # only when none did): with n finished, the top (beam−n) live beams —
+    # already cum-sorted from the top_k refill — join the ranking.
     valid = jnp.isfinite(fin_key)
-    any_fin = valid.any(axis=1, keepdims=True)
+    n_fin = valid.sum(axis=1, keepdims=True)
+    live_ok = jnp.arange(beam_size)[None, :] < (beam_size - n_fin)
     live_len = jnp.maximum(n_text.astype(jnp.float32), 1.0)
-    live_score = jnp.where(any_fin, -jnp.inf, cum / live_len)
+    live_score = jnp.where(live_ok, cum / live_len, -jnp.inf)
     fin_avg = fin_score / jnp.maximum(fin_ntext.astype(jnp.float32), 1.0)
     fin_avg = jnp.where(valid, fin_avg, -jnp.inf)
     all_score = jnp.concatenate([fin_avg, live_score], axis=1)

@@ -41,18 +41,13 @@ _FRAMES_PER_TICK = 2            # mel frames per timestamp token
 
 @partial(jax.jit, static_argnames=("n_mels",))
 def _chunk_log10_mel(window: jnp.ndarray, n_mels: int) -> jnp.ndarray:
-    """(480480,) haloed sample window → (3000, n_mels) UNFLOORED log10-mel."""
-    from ...audio.filters import mel_filterbank
-    from ...audio.mel import N_FREQS, _dft_basis, frame_signal
+    """(480480,) haloed sample window → (3000, n_mels) UNFLOORED log10-mel
+    (the shared mel projection core — audio/mel.framed_log10_mel — over
+    pre-haloed frames; the global floor is applied host-side by the
+    caller)."""
+    from ...audio.mel import frame_signal, framed_log10_mel
 
-    frames = frame_signal(window, N_FRAMES)
-    proj = jnp.dot(frames, jnp.asarray(_dft_basis()),
-                   precision=jax.lax.Precision.HIGHEST)
-    re, im = proj[..., :N_FREQS], proj[..., N_FREQS:]
-    power = re * re + im * im
-    mel = jnp.dot(power, jnp.asarray(mel_filterbank(n_mels).T),
-                  precision=jax.lax.Precision.HIGHEST)
-    return jnp.log10(jnp.clip(mel, min=1e-10))
+    return framed_log10_mel(frame_signal(window, N_FRAMES), n_mels)
 
 
 def full_log_mel(audio: np.ndarray, n_mels: int) -> np.ndarray:
@@ -149,12 +144,13 @@ def _decode_window_with_fallback(
     Walks the temperature ladder; a rung is accepted when its zlib
     compression ratio ≤ threshold AND avg_logprob ≥ threshold — except that
     confident silence (no_speech_prob > threshold) accepts the current rung
-    immediately (whisper's ``needs_fallback = False`` escape). Every rung
-    reuses the SAME traced-temperature compiled program (t=0 optionally beam).
+    immediately (whisper's ``needs_fallback = False`` escape — the rule
+    itself lives in runtime.fallback_accepts, shared with the batched
+    transcribe_with_fallback). Every rung reuses the SAME traced-temperature
+    compiled program (t=0 optionally beam).
     → (tokens, sum_lp, n_text, nsp, temperature_used, compression_ratio)."""
-    import zlib
-
     from .decoding import beam_decode, sample_decode
+    from .runtime import fallback_accepts
     from .tokenizer import decode_text
 
     dims = runtime.dims
@@ -173,26 +169,21 @@ def _decode_window_with_fallback(
                 key=jax.random.fold_in(jax.random.PRNGKey(key_base), ti),
                 start=start,
             )
-        gen = np.asarray(tokens)[0, n_prompt:]
+        # one whole-array transfer per stat — ad-hoc [0] indexing on device
+        # arrays compiles a fresh gather program remotely (CLAUDE.md hot-path
+        # rule); np.asarray is a plain transfer
+        tokens_h = np.asarray(tokens)
+        slp = float(np.asarray(sum_lp).reshape(-1)[0])
+        ntx = float(np.asarray(n_text).reshape(-1)[0])
+        nsp_h = float(np.asarray(nsp).reshape(-1)[0])
+        gen = tokens_h[0, n_prompt:]
         text = decode_text([int(x) for x in gen if x < st.eot], dims.n_vocab)
-        ratio = 0.0
-        if text:
-            raw = text.encode("utf-8")
-            ratio = len(raw) / max(len(zlib.compress(raw)), 1)
-        out = (tokens, sum_lp, n_text, nsp, float(t), ratio)
-        if ti == len(temperatures) - 1:
-            break
-        needs_fallback = False
-        if (compression_ratio_threshold is not None
-                and ratio > compression_ratio_threshold):
-            needs_fallback = True  # too repetitive
-        avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
-        if logprob_threshold is not None and avg_lp < logprob_threshold:
-            needs_fallback = True  # average log probability too low
-        if (no_speech_threshold is not None
-                and float(nsp[0]) > no_speech_threshold):
-            needs_fallback = False  # silence: don't escalate
-        if not needs_fallback:
+        accept, ratio, _ = fallback_accepts(
+            text, slp, ntx, nsp_h, compression_ratio_threshold,
+            logprob_threshold, no_speech_threshold,
+        )
+        out = (tokens_h, slp, ntx, nsp_h, float(t), ratio)
+        if accept or ti == len(temperatures) - 1:
             break
     return out
 
@@ -245,8 +236,14 @@ def transcribe_long(
 
     dims = runtime.dims
     st = special_tokens(dims.n_vocab)
+    orig_len = int(np.asarray(audio).reshape(-1).shape[0])
     mel = full_log_mel(audio, dims.n_mels)
-    content_frames = max(mel.shape[-1] - N_FRAMES, 1)
+    # whisper transcribe.py: content_frames = mel frames of audio + 30-s pad
+    # minus one window; ≤ 0 (sub-10 ms recordings) decodes NOTHING and
+    # returns an empty result. Computed from the ORIGINAL length — the
+    # min-pad full_log_mel applies for the reflect prefix must not mint a
+    # content frame whisper would not have.
+    content_frames = (orig_len + N_SAMPLES) // HOP_LENGTH - N_FRAMES
 
     segments: list[dict] = []
     history: list[int] = []  # previous windows' text tokens
@@ -259,10 +256,9 @@ def transcribe_long(
             history.extend(ids)  # them to encode the prompt too)
     seek = 0  # in mel frames (10 ms each)
     while seek < content_frames:
+        # seek < content_frames ⇒ seek + N_FRAMES ≤ total mel frames: every
+        # window is full-width (the 30-s zero tail is part of the mel)
         win = mel[:, seek: seek + N_FRAMES]
-        if win.shape[-1] < N_FRAMES:
-            win = np.pad(win, ((0, 0), (0, N_FRAMES - win.shape[-1])),
-                         constant_values=-0.75)  # whisper zero-audio mel value
         encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
         # whisper.transcribe detects the language once (first window), pins it
         prompt, n_prompt = runtime._prompt(encoded, lang_idx=lang_pinned)
@@ -283,18 +279,18 @@ def transcribe_long(
                     np.array([[st.sot_prev] * pad_n + seq], np.int32))
                 n_prompt = buf_len
                 start = jnp.asarray(np.array([pad_n], np.int32))
-        tokens, sum_lp, n_text, nsp, used_t, ratio = (
+        tokens, slp, ntx, nsp, used_t, ratio = (
             _decode_window_with_fallback(
                 runtime, encoded, prompt, n_prompt, start, temperatures,
                 beam_size, compression_ratio_threshold, logprob_threshold,
                 no_speech_threshold, st, key_base=seed * 1009 + seek,
             ))
-        avg_lp = float(sum_lp[0]) / (float(n_text[0]) + 1.0)
-        if no_speech_threshold is not None and float(nsp[0]) > no_speech_threshold:
+        avg_lp = slp / (ntx + 1.0)
+        if no_speech_threshold is not None and nsp > no_speech_threshold:
             if logprob_threshold is None or avg_lp < logprob_threshold:
                 seek += N_FRAMES  # silent window: skip it entirely
                 continue
-        tokens = np.asarray(tokens)[0]
+        tokens = tokens[0]
         gen = tokens[n_prompt:]
         window_s = min((content_frames - seek) * 0.01, 30.0)
         segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)
@@ -328,7 +324,7 @@ def transcribe_long(
             s["temperature"] = used_t
             s["avg_logprob"] = avg_lp
             s["compression_ratio"] = ratio
-            s["no_speech_prob"] = float(nsp[0])
+            s["no_speech_prob"] = nsp
             if aligned is not None:
                 starts_w, ends_w, pieces_w = aligned
                 n_tok = min(len(toks), len(pieces_w) - tok_cursor)

@@ -30,6 +30,32 @@ from .model import encoder_forward
 from .tokenizer import decode_text, language_index, special_tokens
 
 
+def fallback_accepts(text, sum_lp, n_text, no_speech_prob,
+                     compression_ratio_threshold, logprob_threshold,
+                     no_speech_threshold):
+    """whisper transcribe.py decode_with_fallback's acceptance rule for one
+    clip/window — the SINGLE implementation both transcribe_with_fallback
+    and the long-audio per-window ladder use (so the thresholds can't
+    drift). → (accept, compression_ratio, avg_logprob)."""
+    import zlib
+
+    ratio = 0.0
+    if text:
+        raw = text.encode("utf-8")
+        ratio = len(raw) / max(len(zlib.compress(raw)), 1)
+    avg_lp = sum_lp / (n_text + 1.0)
+    accept = True
+    if (compression_ratio_threshold is not None
+            and ratio > compression_ratio_threshold):
+        accept = False  # too repetitive
+    if logprob_threshold is not None and avg_lp < logprob_threshold:
+        accept = False  # average log probability too low
+    if (no_speech_threshold is not None
+            and no_speech_prob > no_speech_threshold):
+        accept = True  # confident silence: don't escalate
+    return accept, ratio, avg_lp
+
+
 class WhisperRuntime:
     """Jit-cached Whisper forward passes for one model + capture layer."""
 
@@ -175,8 +201,6 @@ class WhisperRuntime:
         the whole ladder into a t=1.0 hallucination.
         (The reference GUI paths use plain greedy ``model.decode`` — this is
         the transcription-quality extension beyond that parity line.)"""
-        import zlib
-
         mels = self._batch(mels)
         if substitute_layer is not None:
             sub = jnp.asarray(substitute_value)
@@ -211,19 +235,11 @@ class WhisperRuntime:
                 if texts[i] is not None:
                     continue
                 text = decode_text(tokens[i], self.dims.n_vocab)
-                ok = True
-                if logprob_threshold is not None:
-                    avg_lp = sum_lp[i] / (n_text[i] + 1.0)
-                    ok = ok and avg_lp >= logprob_threshold
-                if compression_ratio_threshold is not None and text:
-                    raw = text.encode("utf-8")
-                    ratio = len(raw) / max(len(zlib.compress(raw)), 1)
-                    ok = ok and ratio <= compression_ratio_threshold
-                if (no_speech_threshold is not None
-                        and nsp[i] > no_speech_threshold):
-                    # whisper decode_with_fallback: confident silence — don't
-                    # escalate, the current rung's (likely empty) text stands
-                    ok = True
+                ok, _, _ = fallback_accepts(
+                    text, float(sum_lp[i]), float(n_text[i]), float(nsp[i]),
+                    compression_ratio_threshold, logprob_threshold,
+                    no_speech_threshold,
+                )
                 if ok or last:
                     texts[i] = text
             if all(x is not None for x in texts):

@@ -52,3 +52,30 @@ def test_no_suppressed_specials(decoded):
     gen = tokens[:, 3:]
     for banned in (st.sot, st.sot_prev, st.no_speech, st.no_timestamps):
         assert not (gen == banned).any()
+
+
+def test_second_sampled_token_is_text():
+    """whisper ApplyTimestampRules: penultimate_was_timestamp is True while
+    fewer than two tokens are sampled, so the token right after the forced
+    initial timestamp must be TEXT (or EOT), never a second timestamp —
+    decodes must not open with a zero-length '<ts><ts>' segment."""
+    import jax.numpy as jnp
+    from freud_tpu.models.whisper import (dims_for, encoder_forward,
+                                          init_params, special_tokens)
+    from freud_tpu.models.whisper.decoding import greedy_decode
+
+    dims = dims_for("test:tiny")
+    st = special_tokens(dims.n_vocab)
+    for seed in (0, 1, 2, 5):
+        params = init_params(dims, seed=seed)
+        mels = np.random.default_rng(seed).standard_normal(
+            (2, 80, 3000)).astype(np.float32)
+        encoded, _ = encoder_forward(params, dims, jnp.asarray(mels))
+        prompt = jnp.asarray(np.tile(
+            [st.sot, st.lang_base, st.transcribe], (2, 1)).astype(np.int32))
+        tokens = np.asarray(greedy_decode(
+            params, dims, encoded, prompt, 3, max_new=8))
+        first, second = tokens[:, 3], tokens[:, 4]
+        assert (first >= st.timestamp_begin).all()  # forced initial ts
+        assert (second < st.timestamp_begin).all(), (
+            f"seed {seed}: second sampled token is a timestamp: {second}")

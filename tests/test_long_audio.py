@@ -213,3 +213,13 @@ def test_long_audio_word_timestamps():
         starts = [wd["start"] for wd in s["words"]]
         assert starts == sorted(starts)
     assert saw_words, "no window produced any word"
+
+
+def test_transcribe_long_empty_audio_returns_empty():
+    """whisper returns {'text': '', 'segments': []} for sub-window audio
+    (content_frames <= 0) instead of decoding a window of pure padding."""
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=4, language="en")
+    out = rt.transcribe_long(np.zeros(100, np.float32))
+    assert out == {"text": "", "segments": []}
