@@ -189,7 +189,7 @@ def _flash_self_attention(qh, kh, vh, scale_total):
     return out[:, :, :s, :dh]
 
 
-def _attention_impl(dtype, d: int) -> str:
+def _attention_impl(d: int) -> str:
     if ATTENTION_IMPL == "auto":
         # The fused qkv+attention kernel (q/k/v projections + per-head
         # softmax-attention in one pass per file, q/k/v never in HBM) runs
@@ -207,22 +207,19 @@ def _attention_impl(dtype, d: int) -> str:
     return ATTENTION_IMPL
 
 
-def _attention(p, x, heads, xa=None, mask=None, kv_cache=None, wtap=None):
+def _attention(p, x, heads, xa=None, mask=None, wtap=None):
     """Multi-head attention with Whisper's split (d_head)^-0.25 scaling.
 
-    ``xa`` switches to cross-attention; ``kv_cache`` is an optional
-    (k, v, index) triple for incremental decoding (k/v are fixed-size ring
-    buffers written at ``index`` — static shapes for lax.scan). ``wtap``
-    (optional callback) receives the post-softmax attention weights
-    (…, heads, T, S) — the capture hook for word-timestamp alignment.
+    ``xa`` switches to cross-attention. ``wtap`` (optional callback)
+    receives the post-softmax attention weights (…, heads, T, S) — the
+    capture hook for word-timestamp alignment. (Incremental decoding does
+    NOT route through here — decoding.py owns its own KV-cached step.)
     """
     *lead, d = x.shape
     dh = d // heads
 
-    impl = _attention_impl(x.dtype, d)
-    full_self_attn = (
-        mask is None and kv_cache is None and xa is None and len(lead) == 2
-    )
+    impl = _attention_impl(d)
+    full_self_attn = mask is None and xa is None and len(lead) == 2
     if full_self_attn and impl == "fused":
         from ...ops.attention import fused_qkv_attention
 
@@ -230,7 +227,7 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None, wtap=None):
             x, p["q"]["w"], p["q"]["b"], p["k"]["w"], p["v"]["w"],
             p["v"]["b"], heads,
         )
-        return _linear(p["out"], out), None
+        return _linear(p["out"], out)
 
     q = _linear(p["q"], x)
     source = x if xa is None else xa
@@ -248,17 +245,7 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None, wtap=None):
 
             out = whisper_attention(split(q), split(k), split(v))
         out = jnp.moveaxis(out, -3, -2).reshape(*lead, d)
-        return _linear(p["out"], out), None
-
-    new_cache = None
-    if kv_cache is not None:
-        ck, cv, idx = kv_cache
-        if xa is None:
-            # self-attention cache: append current step's k/v
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k, idx, axis=-2)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v, idx, axis=-2)
-            k, v = ck, cv
-        new_cache = (ck, cv)
+        return _linear(p["out"], out)
 
     def split(t):
         return jnp.moveaxis(t.reshape(*t.shape[:-1], heads, dh), -2, -3)
@@ -276,7 +263,7 @@ def _attention(p, x, heads, xa=None, mask=None, kv_cache=None, wtap=None):
         wtap(weights)
     out = jnp.einsum("...hqk,...hkd->...hqd", weights, vh)
     out = jnp.moveaxis(out, -3, -2).reshape(*lead, d)
-    return _linear(p["out"], out), new_cache
+    return _linear(p["out"], out)
 
 
 def _tap(name, x, capture, substitute, store):
@@ -290,23 +277,19 @@ def _tap(name, x, capture, substitute, store):
 
 def _residual_block(
     p, x, heads, prefix, capture, substitute, store, xa=None, mask=None,
-    self_cache=None, cross_kv=None,
 ):
     tap = partial(_tap, capture=capture, substitute=substitute, store=store)
 
     h = tap(f"{prefix}.attn_ln", _layer_norm(p["attn_ln"], x))
-    attn_out, new_self = _attention(p["attn"], h, heads, mask=mask, kv_cache=self_cache)
+    attn_out = _attention(p["attn"], h, heads, mask=mask)
     x = x + tap(f"{prefix}.attn.out", attn_out)
 
-    if xa is not None or cross_kv is not None:
+    if xa is not None:
         h = _layer_norm(p["cross_attn_ln"], x)
-        if cross_kv is not None:
-            cross_out, _ = _cross_attention_cached(p["cross_attn"], h, heads, cross_kv)
-        else:
-            cross_out, _ = _attention(
-                p["cross_attn"], h, heads, xa=xa,
-                wtap=partial(tap, f"{prefix}.cross_attn.weights"),
-            )
+        cross_out = _attention(
+            p["cross_attn"], h, heads, xa=xa,
+            wtap=partial(tap, f"{prefix}.cross_attn.weights"),
+        )
         x = x + cross_out
 
     h = tap(f"{prefix}.mlp_ln", _layer_norm(p["mlp_ln"], x))
@@ -316,29 +299,7 @@ def _residual_block(
     h = tap(f"{prefix}.mlp", h)
     x = x + h
     x = tap(prefix, x)
-    return x, new_self
-
-
-def _cross_attention_cached(p, x, heads, cross_kv):
-    """Cross-attention against precomputed (k, v) of the encoded audio."""
-    k, v = cross_kv
-    *lead, d = x.shape
-    dh = d // heads
-    q = _linear(p["q"], x)
-
-    def split(t):
-        return jnp.moveaxis(t.reshape(*t.shape[:-1], heads, dh), -2, -3)
-
-    qh, kh, vh = split(q), split(k), split(v)
-    scale = dh ** -0.25
-    logits = jnp.einsum(
-        "...hqd,...hkd->...hqk", qh * scale, kh * scale,
-        preferred_element_type=jnp.float32,
-    )
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("...hqk,...hkd->...hqd", weights, vh)
-    out = jnp.moveaxis(out, -3, -2).reshape(*lead, d)
-    return _linear(p["out"], out), None
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +350,7 @@ def encoder_forward(
     x = x + p["pos"].astype(compute_dtype)
 
     for i, block in enumerate(p["blocks"]):
-        x, _ = _residual_block(
+        x = _residual_block(
             block, x, dims.n_audio_head, f"encoder.blocks.{i}", capture, substitute,
             store,
         )
@@ -412,6 +373,11 @@ def decoder_forward(
     substitute = substitute or {}
     store: Captures = {}
     p = params["decoder"]
+    if compute_dtype != jnp.float32:
+        # cast the whole decoder subtree (see encoder_forward) — casting only
+        # the embeddings would let the first f32 layer-norm weight promote
+        # everything back to f32 and compute_dtype would be a silent no-op
+        p = jax.tree_util.tree_map(lambda a: a.astype(compute_dtype), p)
     T = tokens.shape[-1]
 
     x = p["tok_emb"][tokens].astype(compute_dtype) + p["pos"][:T].astype(compute_dtype)
@@ -420,7 +386,7 @@ def decoder_forward(
     ).astype(jnp.float32)
 
     for i, block in enumerate(p["blocks"]):
-        x, _ = _residual_block(
+        x = _residual_block(
             block, x, dims.n_text_head, f"decoder.blocks.{i}", capture, substitute,
             store, xa=encoded.astype(compute_dtype), mask=mask,
         )

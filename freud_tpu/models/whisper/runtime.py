@@ -46,7 +46,12 @@ def fallback_accepts(text, sum_lp, n_text, no_speech_prob,
     avg_lp = sum_lp / (n_text + 1.0)
     accept = True
     if (compression_ratio_threshold is not None
+            and "<tok:" not in text
             and ratio > compression_ratio_threshold):
+        # "<tok:N>" means the zero-asset placeholder rendering: its repeated
+        # scaffolding compresses to ratio ≈ 2.9 regardless of content, so
+        # gating on it would reject EVERY rung and force the whole ladder
+        # to the t=1.0 sample — skip the repetition gate without BPE assets
         accept = False  # too repetitive
     if logprob_threshold is not None and avg_lp < logprob_threshold:
         accept = False  # average log probability too low
@@ -154,9 +159,7 @@ class WhisperRuntime:
         """
         mels = self._batch(mels)
         if substitute_layer is not None:
-            sub = jnp.asarray(substitute_value)
-            if sub.ndim == 2:
-                sub = sub[None]
+            sub = self._batched_substitute(substitute_value, mels.shape[0])
             encoded, _ = self._encode(
                 self.params, mels, sub_layer=substitute_layer, sub_value=sub
             )
@@ -203,9 +206,7 @@ class WhisperRuntime:
         the transcription-quality extension beyond that parity line.)"""
         mels = self._batch(mels)
         if substitute_layer is not None:
-            sub = jnp.asarray(substitute_value)
-            if sub.ndim == 2:
-                sub = sub[None]
+            sub = self._batched_substitute(substitute_value, mels.shape[0])
             encoded, _ = self._encode(
                 self.params, mels, sub_layer=substitute_layer, sub_value=sub
             )
@@ -282,7 +283,11 @@ class WhisperRuntime:
             ids = tokens[i, pos]
             pieces = token_pieces(ids, self.dims.n_vocab)
             nf = int(num_frames[i]) if num_frames is not None else None
-            starts, ends = timing.token_times(w[i][:, pos, :], nf)
+            # row p-1 is the query that PREDICTS token p (whisper
+            # find_alignment's convention); token_times normalizes over the
+            # full row axis before slicing
+            rows = [p - 1 for p in pos]
+            starts, ends = timing.token_times(w[i], rows, nf)
             texts.append(decode_text(tokens[i], self.dims.n_vocab))
             words.append(timing.group_words(pieces, starts, ends))
         return texts, words
@@ -349,10 +354,14 @@ class WhisperRuntime:
         row = row + [st.eot] * (buf - len(row))
         tokens = jnp.asarray(np.asarray([row], np.int32))
         w = self._alignment_forward(tokens, encoded)
-        pos = list(range(len(base), len(base) + len(text_tokens)))
+        n = len(text_tokens)
+        # rows B-1 .. B+n-1 predict text[0..n-1]; row B+n-1 (the last text
+        # token's own row) predicts EOT and rides along as whisper's extra
+        # DTW target anchoring the final word's end
+        rows = list(range(len(base) - 1, len(base) + n))
         pieces = token_pieces(np.asarray(text_tokens), self.dims.n_vocab)
-        starts, ends = timing.token_times(w[0][:, pos, :], num_frames)
-        return starts, ends, pieces
+        starts, ends = timing.token_times(w[0], rows, num_frames)
+        return starts[:n], ends[:n], pieces
 
     def transcribe_long(self, audio: np.ndarray, verbose: bool = False,
                         **kw) -> dict:
@@ -364,6 +373,19 @@ class WhisperRuntime:
         return transcribe_long(self, audio, verbose=verbose, **kw)
 
     # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _batched_substitute(substitute_value, batch: int) -> jnp.ndarray:
+        """Broadcast a single (s, d) replacement over the mel batch — the
+        residual-stream substitution replaces the tensor WHOLESALE, so a
+        batch-1 value against batch-N mels would silently collapse the
+        encode to batch 1 (and drop N−1 clips' transcripts)."""
+        sub = jnp.asarray(substitute_value)
+        if sub.ndim == 2:
+            sub = sub[None]
+        if sub.shape[0] == 1 and batch > 1:
+            sub = jnp.broadcast_to(sub, (batch, *sub.shape[1:]))
+        return sub
 
     @staticmethod
     def _batch(mels: jnp.ndarray) -> jnp.ndarray:

@@ -55,9 +55,12 @@ def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         row = D[i]
         for j in range(1, M + 1):
             c0, c1, c2 = row_prev[j - 1], row_prev[j], row[j - 1]
-            if c0 <= c1 and c0 <= c2:
+            # STRICT comparisons — whisper's numba dtw prefers the
+            # insert/delete steps on cost ties, and median-filtered
+            # matrices tie routinely
+            if c0 < c1 and c0 < c2:
                 best, t = c0, 0
-            elif c1 <= c2:
+            elif c1 < c2:
                 best, t = c1, 1
             else:
                 best, t = c2, 2
@@ -142,31 +145,34 @@ def load_alignment_heads(
 
 
 def token_times(
-    weights: np.ndarray,   # (n_align_heads, n_text_tokens, n_frames)
+    weights: np.ndarray,   # (n_align_heads, n_all_rows, n_frames)
+    text_rows,             # row indices that PREDICT the tokens being timed
     num_frames: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """→ (start_times, end_times) in seconds for each of the n_text_tokens.
+    """→ (start_times, end_times) in seconds, one per entry of ``text_rows``.
 
-    ``weights`` rows are the alignment heads' attention over encoder frames
-    for the TEXT tokens only (prompt and EOT rows already dropped).
-    ``num_frames`` trims the padded 30-s window to the clip's real frames
-    (weights are renormalized over the kept span).
+    whisper timing.py find_alignment order, exactly: trim the frame axis to
+    the clip's real frames (straight slice — no renormalization), std/mean
+    normalize per head over the FULL query-row axis (prompt rows included —
+    normalizing over a pre-sliced subset shifts the DTW input), median
+    filter, mean over heads, THEN slice the predictor rows for DTW. Row k of
+    the attention matrix is the query whose output predicts token k+1, so
+    callers pass the PRECEDING row for each timed token (runtime.align_words
+    / transcribe_with_word_timestamps handle the shift).
     """
     w = weights.astype(np.float64)
     if num_frames is not None and num_frames < w.shape[-1]:
         w = w[..., :num_frames]
-        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-12)
-    n_tok = w.shape[-2]
+    text_rows = list(text_rows)
+    n_tok = len(text_rows)
     if n_tok == 0 or w.shape[-1] == 0:
         # nothing to align (undecodable / sub-frame clip): zero times
         return np.zeros(n_tok), np.zeros(n_tok)
-    # std-normalize per head over the token axis, then median-filter along
-    # frames (whisper timing.py:189-196)
     std = w.std(axis=-2, keepdims=True) + 1e-12
     mean = w.mean(axis=-2, keepdims=True)
     w = (w - mean) / std
     w = median_filter(w)
-    matrix = w.mean(axis=0)  # (tokens, frames)
+    matrix = w.mean(axis=0)[text_rows]  # (tokens, frames)
     text_idx, time_idx = dtw(-matrix)
     # first frame index per token = start; last+1 = end (whisper's jump times)
     jumps = np.pad(np.diff(text_idx), (1, 0), constant_values=1).astype(bool)
@@ -183,7 +189,9 @@ def group_words(
 ) -> list[dict]:
     """Merge token pieces into words (whisper split_tokens_on_spaces for
     spaced languages: a piece starting with a space — or a ``<tok:`` marker
-    when no tokenizer assets exist — begins a new word)."""
+    when no tokenizer assets exist — begins a new word). The ``word`` field
+    RETAINS its leading space, exactly whisper's JSON shape — consumers
+    reconstruct segment text with ``''.join(w["word"] for w in words)``."""
     words: list[dict] = []
     for piece, s, e in zip(pieces, starts, ends):
         new_word = (
@@ -196,6 +204,4 @@ def group_words(
         else:
             words[-1]["word"] += piece
             words[-1]["end"] = float(e)
-    for wd in words:
-        wd["word"] = wd["word"].strip() or wd["word"]
     return words

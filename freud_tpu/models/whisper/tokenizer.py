@@ -125,9 +125,26 @@ def _rank_file_candidates(multilingual: bool) -> list[Path]:
     return [d / name for d in dirs]
 
 
-@lru_cache(maxsize=4)
+_BYTE_DECODER_CACHE: dict[bool, dict[int, bytes]] = {}
+
+
+def clear_asset_caches() -> None:
+    """Drop the rank-table caches (tests point $FREUD_TOKENIZER_DIR at
+    synthetic rank files and need a clean slate between scenarios)."""
+    _BYTE_DECODER_CACHE.clear()
+    _ENCODER_RANKS_CACHE.clear()
+    _NS_CACHE.clear()
+
+
 def _byte_decoder(multilingual: bool) -> dict[int, bytes] | None:
-    """token id → bytes table from a tiktoken rank file, if available."""
+    """token id → bytes table from a tiktoken rank file, if available.
+
+    Caches only HITS: asset dirs are mutable (the same doctrine as the
+    alignment-head table), so a rank file landing after the first call must
+    be picked up on the next one, not shadowed by a cached None until
+    process restart."""
+    if multilingual in _BYTE_DECODER_CACHE:
+        return _BYTE_DECODER_CACHE[multilingual]
     for path in _rank_file_candidates(multilingual):
         if path.exists():
             table: dict[int, bytes] = {}
@@ -137,6 +154,7 @@ def _byte_decoder(multilingual: bool) -> dict[int, bytes] | None:
                         continue
                     tok_b64, rank = line.split()
                     table[int(rank)] = base64.b64decode(tok_b64)
+            _BYTE_DECODER_CACHE[multilingual] = table
             return table
     return None
 
@@ -195,12 +213,18 @@ def encode_text(text: str, n_vocab: int) -> list[int] | None:
 
 # --------------------------------------------------------------- suppression
 
-@lru_cache(maxsize=4)
+_ENCODER_RANKS_CACHE: dict[bool, dict[bytes, int]] = {}
+
+
 def _encoder_ranks(multilingual: bool) -> dict[bytes, int] | None:
+    if multilingual in _ENCODER_RANKS_CACHE:
+        return _ENCODER_RANKS_CACHE[multilingual]
     table = _byte_decoder(multilingual)
     if table is None:
-        return None
-    return {v: k for k, v in table.items()}
+        return None  # miss NOT cached — assets may land later
+    ranks = {v: k for k, v in table.items()}
+    _ENCODER_RANKS_CACHE[multilingual] = ranks
+    return ranks
 
 
 def _encode_piece(text: str, ranks: dict[bytes, int]) -> list[int]:
@@ -233,11 +257,15 @@ _NS_SYMBOLS = (
 _NS_MISC = set("♩♪♫♬♭♮♯")
 
 
-@lru_cache(maxsize=8)
+_NS_CACHE: dict[int, tuple] = {}
+
+
 def non_speech_token_ids(n_vocab: int) -> tuple | None:
     """Whisper's non-speech suppression list (tokenizer.py non_speech_tokens),
     derived at runtime from the tiktoken rank table; None when the BPE asset
-    is unavailable (zero-egress sandboxes)."""
+    is unavailable (zero-egress sandboxes; the miss is not cached)."""
+    if n_vocab in _NS_CACHE:
+        return _NS_CACHE[n_vocab]
     st = special_tokens(n_vocab)
     ranks = _encoder_ranks(st.multilingual)
     if ranks is None:
@@ -248,7 +276,9 @@ def non_speech_token_ids(n_vocab: int) -> tuple | None:
         for toks in (enc(symbol), enc(" " + symbol)):
             if len(toks) == 1 or symbol in _NS_MISC:
                 result.add(toks[0])
-    return tuple(sorted(result))
+    out = tuple(sorted(result))
+    _NS_CACHE[n_vocab] = out
+    return out
 
 
 def suppress_token_ids(n_vocab: int) -> tuple:

@@ -122,10 +122,10 @@ def test_attention_impl_gates_wide_models_off_fused():
     orig = m.jax.default_backend
     m.jax.default_backend = lambda: "tpu"
     try:
-        assert m._attention_impl(jnp.float32, 384) == "fused"   # tiny
-        assert m._attention_impl(jnp.float32, 768) == "fused"   # small
-        assert m._attention_impl(jnp.float32, 1024) == "kernel"  # medium
-        assert m._attention_impl(jnp.float32, 1280) == "kernel"  # large
+        assert m._attention_impl(384) == "fused"   # tiny
+        assert m._attention_impl(768) == "fused"   # small
+        assert m._attention_impl(1024) == "kernel"  # medium
+        assert m._attention_impl(1280) == "kernel"  # large
     finally:
         m.jax.default_backend = orig
 

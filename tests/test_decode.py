@@ -99,3 +99,20 @@ def test_task_translate_prompt():
     assert int(np.asarray(prompt2)[0, 2]) == st.transcribe
     with pytest.raises(ValueError):
         WhisperRuntime("test:tiny", task="detect")
+
+
+def test_substitute_broadcasts_over_batch():
+    """A single (s, d) replacement against BATCHED mels must transcribe every
+    clip (the wholesale residual-stream substitution would otherwise collapse
+    the encode to batch 1 and silently drop clips)."""
+    import numpy as np
+
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=4, language="en")
+    rng = np.random.default_rng(3)
+    mels = rng.standard_normal((3, 80, 3000)).astype(np.float32)
+    sub = rng.standard_normal((1500, rt.dims.n_audio_state)).astype(np.float32)
+    texts = rt.transcribe(mels, substitute_layer="encoder.blocks.1",
+                          substitute_value=sub)
+    assert len(texts) == 3

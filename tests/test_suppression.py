@@ -33,13 +33,9 @@ def synthetic_ranks(tmp_path, monkeypatch):
         lines.append(base64.b64encode(m) + b" " + str(256 + i).encode())
     (tmp_path / "multilingual.tiktoken").write_bytes(b"\n".join(lines))
     monkeypatch.setenv("FREUD_TOKENIZER_DIR", str(tmp_path))
-    tok._byte_decoder.cache_clear()
-    tok._encoder_ranks.cache_clear()
-    tok.non_speech_token_ids.cache_clear()
+    tok.clear_asset_caches()
     yield
-    tok._byte_decoder.cache_clear()
-    tok._encoder_ranks.cache_clear()
-    tok.non_speech_token_ids.cache_clear()
+    tok.clear_asset_caches()
 
 
 def test_non_speech_ids_match_published_rule(synthetic_ranks):
@@ -94,9 +90,7 @@ def test_blank_token(synthetic_ranks):
 
 def test_degrades_without_assets(monkeypatch, tmp_path):
     monkeypatch.setenv("FREUD_TOKENIZER_DIR", str(tmp_path / "empty"))
-    tok._byte_decoder.cache_clear()
-    tok._encoder_ranks.cache_clear()
-    tok.non_speech_token_ids.cache_clear()
+    tok.clear_asset_caches()
     try:
         assert tok.non_speech_token_ids(51865) is None
         assert tok.blank_token_id(51865) is None
@@ -104,9 +98,7 @@ def test_degrades_without_assets(monkeypatch, tmp_path):
         ids = set(tok.suppress_token_ids(51865))
         assert st.no_speech in ids and st.sot in ids
     finally:
-        tok._byte_decoder.cache_clear()
-        tok._encoder_ranks.cache_clear()
-        tok.non_speech_token_ids.cache_clear()
+        tok.clear_asset_caches()
 
 
 def test_encode_text_roundtrip(synthetic_ranks):
@@ -120,10 +112,8 @@ def test_encode_text_roundtrip(synthetic_ranks):
 
 def test_encode_text_none_without_assets(monkeypatch, tmp_path):
     monkeypatch.setenv("FREUD_TOKENIZER_DIR", str(tmp_path / "empty"))
-    tok._byte_decoder.cache_clear()
-    tok._encoder_ranks.cache_clear()
+    tok.clear_asset_caches()
     try:
         assert tok.encode_text("hello", 51865) is None
     finally:
-        tok._byte_decoder.cache_clear()
-        tok._encoder_ranks.cache_clear()
+        tok.clear_asset_caches()

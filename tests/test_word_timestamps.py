@@ -52,7 +52,7 @@ def test_token_times_monotonic_synthetic():
         w[:, t, c - 3:c + 3] = 1.0
     w += rng.random(w.shape) * 0.01
     w /= w.sum(-1, keepdims=True)
-    starts, ends = timing.token_times(w)
+    starts, ends = timing.token_times(w, list(range(toks)))
     assert (np.diff(starts) >= 0).all()
     assert (ends >= starts).all()
     assert starts.min() >= 0 and ends.max() <= frames / timing.TOKENS_PER_SECOND
