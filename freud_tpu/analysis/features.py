@@ -88,6 +88,13 @@ class FeatureAnalyzer:
     ):
         """(baseline_text, manipulated_text, standard_text,
         standard_trace, manipulated_trace)."""
+        if not (0 <= int(feat_idx) < self.n_features):
+            # JAX's clamp-gather semantics would otherwise silently operate
+            # on the LAST feature (L1) or no-op (TopK index compare) and
+            # return wrong-but-plausible results for a bogus index
+            raise ValueError(
+                f"feat_idx {feat_idx} out of range [0, {self.n_features})"
+            )
         rt = self.runtime
         mel = mels_from_array(audio, rt.dims.n_mels)
         acts = rt.activations(mel)  # (1, T, width)

@@ -48,7 +48,14 @@ class DeviceShuffleCache:
         refresh_files: int = 16,
         seed: int = 0,
         subset_size: Optional[int] = None,
+        start_step: int = 0,
     ):
+        """``start_step``: fold the resume position into the sampling PRNGs.
+        The cache is a uniform sampler with timing-dependent background
+        refresh — exact stream replay is impossible by construction — but a
+        resumed run must at least not RE-ISSUE the start-of-run sample
+        sequence it already trained on (the mmap loader path keeps exact
+        data-order determinism; this path trades it for device residency)."""
         self.loader = MemoryMappedActivationLoader(
             data_path, layer_name, batch_size=max(refresh_files, 1),
             subset_size=subset_size, shuffle=True, drop_last=False, seed=seed,
@@ -58,8 +65,8 @@ class DeviceShuffleCache:
         n = self.loader.dataset_length
         self.capacity = min(capacity_files, n)
         self.refresh_files = refresh_files if n > self.capacity else 0
-        self._rng = np.random.default_rng(seed)
-        self._key = jax.random.PRNGKey(seed)
+        self._rng = np.random.default_rng((seed, start_step))
+        self._key = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
 
         reader = self.loader.reader
         first = reader.batch(np.arange(self.capacity))[0]

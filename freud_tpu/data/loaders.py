@@ -187,8 +187,11 @@ class FlyActivationLoader:
         return outs
 
     def __iter__(self) -> Iterator[tuple]:
-        for mels, filenames, lengths in self.pipeline:
-            outs = self._compute(mels, len(filenames))
+        # undecodable files (zero-filled rows, length < 0) are dropped here
+        # too — training/validation must not silently consume silence-derived
+        # activations under real filenames (same per-file degrade policy as
+        # the collection path below)
+        for *outs, filenames, _ in self.iter_with_lengths():
             yield (*outs, filenames)
 
     def iter_with_lengths(self) -> Iterator[tuple]:

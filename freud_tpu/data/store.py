@@ -168,6 +168,15 @@ class ActivationStoreWriter:
         self.n_frames: list[int] = []
 
         self.metadata_path = self.out / f"{layer_name}_metadata.json"
+        if not overwrite and self.metadata_path.exists():
+            # append mode resumes the EXISTING store: the npy files gain rows
+            # (AppendableNpy resumes their row count), so the metadata must
+            # keep the existing filenames/n_frames or every row↔filename
+            # lookup after close() would be silently misaligned
+            with open(self.metadata_path) as f:
+                meta = json.load(f)
+            self.filenames = list(meta.get("filenames", []))
+            self.n_frames = [int(n) for n in meta.get("n_frames", [])]
         if indexed:
             paths = [
                 self.out / f"{layer_name}_activation_values.npy",
@@ -205,6 +214,17 @@ class ActivationStoreWriter:
         self.filenames.extend(filenames)
         if n_frames is not None:
             self.n_frames.extend(int(n) for n in n_frames)
+            if len(self.n_frames) != len(self.filenames):
+                raise ValueError(
+                    "n_frames supplied for this batch but missing for "
+                    "earlier files — a partial n_frames list would be "
+                    "positionally misaligned in the metadata"
+                )
+        elif self.n_frames:
+            raise ValueError(
+                "earlier batches carried n_frames but this one does not — "
+                "pass n_frames for every batch or for none"
+            )
 
     def write_metadata(self) -> None:
         meta = {

@@ -39,6 +39,13 @@ def merge_shards(out_folder: str, layer_name: str, chunk: int = 0,
     counts = [len(r) for r in readers]
     total = sum(counts)
     indexed = readers[0].activation_type == "indexed"
+    # n_frames must be all-or-nothing across the merged store (a partial
+    # list would be positionally misaligned — the writer now rejects it);
+    # if any shard lacks it, drop it everywhere and say so
+    has_nf = all(r.n_frames is not None for r in readers)
+    if not has_nf and any(r.n_frames is not None for r in readers) and verbose:
+        print("warning: n_frames present in only some shards — dropped "
+              "from the merged store")
     if chunk <= 0:
         row_bytes = int(np.prod(readers[0].tensor_shape)) * 4 * (
             2 if indexed else 1)
@@ -77,9 +84,7 @@ def merge_shards(out_folder: str, layer_name: str, chunk: int = 0,
                 f"complete strided split of one dataset"
             )
         *arrays, names = r.batch(np.asarray([row]))
-        nf = None
-        if r.n_frames is not None:
-            nf = int(r.n_frames[row])
+        nf = int(r.n_frames[row]) if has_nf else None
         buf.append((names[0], [a[0] for a in arrays], nf))
         if len(buf) >= chunk:
             flush()

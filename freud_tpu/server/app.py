@@ -344,6 +344,11 @@ def make_handler(state: GuiState):
             else:
                 feat_idx = int(q.get("feat_idx", 0))
                 factor = float(q.get("manipulation_factor", 1.5))
+                if not (0 <= feat_idx < state.n_features):
+                    self._send_json(
+                        {"error": f"feat_idx {feat_idx} outside "
+                                  f"[0, {state.n_features})"}, 400)
+                    return
                 with state.lock:
                     (
                         baseline_text, manipulated_text, standard_text,

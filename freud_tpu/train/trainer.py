@@ -126,20 +126,34 @@ class SAETrainer:
                     b_dec=self._replicate,
                 )
         self.params = jax.device_put(self.params, self._param_sharding)
-        # Explicitly place every opt-state leaf: moment buffers share their
-        # parameter's sharding (matched by shape), scalars are replicated.
-        shape_to_sharding = {
-            tuple(np.shape(p)): p.sharding
-            for p in jax.tree_util.tree_leaves(self.params)
-        }
+        # Explicitly place every opt-state leaf: moment buffers (the
+        # param-mirroring subtrees optax builds, e.g. ScaleByAdamState.mu/nu)
+        # take their parameter's sharding LEAF-FOR-LEAF via treedef matching
+        # — a shape-keyed lookup would collide when two params share a shape
+        # with different shardings (n_dict == d_in under shard_dict) and
+        # silently place one's moments on the other's sharding. Scalars and
+        # anything non-mirroring replicate.
+        flat_params, param_treedef = jax.tree_util.tree_flatten(self.params)
+        param_shapes = [np.shape(p) for p in flat_params]
+        sharding_mirror = jax.tree_util.tree_unflatten(
+            param_treedef, [p.sharding for p in flat_params]
+        )
+
+        def _is_param_mirror(node):
+            try:
+                flat, td = jax.tree_util.tree_flatten(node)
+            except Exception:  # noqa: BLE001 — unflattenable → not a mirror
+                return False
+            return (td == param_treedef
+                    and [np.shape(a) for a in flat] == param_shapes)
+
         raw_state = self.tx.init(self.params)
         self.opt_state = jax.device_put(
             raw_state,
             jax.tree_util.tree_map(
-                lambda leaf: shape_to_sharding.get(
-                    tuple(np.shape(leaf)), self._replicate
-                ),
-                raw_state,
+                lambda n: sharding_mirror if _is_param_mirror(n)
+                else self._replicate,
+                raw_state, is_leaf=_is_param_mirror,
             ),
         )
 
@@ -359,30 +373,38 @@ def validate(
             # stores built from a TopK SAE hold (acts, indices); validation
             # operates on dense activations only, as in the reference
             raise ValueError("validation expects dense activation stores")
-        # pad a ragged tail batch to the bucket shape — one compiled program
-        # for the whole set (a second remote compile costs minutes on the
-        # tunneled TPU); padded files are sliced away from every per-file
-        # output below
+        # pad a ragged tail batch to the LOADER's bucket shape — one
+        # compiled program for the whole set (a second remote compile costs
+        # minutes on the tunneled TPU); padded files are sliced away from
+        # every per-file output below. The bucket is whatever the loader
+        # actually yields, not the val_batch default — a caller-supplied
+        # loader with a different batch size must not defeat the guarantee.
+        bucket = getattr(loader, "batch_size", val_batch)
         n_valid = x.shape[0]
-        if n_valid < val_batch:
-            x = np.pad(x, ((0, val_batch - n_valid), (0, 0), (0, 0)))
-        out = trainer.validate_files(x)
-        out = {k: v[:n_valid] for k, v in out.items()}
+        if n_valid < bucket:
+            x = np.pad(x, ((0, bucket - n_valid), (0, 0), (0, 0)))
+        # ONE device→host transfer for the whole output dict: per-key device
+        # slices/sums would each compile a fresh program remotely
+        # (CLAUDE.md's ad-hoc-indexing rule) — all post-processing is numpy
+        out = jax.device_get(trainer.validate_files(x))
+        out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
         for key in ("recon", "l1", "fvu", "auxk_loss", "multi_topk_fvu", "mse"):
             if key in out:
-                sums[key] = sums.get(key, 0.0) + float(jnp.sum(out[key]))
+                sums[key] = sums.get(key, 0.0) + float(np.sum(out[key]))
         counts += n_valid
         mags.append(np.asarray(out["mag"]))
 
         if transcriber is not None and n_transcribed < N_TRANSCRIPTS:
             # bound by the VALID file count, not the padded batch — indexing
             # filenames past n_valid would IndexError on a tiny val set
-            take = min(N_TRANSCRIPTS - n_transcribed, n_valid)
-            for j in range(take):
+            for j in range(n_valid):
+                if n_transcribed >= N_TRANSCRIPTS:
+                    break
                 try:
                     audio = load_audio(filenames[j])
                 except RuntimeError:
-                    continue  # store built from synthetic/moved files
+                    continue  # store built from synthetic/moved files —
+                    # skipped files must NOT consume transcript slots
                 mel = mels_from_array(audio, get_n_mels(whisper_model))
                 sae_out = np.asarray(out["sae_out"][j])
                 subbed_transcripts.append(
@@ -391,7 +413,7 @@ def validate(
                 if log_base_transcripts:
                     base_transcripts.append(transcriber(mel))
                     base_filenames.append(filenames[j])
-            n_transcribed += take
+                n_transcribed += 1
 
     mag_matrix = np.concatenate(mags, axis=0) if mags else np.zeros((0, 1))
     losses = {k: v / max(counts, 1) for k, v in sums.items()}
@@ -532,7 +554,8 @@ def train(
         from ..data.device_cache import DeviceShuffleCache
 
         cache = DeviceShuffleCache(
-            train_folder, layer_name, device_cache_files, seed=seed
+            train_folder, layer_name, device_cache_files, seed=seed,
+            start_step=trainer.step,
         )
 
     def batch_stream():
@@ -581,14 +604,25 @@ def train(
                 loader=val_loader,
             )
             logged_base_transcripts = True
+            # an EMPTY validation set leaves every loss None — warn and skip
+            # the scalar logging instead of crashing the run on
+            # add_scalar(None) at the first val step
             if autoencoder_variant == "l1":
-                tb.add_scalar("val/loss_recon", losses_dict["recon"], trainer.step)
-                tb.add_scalar("val/loss_l1", losses_dict["l1"], trainer.step)
+                val_keys = ("recon", "l1")
             else:
-                tb.add_scalar("val/fvu", losses_dict["fvu"], trainer.step)
-                tb.add_scalar("val/auxk_loss", losses_dict["auxk_loss"], trainer.step)
-                tb.add_scalar("val/multi_topk_fvu", losses_dict["multi_topk_fvu"], trainer.step)
-            tb.add_scalar("val/mse", losses_dict["mse"], trainer.step)
+                val_keys = ("fvu", "auxk_loss", "multi_topk_fvu")
+            if any(losses_dict.get(k) is None for k in val_keys):
+                print(f"{trainer.step}: validation set empty — skipping "
+                      "val logging")
+            else:
+                if autoencoder_variant == "l1":
+                    tb.add_scalar("val/loss_recon", losses_dict["recon"], trainer.step)
+                    tb.add_scalar("val/loss_l1", losses_dict["l1"], trainer.step)
+                else:
+                    tb.add_scalar("val/fvu", losses_dict["fvu"], trainer.step)
+                    tb.add_scalar("val/auxk_loss", losses_dict["auxk_loss"], trainer.step)
+                    tb.add_scalar("val/multi_topk_fvu", losses_dict["multi_topk_fvu"], trainer.step)
+                tb.add_scalar("val/mse", losses_dict["mse"], trainer.step)
             tb.add_histogram("val/encoded/magnitude_maxes", mag_maxes, trainer.step)
             tb.add_histogram("val/encoded/magnitude_stds", mag_stds, trainer.step)
             num_dead = int(np.count_nonzero(mag_maxes <= 0))

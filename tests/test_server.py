@@ -298,3 +298,14 @@ def test_internal_error_returns_json_500(served, monkeypatch):
         code, body = e.code, json.loads(e.read())
     assert code == 500
     assert "error" in body and "kaboom" in body["error"]
+
+
+def test_manipulate_feature_rejects_out_of_range_index(served):
+    """JAX clamp-gather semantics would silently manipulate the LAST feature
+    for a bogus index — the endpoint must 400 instead."""
+    base, _ = served
+    code, body = _post_multipart(
+        base + "/manipulate_feature?feat_idx=999999&manipulation_factor=2.0",
+        _wav_bytes(),
+    )
+    assert code == 400 and "error" in body

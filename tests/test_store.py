@@ -191,3 +191,46 @@ def test_collection_skips_undecodable_files(tmp_path):
     assert len(r) == 3
     assert all("broken" not in f for f in r.filenames)
     assert all(n > 0 for n in r.n_frames)
+
+
+def test_append_mode_preserves_existing_metadata(tmp_path):
+    """overwrite=False resumes the existing store: rows append AND metadata
+    keeps the earlier filenames/n_frames (a fresh metadata list against
+    grown npy files would silently misalign every row↔filename lookup)."""
+    import numpy as np
+
+    from freud_tpu.data.store import (ActivationStoreReader,
+                                      ActivationStoreWriter)
+
+    a = np.random.default_rng(0).standard_normal((3, 4, 2)).astype(np.float32)
+    w = ActivationStoreWriter(tmp_path, "L", (4, 2), (4, 2))
+    w.append_batch(["/x/a0", "/x/a1", "/x/a2"], a, n_frames=[4, 3, 2])
+    w.close()
+
+    b = np.random.default_rng(1).standard_normal((2, 4, 2)).astype(np.float32)
+    w2 = ActivationStoreWriter(tmp_path, "L", (4, 2), (4, 2), overwrite=False)
+    w2.append_batch(["/x/b0", "/x/b1"], b, n_frames=[1, 4])
+    w2.close()
+
+    r = ActivationStoreReader(tmp_path, "L")
+    assert len(r) == 5
+    assert r.filenames == ["/x/a0", "/x/a1", "/x/a2", "/x/b0", "/x/b1"]
+    assert [int(x) for x in r.n_frames] == [4, 3, 2, 1, 4]
+    got, _ = r.batch(np.arange(5))
+    np.testing.assert_allclose(got, np.concatenate([a, b]))
+
+
+def test_partial_n_frames_rejected(tmp_path):
+    """Mixing n_frames-bearing and n_frames-less batches would emit a
+    positionally-misaligned metadata list — the writer must refuse."""
+    import numpy as np
+    import pytest
+
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    a = np.zeros((2, 4, 2), np.float32)
+    w = ActivationStoreWriter(tmp_path, "L", (4, 2), (4, 2))
+    w.append_batch(["/x/a0", "/x/a1"], a, n_frames=[4, 4])
+    with pytest.raises(ValueError):
+        w.append_batch(["/x/a2", "/x/a3"], a)
+    w.close()
