@@ -17,6 +17,7 @@ import ctypes
 import os
 import shutil
 import subprocess
+import threading
 import wave
 from pathlib import Path
 from typing import Optional, Sequence
@@ -28,6 +29,7 @@ from ..constants import N_SAMPLES, SAMPLE_RATE
 _NATIVE_PATH = Path(__file__).parent / "native" / "libfreud_audio.so"
 _lib = None
 _lib_checked = False
+_lib_lock = threading.Lock()
 
 
 def _build_native() -> bool:
@@ -48,11 +50,26 @@ def _build_native() -> bool:
 
 
 def native_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native decoder; None if unavailable."""
+    """Load (building if needed) the native decoder; None if unavailable.
+
+    Serialized behind a lock: the first call may run a minutes-long `make`,
+    during which a concurrent caller (the prefetch producer vs the main
+    thread) must WAIT for the build rather than observe a half-initialized
+    "checked, no lib" state and silently fall back — or worse, race a second
+    overlapping build of the same .so."""
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
-    _lib_checked = True
+    with _lib_lock:
+        if _lib_checked:
+            return _lib
+        lib = _load_native()
+        _lib = lib
+        _lib_checked = True
+        return _lib
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
     if os.environ.get("FREUD_DISABLE_NATIVE_AUDIO"):
         return None
     if not _NATIVE_PATH.exists() and not _build_native():
@@ -82,8 +99,7 @@ def native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.fa_last_error.restype = ctypes.c_char_p
-    _lib = lib
-    return _lib
+    return lib
 
 
 def _decode_wave(file: str, sr: int) -> np.ndarray:
@@ -129,7 +145,7 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
         out_ptr = ctypes.POINTER(ctypes.c_float)()
         out_len = ctypes.c_int64()
         rc = lib.fa_decode(
-            file.encode(), sr, ctypes.byref(out_ptr), ctypes.byref(out_len)
+            os.fsencode(file), sr, ctypes.byref(out_ptr), ctypes.byref(out_len)
         )
         if rc == 0:
             audio = np.ctypeslib.as_array(out_ptr, shape=(out_len.value,)).copy()
@@ -142,14 +158,20 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     # EOFError, CalledProcessError, OSError); normalize to the documented
     # RuntimeError contract so per-file degrade paths (load_audio_batch,
     # the upload endpoint's 400) catch every backend the same way
-    try:
-        if file.lower().endswith(".wav"):
+    if file.lower().endswith(".wav"):
+        try:
             return _decode_wave(file, sr)
+        except Exception as wave_err:  # noqa: BLE001 — 24-bit/float WAVs etc.
+            # the stdlib module can't read every WAV (24-bit PCM, IEEE
+            # float): fall through to the ffmpeg CLI before giving up
+            if not shutil.which("ffmpeg"):
+                raise RuntimeError(
+                    f"Failed to load audio {file}: {wave_err!r}"
+                ) from wave_err
+    try:
         if shutil.which("ffmpeg"):
             return _decode_ffmpeg_cli(file, sr)
-    except RuntimeError:
-        raise
-    except Exception as e:
+    except Exception as e:  # noqa: BLE001 — normalize to the documented type
         raise RuntimeError(f"Failed to load audio {file}: {e!r}") from e
     raise RuntimeError(
         f"No audio decode backend available for {file} "
@@ -177,7 +199,9 @@ def load_audio_batch(
     if lib is not None and n > 0:
         if n_threads is None:
             n_threads = min(8, max(1, (os.cpu_count() or 1)))
-        c_paths = (ctypes.c_char_p * n)(*[f.encode() for f in files])
+        # os.fsencode round-trips non-UTF-8 filenames (surrogateescape);
+        # str.encode would raise UnicodeEncodeError and abort the whole batch
+        c_paths = (ctypes.c_char_p * n)(*[os.fsencode(f) for f in files])
         lib.fa_decode_batch(
             c_paths,
             n,
@@ -208,7 +232,7 @@ def audio_duration_s(file: str) -> float:
     """
     lib = native_lib()
     if lib is not None:
-        dur = lib.fa_duration(file.encode())
+        dur = lib.fa_duration(os.fsencode(file))
         if dur >= 0:
             return float(dur)
     if file.lower().endswith(".wav"):

@@ -165,6 +165,10 @@ def _mels_jit_128(audio):
 
 def mels_from_array(audio: np.ndarray, n_mels: int) -> jnp.ndarray:
     """Pad/trim a 1-D waveform to 30 s and compute its log-mel on device."""
+    if n_mels not in (80, 128):
+        # whisper models use exactly these two banks; a silent 128-mel
+        # fallback for any other value would feed wrong-width features
+        raise ValueError(f"n_mels must be 80 or 128, got {n_mels}")
     audio = pad_or_trim(np.asarray(audio, dtype=np.float32).reshape(-1))
     fn = _mels_jit_80 if n_mels == 80 else _mels_jit_128
     return fn(jnp.asarray(audio))

@@ -42,7 +42,11 @@ struct DecodeResult {
 };
 
 // Decode one file to mono float32 at target_sr. Returns false on error.
-bool decode_file(const char* path, int target_sr, std::vector<float>& out) {
+// max_samples >= 0 stops the packet loop once that many samples are
+// collected (the batch path only consumes one 30-s row — decoding a
+// multi-hour file to fill it would cost minutes and gigabytes per worker).
+bool decode_file_impl(const char* path, int target_sr, std::vector<float>& out,
+                      int64_t max_samples) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
     set_error(std::string("cannot open ") + path);
@@ -62,7 +66,17 @@ bool decode_file(const char* path, int target_sr, std::vector<float>& out) {
   }
   AVStream* stream = fmt->streams[stream_idx];
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
-  avcodec_parameters_to_context(ctx, stream->codecpar);
+  if (!ctx) {
+    avformat_close_input(&fmt);
+    set_error("cannot allocate codec context");
+    return false;
+  }
+  if (avcodec_parameters_to_context(ctx, stream->codecpar) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    set_error("bad codec parameters");
+    return false;
+  }
   if (avcodec_open2(ctx, codec, nullptr) < 0) {
     avcodec_free_context(&ctx);
     avformat_close_input(&fmt);
@@ -100,9 +114,17 @@ bool decode_file(const char* path, int target_sr, std::vector<float>& out) {
   out.clear();
   if (stream->duration > 0) {
     double est = av_q2d(stream->time_base) * (double)stream->duration;
-    out.reserve((size_t)(est * target_sr) + 4096);
+    double want = est * target_sr + 4096;
+    // cap the header-driven reserve: a malformed duration field must not
+    // drive an allocation attempt (bad_alloc in a worker thread would
+    // std::terminate the whole process); also no point reserving past an
+    // early-stop bound
+    double cap = max_samples >= 0 ? (double)max_samples + 8192 : 1e9;
+    if (want > cap) want = cap;
+    if (want > 0) out.reserve((size_t)want);
   }
 
+  bool swr_failed = false;
   auto drain_frame = [&](AVFrame* f) {
     int64_t delay = swr_get_delay(swr, ctx->sample_rate ? ctx->sample_rate : target_sr);
     int in_n = f ? f->nb_samples : 0;
@@ -115,20 +137,25 @@ bool decode_file(const char* path, int target_sr, std::vector<float>& out) {
                         f ? const_cast<const uint8_t**>(f->extended_data) : nullptr,
                         in_n);
     if (n > 0) out.insert(out.end(), resample_buf.begin(), resample_buf.begin() + n);
-  };
+    else if (n < 0) swr_failed = true;  // silently dropped chunks would
+  };                                    // report corrupt audio as a success
 
-  while (av_read_frame(fmt, pkt) >= 0) {
+  bool enough = false;
+  while (!enough && av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == stream_idx) {
       if (avcodec_send_packet(ctx, pkt) >= 0) {
         while (avcodec_receive_frame(ctx, frame) >= 0) drain_frame(frame);
       }
     }
     av_packet_unref(pkt);
+    if (max_samples >= 0 && (int64_t)out.size() >= max_samples) enough = true;
   }
-  // Flush decoder then resampler.
-  avcodec_send_packet(ctx, nullptr);
-  while (avcodec_receive_frame(ctx, frame) >= 0) drain_frame(frame);
-  drain_frame(nullptr);
+  if (!enough) {
+    // Flush decoder then resampler (skipped when the cap already filled).
+    avcodec_send_packet(ctx, nullptr);
+    while (avcodec_receive_frame(ctx, frame) >= 0) drain_frame(frame);
+    drain_frame(nullptr);
+  }
 
   av_frame_free(&frame);
   av_packet_free(&pkt);
@@ -136,7 +163,27 @@ bool decode_file(const char* path, int target_sr, std::vector<float>& out) {
   av_channel_layout_uninit(&in_layout);
   avcodec_free_context(&ctx);
   avformat_close_input(&fmt);
+  if (swr_failed) {
+    set_error("resampler error mid-stream");
+    return false;
+  }
   return true;
+}
+
+// noexcept boundary: an exception escaping a std::thread worker (or the
+// extern "C" surface into ctypes) calls std::terminate and kills the whole
+// Python process — the per-file degrade contract requires a clean failure.
+bool decode_file(const char* path, int target_sr, std::vector<float>& out,
+                 int64_t max_samples = -1) noexcept {
+  try {
+    return decode_file_impl(path, target_sr, out, max_samples);
+  } catch (const std::exception& e) {
+    set_error(std::string("exception: ") + e.what());
+    return false;
+  } catch (...) {
+    set_error("unknown exception during decode");
+    return false;
+  }
 }
 
 }  // namespace
@@ -166,10 +213,13 @@ void fa_free(float* ptr) { free(ptr); }
 int fa_decode_into(const char* path, int target_sr, float* buf, int64_t capacity,
                    int64_t* written) {
   std::vector<float> samples;
-  if (!decode_file(path, target_sr, samples)) return -1;
+  // stop decoding once the row is full: consumers clamp true lengths to the
+  // row anyway (n_frames <= 1500), so a multi-hour file must not cost
+  // minutes of decode + gigabytes of RAM to fill a 30-s slot
+  if (!decode_file(path, target_sr, samples, capacity)) return -1;
   int64_t n = std::min<int64_t>(capacity, (int64_t)samples.size());
   std::memcpy(buf, samples.data(), (size_t)n * sizeof(float));
-  *written = (int64_t)samples.size();  // true length, caller knows if truncated
+  *written = (int64_t)samples.size();  // >= capacity means truncated
   return 0;
 }
 

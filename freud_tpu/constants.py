@@ -38,4 +38,6 @@ def get_n_mels(whisper_model_name: str) -> int:
 
 
 def is_audio_file(file: str) -> bool:
-    return any(file.endswith(ext) for ext in AUDIO_FILE_EXTENSIONS)
+    # case-insensitive: portable recorders produce CLIP.WAV / song.MP3, and
+    # the decode layer already matches extensions case-insensitively
+    return any(file.lower().endswith(ext) for ext in AUDIO_FILE_EXTENSIONS)
