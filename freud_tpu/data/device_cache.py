@@ -34,8 +34,11 @@ def _sample(cache: jnp.ndarray, key, batch: int) -> jnp.ndarray:
     return jnp.take(cache, idx, axis=0)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _refresh(cache: jnp.ndarray, rows: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+    # the cache is rebound to this result immediately — donating it lets XLA
+    # scatter in place instead of allocating a SECOND full-cache buffer per
+    # refresh (2x peak HBM at exactly the multi-GB capacities this exists for)
     return cache.at[slots].set(rows)
 
 
@@ -69,7 +72,13 @@ class DeviceShuffleCache:
         self._key = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
 
         reader = self.loader.reader
-        first = reader.batch(np.arange(self.capacity))[0]
+        # fill from the head of the SHUFFLE ORDER, not store order: a
+        # sequentially-written store would otherwise bias early training to
+        # a correlated prefix, and the refresh cursor (which starts at
+        # capacity into this order) would skip a random non-resident subset
+        # for a whole epoch
+        self._order0 = self._rng.permutation(n)
+        first = reader.batch(np.sort(self._order0[: self.capacity]))[0]
         self.cache = jax.device_put(np.asarray(first, np.float32))
 
         self._q: queue.Queue = queue.Queue(maxsize=2)
@@ -85,8 +94,10 @@ class DeviceShuffleCache:
         try:
             reader = self.loader.reader
             n = self.loader.dataset_length
+            # continue the SAME permutation the initial fill consumed —
+            # cursor starts right after the resident files
             cursor = self.capacity
-            order = self._rng.permutation(n)
+            order = self._order0
             while not self._stop.is_set():
                 take = []
                 while len(take) < self.refresh_files:

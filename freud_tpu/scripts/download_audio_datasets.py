@@ -64,10 +64,13 @@ def extract_archive(path: Path, out_dir: Path, delete: bool = True) -> None:
     name = path.name
     if name.endswith((".tar.gz", ".tgz")):
         with tarfile.open(path, "r:gz") as t:
-            t.extractall(out_dir)
+            # filter="data" blocks path traversal / absolute members /
+            # device nodes from a compromised or corrupted archive (and is
+            # the 3.14 default)
+            t.extractall(out_dir, filter="data")
     elif name.endswith(".tar"):
         with tarfile.open(path, "r") as t:
-            t.extractall(out_dir)
+            t.extractall(out_dir, filter="data")
     elif name.endswith(".zip"):
         with zipfile.ZipFile(path) as z:
             z.extractall(out_dir)

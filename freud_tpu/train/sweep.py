@@ -20,6 +20,7 @@ import numpy as np
 import optax
 
 from ..data.loaders import MemoryMappedActivationLoader
+from ..data.prefetch import prefetch_iter as _prefetch
 from ..models.sae import config as sae_config
 from ..models.sae import l1 as l1_mod
 from ..models.sae import topk as topk_mod
@@ -45,6 +46,7 @@ class SAESweepTrainer:
         clip_thresh: float = 1.0,
         seed: int = 0,
         amp: bool = True,
+        mesh=None,
     ):
         assert variant in ("l1", "topk")
         self.variant = variant
@@ -58,18 +60,29 @@ class SAESweepTrainer:
         threshold = float(autoencoder_config.get("dead_feature_threshold", 1e6))
         mm_dtype = jnp.bfloat16 if amp else None
 
+        from ..parallel import mesh as mesh_lib
+
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         init = l1_mod.init_l1 if variant == "l1" else topk_mod.init_topk
         singles = [init(activation_size, self.cfg, seed=seed + i) for i in range(n_models)]
         self.params = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *singles
         )
+        # replicate stacked params/opt-state/counters over the mesh; the
+        # per-layer BATCH axis (axis 1 of the (K, B, T, d) stack) shards over
+        # ``data`` in train_step — without explicit placement the whole sweep
+        # silently ran on the default device only
+        self.params = jax.device_put(self.params, mesh_lib.replicated(self.mesh))
         self.tx, self.schedule = make_optimizer(
             optimizer, scheduler, lr, steps,
             weight_decay=weight_decay, clip_thresh=clip_thresh,
             scheduler_params=scheduler_params,
         )
-        self.opt_state = jax.vmap(self.tx.init)(self.params)
-        self.counters = jnp.zeros((n_models, self.n_dict_components), jnp.int32)
+        self.opt_state = jax.device_put(
+            jax.vmap(self.tx.init)(self.params), mesh_lib.replicated(self.mesh))
+        self.counters = jax.device_put(
+            jnp.zeros((n_models, self.n_dict_components), jnp.int32),
+            mesh_lib.replicated(self.mesh))
         self.step = 0
         cfg, tx = self.cfg, self.tx
 
@@ -118,10 +131,20 @@ class SAESweepTrainer:
         self._step = jax.jit(jax.vmap(one), donate_argnums=(0, 1, 2))
 
     def train_step(self, batches: np.ndarray) -> dict:
-        """``batches``: (K, B, T, activation_size)."""
+        """``batches``: (K, B, T, activation_size) — the per-layer batch axis
+        (axis 1) shards over the mesh's data axis when divisible."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh as mesh_lib
+
         assert batches.shape[0] == self.n_models
+        batches = np.asarray(batches)
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        spec = (P(None, mesh_lib.DATA_AXIS, None, None)
+                if batches.shape[1] % n_data == 0 else P())
+        dev = jax.device_put(batches, NamedSharding(self.mesh, spec))
         self.params, self.opt_state, self.counters, metrics = self._step(
-            self.params, self.opt_state, self.counters, jnp.asarray(batches)
+            self.params, self.opt_state, self.counters, dev
         )
         self.step += 1
         return metrics
@@ -176,7 +199,17 @@ def train_sweep(
         optimizer=optimizer, scheduler=scheduler, scheduler_params=scheduler_params,
         lr=lr, steps=steps, seed=seed,
     )
-    iters = [iter(ld) for ld in loaders]
+    for ld in loaders:
+        if len(ld) == 0:
+            raise ValueError(
+                f"layer store yields no batches at batch_size={batch_size} "
+                "(fewer files than one batch with drop_last) — shrink the "
+                "batch or grow the store"
+            )
+    # double-buffered prefetch per layer stream: disk reads + host staging of
+    # batch N+1 overlap step N (same discipline as the single trainer)
+    iters = [_prefetch(iter(ld)) for ld in loaders]
+    metrics = {}
     last = {}
     while trainer.step < steps:
         batch = []
@@ -184,13 +217,18 @@ def train_sweep(
             try:
                 arrays = next(it)
             except StopIteration:
-                iters[i] = it = iter(ld)
+                iters[i] = it = _prefetch(iter(ld))
                 arrays = next(it)
             batch.append(np.asarray(arrays[0], np.float32))
         metrics = trainer.train_step(np.stack(batch))
-        last = {k: np.asarray(v).tolist() for k, v in metrics.items()}
         if verbose and trainer.step % 10 == 0:
+            # metric fetch only on the log interval — an unconditional
+            # device→host conversion would sync every step (RTT-bound on
+            # tunneled backends)
+            last = {k: np.asarray(v).tolist() for k, v in metrics.items()}
             print(f"sweep step {trainer.step}: loss {last['loss']}")
+    if metrics:
+        last = {k: np.asarray(v).tolist() for k, v in metrics.items()}
     hparams = {
         "autoencoder_variant": variant,
         "autoencoder_config": autoencoder_config,
