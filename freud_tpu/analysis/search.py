@@ -34,7 +34,12 @@ from ..data.loaders import FlyActivationLoader, MemoryMappedActivationLoader
 
 @jax.jit
 def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx):
-    """(C, T, F) chunk → per-file (signed_max, plain_argmax) of feature trace.
+    """(C, T, F) chunk → per-file stats of the feature's trace, PLUS the
+    trace itself: (plain_max, plain_argmax, abs_argmax, signed_at_absmax,
+    trace). Fetching the (C, T) trace with the stats (one small transfer)
+    lets the host keep winners' traces without any per-row device slicing —
+    an ad-hoc ``chunk[j, :, feature_idx]`` would compile a fresh remote
+    program per row index.
 
     ``feature_idx`` is a TRACED scalar — one compiled program serves every
     feature the GUI queries (a static index would recompile per feature; a
@@ -48,7 +53,7 @@ def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx):
     plain_argmax = jnp.argmax(masked, axis=1)
     abs_argmax = jnp.argmax(abs_masked, axis=1)
     signed_at_absmax = jnp.take_along_axis(trace, abs_argmax[:, None], axis=1)[:, 0]
-    return plain_max, plain_argmax, signed_at_absmax
+    return plain_max, plain_argmax, abs_argmax, signed_at_absmax, trace
 
 
 @jax.jit
@@ -125,7 +130,18 @@ def top_activations(
             # scripts/index_activations.py rebuilds the fast path
             print("feature-major index is stale (store changed); scanning")
 
-    entries = []  # (value_for_ranking, file, n_frames, trace_source)
+    # the scan's offset/lazy-row bookkeeping assumes the loader yields the
+    # store SEQUENTIALLY and COMPLETELY — a shuffled or tail-dropping loader
+    # would silently attach n_frames (and re-read traces) for the WRONG files
+    if getattr(loader, "shuffle", False):
+        raise ValueError("top_activations requires an unshuffled loader")
+    if getattr(loader, "drop_last", False):
+        raise ValueError(
+            "top_activations requires drop_last=False (the tail files would "
+            "silently never be scanned)"
+        )
+
+    entries = []  # (value_for_ranking, file, n_frames, trace)
     max_per_file: list[float] = []
     offset = 0
 
@@ -135,21 +151,38 @@ def top_activations(
         # misalign this scan's file/offset bookkeeping
         loader.set_position(0)
 
-    for batch in loader:
-        if loader.activation_type == "tensor":
-            chunk, filenames = batch
-            chunk = jnp.asarray(np.asarray(chunk, np.float32))
-            trace_chunk = None
+    # fly loaders know every file's exact frame count from the decode they
+    # are already doing — iterating with lengths avoids one native header
+    # read per file per query (and the silent full-length fallback on
+    # unreadable headers)
+    fly_lengths = (not hasattr(loader, "reader")
+                   and hasattr(loader, "iter_with_lengths"))
+    stream = loader.iter_with_lengths() if fly_lengths else loader
+
+    for batch in stream:
+        batch_n_frames = None
+        if fly_lengths:
+            *batch, filenames, batch_n_frames = batch
         else:
-            vals, idx, filenames = batch
+            *batch, filenames = batch
+        if loader.activation_type == "tensor":
+            (chunk,) = batch
+            # fly chunks are already device arrays — don't round-trip them
+            # through the host; mmap chunks upload once here
+            if not isinstance(chunk, jax.Array):
+                chunk = jnp.asarray(np.asarray(chunk, np.float32))
+        else:
+            vals, idx = batch
             trace = _densify_indexed(
                 jnp.asarray(np.asarray(vals, np.float32)),
                 jnp.asarray(np.asarray(idx)),
                 feature_idx,
             )
             chunk = trace[:, :, None]
-            trace_chunk = np.asarray(trace)
-        n_frames = _true_lengths(loader, filenames, offset)
+        if batch_n_frames is not None:
+            n_frames = np.asarray(batch_n_frames, np.int32)
+        else:
+            n_frames = _true_lengths(loader, filenames, offset)
         offset += len(filenames)
 
         # pad the ragged tail chunk to the bucket shape so the whole scan is
@@ -167,7 +200,7 @@ def top_activations(
             chunk, nf_dev = mesh_lib.put_batch(mesh, chunk, nf_dev)
 
         fidx = feature_idx if loader.activation_type == "tensor" else 0
-        plain_max, plain_argmax, signed_at_absmax = (
+        plain_max, plain_argmax, abs_argmax, signed_at_absmax, trace_np = (
             np.asarray(a)[:n_valid]
             for a in _dense_stats(chunk, nf_dev, fidx)
         )
@@ -177,38 +210,30 @@ def top_activations(
                 signed = float(signed_at_absmax[j])
                 allowed = _passes(signed, min_val, max_val)
                 value = abs(signed)
+                # the reported time must locate the reported VALUE — the
+                # plain (signed) argmax can sit at a different peak
+                max_t = float(abs_argmax[j]) * TIMESTEP_S
             else:
                 value = float(plain_max[j])
                 allowed = _passes(value, min_val, max_val)
+                max_t = float(plain_argmax[j]) * TIMESTEP_S
             if return_max_per_file:
                 max_per_file.append(
                     float(signed_at_absmax[j]) if absolute_magnitude else value
                 )
             if allowed:
-                if loader.activation_type == "tensor" and hasattr(loader, "reader"):
-                    # lazy: re-read only winning rows from the mmap at the end
-                    source = (loader, offset - len(filenames) + j, feature_idx)
-                elif loader.activation_type == "tensor":
-                    source = np.asarray(chunk[j, :, feature_idx])
-                else:
-                    source = trace_chunk[j]
                 entries.append(
-                    (value, fname, int(n_frames[j]),
-                     float(plain_argmax[j]) * TIMESTEP_S, source)
+                    (value, fname, int(n_frames[j]), max_t,
+                     trace_np[j].copy())
                 )
         entries.sort(key=lambda e: e[0], reverse=True)
         entries = entries[:n_files]
 
-    results = []
-    for value, fname, nf, max_time, source in entries:
-        if isinstance(source, tuple):
-            ldr, row, feat = source
-            arr = ldr.reader.batch(np.asarray([row]))[0][0]  # (T, F)
-            trace = np.asarray(arr[:, feat])
-        else:
-            trace = np.asarray(source)
-        results.append((fname, trace[:nf], value, max_time))
-    return results, (max_per_file if return_max_per_file else None)
+    return (
+        [(fname, trace[:nf], value, max_time)
+         for value, fname, nf, max_time, trace in entries],
+        max_per_file if return_max_per_file else None,
+    )
 
 
 def _top_activations_indexed_plane(
@@ -243,7 +268,7 @@ def _top_activations_indexed_plane(
             nf_dev = jnp.pad(nf_dev, (0, pad))
         chunk, nf_dev = mesh_lib.put_batch(mesh, chunk, nf_dev)
 
-    plain_max, plain_argmax, signed_at_absmax = (
+    plain_max, plain_argmax, abs_argmax, signed_at_absmax, _ = (
         np.asarray(a)[:n] for a in _dense_stats(chunk, nf_dev, 0)
     )
     max_per_file = []
@@ -253,16 +278,17 @@ def _top_activations_indexed_plane(
             signed = float(signed_at_absmax[j])
             allowed = _passes(signed, min_val, max_val)
             value = abs(signed)
+            max_t = float(abs_argmax[j]) * TIMESTEP_S
         else:
             value = float(plain_max[j])
             allowed = _passes(value, min_val, max_val)
+            max_t = float(plain_argmax[j]) * TIMESTEP_S
         if return_max_per_file:
             max_per_file.append(
                 float(signed_at_absmax[j]) if absolute_magnitude else value
             )
         if allowed:
-            entries.append((value, fname, int(n_frames[j]),
-                            float(plain_argmax[j]) * TIMESTEP_S, j))
+            entries.append((value, fname, int(n_frames[j]), max_t, j))
     entries.sort(key=lambda e: e[0], reverse=True)
     results = [
         (fname, plane[row, :nf].copy(), value, max_time)

@@ -64,8 +64,16 @@ def params_from_state_dict(variant: str, sd: dict):
 
 
 def save_checkpoint(path: str, state: dict) -> None:
-    """Save a trainer-state dict; ``model`` must already be a state dict."""
-    _torch().save(state, path)
+    """Save a trainer-state dict; ``model`` must already be a state dict.
+
+    Atomic: a crash mid-write (preemption, OOM) must not destroy the
+    checkpoint being overwritten — bestval.pth is often the only copy of
+    the best model."""
+    import os
+
+    tmp = f"{path}.tmp"
+    _torch().save(state, tmp)
+    os.replace(tmp, path)
 
 
 def load_checkpoint_file(path: str) -> dict:

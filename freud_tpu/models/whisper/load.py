@@ -112,15 +112,10 @@ def params_from_openai_state_dict(sd: dict, dims: WhisperDims) -> Params:
     return {"encoder": encoder, "decoder": decoder}
 
 
-def _hf_linear(sd, key):
-    p = {"w": _t(sd[f"{key}.weight"]).T}
-    if f"{key}.bias" in sd:
-        p["b"] = _t(sd[f"{key}.bias"])
-    return p
-
-
-def _hf_ln(sd, key):
-    return {"g": _t(sd[f"{key}.weight"]), "b": _t(sd[f"{key}.bias"])}
+# HF per-layer tensors share the torch Linear/LayerNorm layout — the OpenAI
+# helpers above apply verbatim
+_hf_linear = _linear_from
+_hf_ln = _ln_from
 
 
 def _hf_block(sd, prefix, cross: bool):
@@ -245,7 +240,10 @@ def load_model(name: str) -> tuple[Params, WhisperDims]:
         )
     import torch  # CPU-only torch used purely as a .pt reader
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only: the OpenAI layout is a plain {dims dict, tensor state
+    # dict} — full unpickling would execute arbitrary code from a tampered
+    # checkpoint file
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     dims_dict = ckpt["dims"]
     dims = WhisperDims(**{k: dims_dict[k] for k in WhisperDims.__dataclass_fields__ if k in dims_dict})
     sd = {k: v.numpy() for k, v in ckpt["model_state_dict"].items()}

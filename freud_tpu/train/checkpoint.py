@@ -38,10 +38,19 @@ def opt_state_from_leaves(template_state, leaves: list) -> Any:
             "(optimizer/scheduler config changed since the checkpoint?)"
         )
     template_leaves = jax.tree_util.tree_leaves(template_state)
-    coerced = [
-        np.asarray(leaf, dtype=np.asarray(tmpl).dtype)
-        for leaf, tmpl in zip(leaves, template_leaves)
-    ]
+    coerced = []
+    for i, (leaf, tmpl) in enumerate(zip(leaves, template_leaves)):
+        arr = np.asarray(leaf, dtype=np.asarray(tmpl).dtype)
+        if np.shape(arr) != np.shape(tmpl):
+            # a matching leaf COUNT from a different architecture would
+            # otherwise unflatten silently and fail later as an opaque jit
+            # shape error instead of this actionable message
+            raise ValueError(
+                f"optimizer-state leaf {i} has shape {np.shape(arr)}, "
+                f"expected {np.shape(tmpl)} (model config changed since "
+                "the checkpoint?)"
+            )
+        coerced.append(arr)
     return jax.tree_util.tree_unflatten(treedef, coerced)
 
 

@@ -208,3 +208,40 @@ def test_sharded_indexed_plane_scan(tmp_path):
     res_1, mpf_1 = top_activations(loader2, 3, 5)
     assert [r[0] for r in res_s] == [r[0] for r in res_1]
     np.testing.assert_allclose(mpf_s, mpf_1)
+
+
+def test_absolute_magnitude_time_locates_the_reported_value(tmp_path):
+    """In absolute-magnitude mode max_time must point at the |max| peak —
+    a signed negative spike at t_a with a weaker positive peak at t_b must
+    report (|spike|, t_a), not (|spike|, t_b)."""
+    import numpy as np
+
+    from freud_tpu.data.loaders import MemoryMappedActivationLoader
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    t, f = 20, 3
+    data = np.zeros((2, t, f), np.float32)
+    data[0, 5, 1] = -9.0   # strongest |activation| at frame 5
+    data[0, 15, 1] = 4.0   # weaker positive peak at frame 15
+    data[1, 2, 1] = 1.0
+    w = ActivationStoreWriter(tmp_path, "L", (t, f), (t, f))
+    w.append_batch(["/x/a.wav", "/x/b.wav"], data, n_frames=[t, t])
+    w.close()
+    loader = MemoryMappedActivationLoader(tmp_path, "L", batch_size=2)
+
+    from freud_tpu.analysis.search import top_activations
+    from freud_tpu.constants import TIMESTEP_S
+
+    res, _ = top_activations(loader, 1, 1, absolute_magnitude=True)
+    fname, trace, value, max_time = res[0]
+    assert fname == "/x/a.wav" and value == 9.0
+    assert abs(max_time - 5 * TIMESTEP_S) < 1e-9
+
+    # shuffled / tail-dropping loaders are rejected (offset bookkeeping
+    # assumes sequential complete iteration)
+    import pytest
+
+    bad = MemoryMappedActivationLoader(tmp_path, "L", batch_size=2,
+                                       shuffle=True)
+    with pytest.raises(ValueError):
+        top_activations(bad, 1, 1)
