@@ -115,10 +115,5 @@ def forward(
     )
 
 
-def forward_with_mse(params, x, cfg, **kw):
-    out = forward(params, x, cfg, **kw)
-    return out, jnp.mean((out.sae_out - x) ** 2)
-
-
 def param_count(params: L1Params) -> int:
     return int(sum(np.prod(p.shape) for p in params))

@@ -30,7 +30,14 @@ def _torch():
     return torch
 
 
+def _check_variant(variant: str) -> None:
+    if variant not in ("l1", "topk"):
+        raise ValueError(f"invalid autoencoder variant {variant!r} "
+                         "(expected 'l1' or 'topk')")
+
+
 def state_dict_from_params(variant: str, params) -> dict:
+    _check_variant(variant)
     torch = _torch()
 
     def t(x):
@@ -47,6 +54,7 @@ def state_dict_from_params(variant: str, params) -> dict:
 
 
 def params_from_state_dict(variant: str, sd: dict):
+    _check_variant(variant)
     def a(key):
         v = sd[key]
         if hasattr(v, "numpy"):
@@ -77,7 +85,19 @@ def save_checkpoint(path: str, state: dict) -> None:
 
 
 def load_checkpoint_file(path: str) -> dict:
-    return _torch().load(path, map_location="cpu", weights_only=False)
+    """torch.load with the safe loader first: the stored payload is tensors
+    plus plain-dict hparams, so ``weights_only=True`` covers this repo's
+    checkpoints (and blocks arbitrary-code pickle payloads from a tampered
+    file). Reference-written checkpoints occasionally carry extra pickled
+    objects in hparams — those fall back to the legacy loader with a
+    warning, preserving interchange."""
+    torch = _torch()
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — pickle.UnpicklingError and friends
+        print(f"warning: {path} needs the legacy (unsafe) pickle loader — "
+              "only load checkpoints you trust")
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def sae_from_checkpoint(path: str) -> tuple[str, Any, int, Any]:

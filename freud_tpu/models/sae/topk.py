@@ -282,11 +282,6 @@ def _forward_impl(params, x, cfg, dead_mask, matmul_dtype):
     return out, fired
 
 
-def forward_with_mse(params, x, cfg, dead_mask=None):
-    out = forward(params, x, cfg, dead_mask)
-    return out, jnp.mean((out.sae_out - x) ** 2)
-
-
 def training_losses(
     params: TopKParams,
     x: jnp.ndarray,

@@ -74,9 +74,45 @@ def plot_means_with_ci(
     plt.close(fig)
 
 
-def main(argv=None):
+def load_samples(csv: str, value_col=None, group_col=None):
+    """→ (long-format df, value_col, group_col).
+
+    The reference's bundled CSV (and its reader, reference
+    plot_polysemantic.py) is WIDE: one row per phoneme — label in the first
+    column, that phoneme's activation samples across the remaining columns
+    (first line blank). With no explicit columns, that layout is detected
+    and melted to long form; otherwise a conventional (group, value) long
+    CSV is read with auto-detected columns."""
     import pandas as pd
 
+    if value_col is None and group_col is None:
+        raw = pd.read_csv(csv, header=None).dropna(how="all")
+        if raw.shape[1] > 2 and not pd.api.types.is_numeric_dtype(
+                raw.iloc[:, 0]):
+            long = raw.melt(id_vars=[0], value_name="activation")
+            long = long.rename(columns={0: "phoneme"})
+            long["activation"] = pd.to_numeric(long["activation"],
+                                               errors="coerce")
+            long = long.dropna(subset=["activation"])
+            return long[["phoneme", "activation"]], "activation", "phoneme"
+
+    df = pd.read_csv(csv)
+    numeric = df.select_dtypes("number").columns
+    non_numeric = [c for c in df.columns if c not in numeric]
+    if value_col is None:
+        if not len(numeric):
+            raise SystemExit(
+                "no numeric column in the CSV — pass --value_col")
+        value_col = numeric[0]
+    if group_col is None:
+        if not non_numeric:
+            raise SystemExit(
+                "no non-numeric column in the CSV — pass --group_col")
+        group_col = non_numeric[0]
+    return df, value_col, group_col
+
+
+def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--csv", default=_DEFAULT_CSV,
                         help="CSV with phoneme-labelled activation samples")
@@ -87,11 +123,8 @@ def main(argv=None):
                         help="Group column (default: first non-numeric column)")
     args = parser.parse_args(argv)
 
-    df = pd.read_csv(args.csv)
-    numeric = df.select_dtypes("number").columns
-    non_numeric = [c for c in df.columns if c not in numeric]
-    value_col = args.value_col or numeric[0]
-    group_col = args.group_col or non_numeric[0]
+    df, value_col, group_col = load_samples(
+        args.csv, args.value_col, args.group_col)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

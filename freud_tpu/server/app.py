@@ -281,10 +281,11 @@ def make_handler(state: GuiState):
                 feat = int(q.get("feature_idx", 0))
                 if not (0 <= feat < state.n_features):
                     # an out-of-range traced index would gather NaNs (jit
-                    # fill mode), not raise — reject up front instead
-                    self.send_error(
-                        400, f"feature_idx {feat} outside "
-                             f"[0, {state.n_features})")
+                    # fill mode), not raise — reject up front instead (JSON
+                    # body: the GUI surfaces {"error": ...} messages)
+                    self._send_json(
+                        {"error": f"feature_idx {feat} outside "
+                                  f"[0, {state.n_features})"}, 400)
                     return
                 args = {
                     "feature_idx": feat,

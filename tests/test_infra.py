@@ -52,3 +52,16 @@ def test_distributed_single_process_noop():
     info = process_info()
     assert info["process_count"] == 1
     assert info["global_devices"] == 8
+
+
+def test_polysemantic_loader_handles_wide_reference_csv():
+    """The bundled reference CSV is WIDE (one row per phoneme, samples
+    across columns, blank first line) — the loader must melt it to
+    many samples per phoneme, not one (the reference reads rows as sample
+    sets)."""
+    from freud_tpu.scripts.plot_polysemantic import _DEFAULT_CSV, load_samples
+
+    df, value_col, group_col = load_samples(_DEFAULT_CSV)
+    counts = df.groupby(group_col)[value_col].count()
+    assert len(counts) >= 5
+    assert counts.min() > 10, "wide CSV collapsed to one sample per phoneme"
