@@ -73,4 +73,8 @@ def mel_filterbank(
     enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
     weights *= enorm.reshape(-1, 1)
 
-    return weights.astype(np.float32)
+    out = weights.astype(np.float32)
+    # the lru_cache hands THIS array to every caller: freeze it so an
+    # in-place mutation can't silently poison every later mel computation
+    out.setflags(write=False)
+    return out

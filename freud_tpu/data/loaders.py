@@ -180,9 +180,18 @@ class FlyActivationLoader:
     def _compute(self, mels, n: int):
         if self.mesh is not None:
             mels = self._device_batch(mels)
+        elif n < self.batch_size:
+            # pad the ragged tail to the bucket shape (one compiled encode
+            # per run — a fresh remote compile costs minutes on the
+            # tunneled TPU); padded rows trim below
+            mels = np.concatenate([
+                np.asarray(mels),
+                np.zeros((self.batch_size - n, *np.shape(mels)[1:]),
+                         np.float32),
+            ])
         with profiling.span("encoder_capture"):
             outs = self._encode_jit(self.runtime.params, self._sae_params(), mels)
-        if self.mesh is not None and n < self.batch_size:
+        if n < self.batch_size:
             outs = tuple(o[:n] for o in outs)
         return outs
 
@@ -207,9 +216,11 @@ class FlyActivationLoader:
                 outs = tuple(np.asarray(o)[ok] for o in outs)
                 filenames = [f for f, good in zip(filenames, ok) if good]
                 lengths = lengths[ok]
-            n_frames = np.minimum(
-                (lengths / SAMPLE_RATE / TIMESTEP_S).astype(np.int64), 1500
-            )
+            from ..analysis.features import activation_length_from_samples
+
+            n_frames = np.asarray(
+                [activation_length_from_samples(int(n)) for n in lengths],
+                np.int64)
             yield (*outs, filenames, n_frames)
 
 

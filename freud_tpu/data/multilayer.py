@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import profiling
@@ -41,7 +42,11 @@ class MultiLayerActivationLoader:
         ``FlyActivationLoader`` does (mel+capture in one sharded jit);
         ``shard=(i, n)`` keeps every n-th file (the multi-host split)."""
         self.layer_names = tuple(layer_names)
-        self.runtime = WhisperRuntime(whisper_model, None)
+        self.runtime = WhisperRuntime(
+            whisper_model, None,
+            compute_dtype=compute_dtype if compute_dtype is not None
+            else jnp.float32,
+        )
         self.mesh = mesh
         self.batch_size = batch_size
         dims = self.runtime.dims
@@ -58,13 +63,16 @@ class MultiLayerActivationLoader:
             self.runtime.params = jax.device_put(
                 self.runtime.params, mesh_lib.replicated(mesh))
 
+        cdt = compute_dtype if compute_dtype is not None else jnp.float32
+
         @jax.jit
         def encode(params, mels):
             if mesh is not None:
                 from ..audio.mel import batched_log_mel
 
                 mels = batched_log_mel(mels, dims.n_mels)
-            _, caps = encoder_forward(params, dims, mels, capture=capture)
+            _, caps = encoder_forward(params, dims, mels, capture=capture,
+                                      compute_dtype=cdt)
             return caps
 
         self._encode = encode
@@ -85,9 +93,18 @@ class MultiLayerActivationLoader:
                 from ..parallel import mesh as mesh_lib
 
                 mels = mesh_lib.pad_and_shard(self.mesh, mels, self.batch_size)
+            elif n < self.batch_size:
+                # pad the ragged tail to the bucket shape — the jitted
+                # encode would otherwise re-trace for the tail (a fresh
+                # remote compile costs minutes on the tunneled TPU)
+                mels = np.concatenate([
+                    np.asarray(mels),
+                    np.zeros((self.batch_size - n, *np.shape(mels)[1:]),
+                             np.float32),
+                ])
             with profiling.span("multilayer_capture"):
                 caps = self._encode(self.runtime.params, mels)
-            if self.mesh is not None and n < self.batch_size:
+            if n < self.batch_size:
                 caps = {k: v[:n] for k, v in caps.items()}
             # per-file decode degrade (shared policy, loaders.decodable_mask):
             # drop undecodable files instead of writing their zero rows +
@@ -97,9 +114,11 @@ class MultiLayerActivationLoader:
                 caps = {k: np.asarray(v)[ok] for k, v in caps.items()}
                 filenames = [f for f, good in zip(filenames, ok) if good]
                 lengths = lengths[ok]
-            n_frames = np.minimum(
-                (lengths / SAMPLE_RATE / TIMESTEP_S).astype(np.int64), 1500
-            )
+            from ..analysis.features import activation_length_from_samples
+
+            n_frames = np.asarray(
+                [activation_length_from_samples(int(n)) for n in lengths],
+                np.int64)
             yield caps, filenames, n_frames
 
 
@@ -112,31 +131,24 @@ def collect_multilayer(
     collect_max: Optional[int] = None,
     verbose: bool = True,
     data_parallel: bool = False,
+    precision: str = "float32",
+    build_index: bool = False,
 ) -> dict:
     """One encoder pass per batch, one reference-format store per layer.
 
     Under ``jax.process_count() > 1`` with ``data_parallel``, the same
-    per-host strided file-shard scheme as single-layer collection applies:
-    each host writes ``<out>/shard<i>`` stores for every layer with its
-    local chips; merge each layer with scripts/merge_stores.py."""
-    import jax
+    per-host strided file-shard scheme as single-layer collection applies
+    (``collection_shard_setup`` — one policy for both paths): each host
+    writes ``<out>/shard<i>`` stores for every layer with its local chips;
+    merge each layer with scripts/merge_stores.py."""
+    from ..scripts.collect_activations import collection_shard_setup
 
-    mesh = None
-    shard = None
-    if data_parallel:
-        from ..parallel.mesh import make_mesh
-
-        if jax.process_count() > 1:
-            from pathlib import Path
-
-            shard = (jax.process_index(), jax.process_count())
-            out_folder = str(Path(out_folder) / f"shard{jax.process_index()}")
-            mesh = make_mesh(devices=jax.local_devices())
-        else:
-            mesh = make_mesh()
+    mesh, shard, out_folder = collection_shard_setup(out_folder, data_parallel)
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     loader = MultiLayerActivationLoader(
         data_path, whisper_model, layer_names, batch_size,
         subset_size=collect_max, mesh=mesh, shard=shard,
+        compute_dtype=compute_dtype,
     )
     writers: dict[str, ActivationStoreWriter] = {}
     n_files = 0
@@ -155,6 +167,13 @@ def collect_multilayer(
                   f"x {len(loader.layer_names)} layers", end="", flush=True)
     for w in writers.values():
         w.close()
+    if shard is None:
+        from .feature_store import (FeatureMajorReader,
+                                    extend_feature_major_index)
+
+        for layer in loader.layer_names:
+            if build_index or FeatureMajorReader.exists(out_folder, layer):
+                extend_feature_major_index(out_folder, layer, verbose=verbose)
     if verbose:
         print()
     return {"n_files": n_files, "layers": list(loader.layer_names)}

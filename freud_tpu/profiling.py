@@ -25,12 +25,17 @@ _counts: dict[str, int] = defaultdict(int)
 @contextlib.contextmanager
 def span(name: str) -> Iterator[None]:
     t0 = time.perf_counter()
-    with jax.profiler.TraceAnnotation(name):
-        yield
-    dt = time.perf_counter() - t0
-    with _lock:
-        _totals[name] += dt
-        _counts[name] += 1
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        # account failed invocations too — a raising stage would otherwise
+        # vanish from the report, under-counting exactly what's being
+        # debugged
+        dt = time.perf_counter() - t0
+        with _lock:
+            _totals[name] += dt
+            _counts[name] += 1
 
 
 def stats() -> dict[str, dict[str, float]]:

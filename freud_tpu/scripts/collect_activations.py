@@ -28,6 +28,28 @@ from ..data.loaders import FlyActivationLoader
 from ..data.store import ActivationStoreWriter
 
 
+def collection_shard_setup(out_folder: str, data_parallel: bool):
+    """(mesh, shard, out_folder) — ONE sharding policy for single- and
+    multi-layer collection. Multi-host (``jax.process_count() > 1``): each
+    host collects a DISJOINT strided file shard with its local chips into
+    ``<out_folder>/shard<i>`` — collection is embarrassingly parallel, so
+    per-host sharding scales linearly with zero cross-host traffic; merge
+    with scripts/merge_stores.py afterwards."""
+    import jax
+
+    if not data_parallel:
+        return None, None, out_folder
+    from ..parallel.mesh import make_mesh
+
+    if jax.process_count() > 1:
+        from pathlib import Path
+
+        shard = (jax.process_index(), jax.process_count())
+        out_folder = str(Path(out_folder) / f"shard{jax.process_index()}")
+        return make_mesh(devices=jax.local_devices()), shard, out_folder
+    return make_mesh(), None, out_folder
+
+
 def get_activations(
     data_path: str,
     layer_name: str,
@@ -47,28 +69,9 @@ def get_activations(
     f32 for reference-tolerance parity. ``data_parallel`` shards every batch
     over the device mesh's data axis (one decode→mel→encoder→SAE pipeline
     per chip; batch_size must divide by the chip count)."""
-    import jax
     import jax.numpy as jnp
 
-    mesh = None
-    shard = None
-    if data_parallel:
-        from ..parallel.mesh import make_mesh
-
-        if jax.process_count() > 1:
-            # multi-host: each host collects a DISJOINT strided file shard
-            # with its local chips into <out_folder>/shard<i> — collection
-            # is embarrassingly parallel, so per-host sharding scales
-            # linearly with hosts and needs zero cross-host traffic; merge
-            # with scripts/merge_stores.py afterwards
-            from pathlib import Path
-
-            shard = (jax.process_index(), jax.process_count())
-            out_folder = str(Path(out_folder) / f"shard{jax.process_index()}")
-            mesh = make_mesh(devices=jax.local_devices())
-        else:
-            mesh = make_mesh()
-
+    mesh, shard, out_folder = collection_shard_setup(out_folder, data_parallel)
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     loader = FlyActivationLoader(
         data_path=data_path,
@@ -145,6 +148,12 @@ def main(argv=None):
         # multi-layer extension: one encoder pass, one store per layer
         from ..data.multilayer import collect_multilayer
 
+        if config.get("sae_model"):
+            raise SystemExit(
+                "multi-layer collection does not support sae_model — "
+                "collect raw activations per layer, then train per-layer "
+                "SAEs (train/sweep.py)"
+            )
         stats = collect_multilayer(
             data_path=config["data_path"],
             layer_names=config["layer_name"],
@@ -153,6 +162,8 @@ def main(argv=None):
             out_folder=config["out_folder"],
             collect_max=config.get("collect_max"),
             data_parallel=bool(config.get("data_parallel", False)),
+            precision=config.get("precision", "float32"),
+            build_index=bool(config.get("build_index", False)),
         )
         print(json.dumps(stats))
         return

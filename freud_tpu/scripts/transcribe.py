@@ -44,6 +44,12 @@ def transcribe_folder(
     {file path: {"text", "words": [{"word", "start", "end"}, …]}} — for every
     decodable audio file under ``data_path`` (undecodable files degrade to a
     per-file error marker, matching the collection pipeline's policy)."""
+    if word_timestamps and (beam_size or fallback):
+        raise SystemExit(
+            "--word_timestamps uses the greedy alignment path and cannot "
+            "combine with --beam_size/--fallback in batch mode (use --long, "
+            "whose per-window ladder composes with word timestamps)"
+        )
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     rt = WhisperRuntime(
         model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
