@@ -48,7 +48,7 @@ def check_mel(audio_path: str) -> bool:
     stft = torch.stft(t, 400, 160, window=torch.hann_window(400),
                       center=True, return_complex=True)
     mag = stft[..., :-1].abs() ** 2
-    mel = torch.from_numpy(np.asarray(mel_filterbank(80))) @ mag
+    mel = torch.from_numpy(np.array(mel_filterbank(80))) @ mag
     log_spec = torch.clamp(mel, min=1e-10).log10()
     log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)
     want = ((log_spec + 4.0) / 4.0).numpy()

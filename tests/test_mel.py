@@ -23,7 +23,7 @@ def _torch_golden_logmel(audio: np.ndarray, n_mels: int) -> np.ndarray:
     window = torch.hann_window(N_FFT)
     stft = torch.stft(x, N_FFT, HOP_LENGTH, window=window, return_complex=True)
     mag = stft[..., :-1].abs() ** 2
-    filters = torch.from_numpy(mel_filterbank(n_mels))
+    filters = torch.from_numpy(mel_filterbank(n_mels).copy())
     mel = filters @ mag
     log_spec = torch.clamp(mel, min=1e-10).log10()
     log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)

@@ -91,7 +91,7 @@ def test_real_audio_mel_matches_torch_oracle(example_flac):
     stft = torch.stft(t, 400, 160, window=window, center=True,
                       return_complex=True)
     mag = stft[..., :-1].abs() ** 2
-    mel = torch.from_numpy(np.asarray(mel_filterbank(80))) @ mag
+    mel = torch.from_numpy(np.array(mel_filterbank(80))) @ mag
     log_spec = torch.clamp(mel, min=1e-10).log10()
     log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)
     want = ((log_spec + 4.0) / 4.0).numpy()
