@@ -57,6 +57,15 @@ def _dense_stats(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx):
 
 
 @jax.jit
+def _dense_stats_only(chunk: jnp.ndarray, n_frames: jnp.ndarray, feature_idx):
+    """``_dense_stats`` without fetching the trace output — for callers that
+    already hold the plane host-side (the feature-major fast path), where
+    transferring the (C, T) trace back over the ~50 MB/s tunnel link would
+    waste ~1 s per 10k-file query."""
+    return _dense_stats(chunk, n_frames, feature_idx)[:4]
+
+
+@jax.jit
 def _densify_indexed(vals: jnp.ndarray, idx: jnp.ndarray, feature_idx):
     """(C, T, k) indexed rows → (C, T) dense trace of one feature
     (``feature_idx`` traced — see ``_dense_stats``)."""
@@ -268,8 +277,8 @@ def _top_activations_indexed_plane(
             nf_dev = jnp.pad(nf_dev, (0, pad))
         chunk, nf_dev = mesh_lib.put_batch(mesh, chunk, nf_dev)
 
-    plain_max, plain_argmax, abs_argmax, signed_at_absmax, _ = (
-        np.asarray(a)[:n] for a in _dense_stats(chunk, nf_dev, 0)
+    plain_max, plain_argmax, abs_argmax, signed_at_absmax = (
+        np.asarray(a)[:n] for a in _dense_stats_only(chunk, nf_dev, 0)
     )
     max_per_file = []
     entries = []

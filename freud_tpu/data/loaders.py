@@ -85,6 +85,12 @@ class FlyActivationLoader:
         self.layer_name = layer_name
         self.runtime = WhisperRuntime(whisper_model, layer_name, compute_dtype=compute_dtype)
         self.batch_size = batch_size
+        # recorded so sequential-scan consumers (analysis.search) can verify
+        # this loader yields the dataset completely and in order: shuffle is
+        # accepted for API parity but never acts (file order stays
+        # deterministic); drop_last genuinely drops the ragged tail batch
+        self.shuffle = False
+        self.drop_last = drop_last
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import mesh as mesh_lib

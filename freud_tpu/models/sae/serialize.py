@@ -84,15 +84,40 @@ def save_checkpoint(path: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
+def _numpy_safe_globals() -> list:
+    """The globals numpy's ndarray/dtype/scalar pickles reconstruct through —
+    this repo's own trainer checkpoints store optimizer leaves and the RNG
+    state as numpy arrays (train/checkpoint.py), which torch's weights_only
+    loader rejects unless these are allowlisted. Data-only reconstructors:
+    allowlisting them keeps arbitrary-code pickle payloads blocked."""
+    try:
+        from numpy._core import multiarray as ma  # numpy >= 2
+    except ImportError:  # pragma: no cover — numpy 1.x
+        from numpy.core import multiarray as ma
+    allow = [np.ndarray, np.dtype, ma._reconstruct, ma.scalar]
+    try:
+        import numpy.dtypes as ndt
+
+        allow += [getattr(ndt, n) for n in dir(ndt) if n.endswith("DType")]
+    except ImportError:  # pragma: no cover — numpy < 1.25
+        pass
+    return allow
+
+
 def load_checkpoint_file(path: str) -> dict:
-    """torch.load with the safe loader first: the stored payload is tensors
-    plus plain-dict hparams, so ``weights_only=True`` covers this repo's
-    checkpoints (and blocks arbitrary-code pickle payloads from a tampered
-    file). Reference-written checkpoints occasionally carry extra pickled
-    objects in hparams — those fall back to the legacy loader with a
-    warning, preserving interchange."""
+    """torch.load with the safe loader first: the stored payload is
+    tensors/ndarrays plus plain-dict hparams, so ``weights_only=True`` with
+    the numpy reconstructors allowlisted covers this repo's checkpoints (and
+    blocks arbitrary-code pickle payloads from a tampered file).
+    Reference-written checkpoints occasionally carry extra pickled objects in
+    hparams — those fall back to the legacy loader with a warning,
+    preserving interchange."""
     torch = _torch()
     try:
+        ser = torch.serialization
+        if hasattr(ser, "safe_globals"):
+            with ser.safe_globals(_numpy_safe_globals()):
+                return torch.load(path, map_location="cpu", weights_only=True)
         return torch.load(path, map_location="cpu", weights_only=True)
     except Exception:  # noqa: BLE001 — pickle.UnpicklingError and friends
         print(f"warning: {path} needs the legacy (unsafe) pickle loader — "

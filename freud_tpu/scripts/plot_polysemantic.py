@@ -87,8 +87,16 @@ def load_samples(csv: str, value_col=None, group_col=None):
 
     if value_col is None and group_col is None:
         raw = pd.read_csv(csv, header=None).dropna(how="all")
-        if raw.shape[1] > 2 and not pd.api.types.is_numeric_dtype(
-                raw.iloc[:, 0]):
+        # the wide layout is headerless, so EVERY column after the label
+        # column parses numeric; a long CSV with a header row leaves string
+        # dtype in those columns (the header strings) — requiring
+        # all-numeric sample columns keeps e.g. 'phoneme,activation,count'
+        # long files out of the wide branch (their extra numeric columns
+        # would otherwise silently melt into the sample pool)
+        if (raw.shape[1] > 2
+                and not pd.api.types.is_numeric_dtype(raw.iloc[:, 0])
+                and all(pd.api.types.is_numeric_dtype(raw[c])
+                        for c in raw.columns[1:])):
             long = raw.melt(id_vars=[0], value_name="activation")
             long = long.rename(columns={0: "phoneme"})
             long["activation"] = pd.to_numeric(long["activation"],

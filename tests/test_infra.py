@@ -65,3 +65,19 @@ def test_polysemantic_loader_handles_wide_reference_csv():
     counts = df.groupby(group_col)[value_col].count()
     assert len(counts) >= 5
     assert counts.min() > 10, "wide CSV collapsed to one sample per phoneme"
+
+
+def test_polysemantic_loader_keeps_long_headered_csv_long(tmp_path):
+    """A conventional long CSV with a header and an EXTRA numeric column
+    ('phoneme,activation,count') must NOT be misdetected as the wide layout —
+    the wide branch would melt the count column into the sample pool."""
+    from freud_tpu.scripts.plot_polysemantic import load_samples
+
+    p = tmp_path / "long.csv"
+    p.write_text(
+        "phoneme,activation,count\n"
+        "AA,0.5,3\nAA,0.7,3\nAA,0.9,3\nIY,1.5,2\nIY,1.1,2\n")
+    df, value_col, group_col = load_samples(str(p))
+    assert value_col == "activation" and group_col == "phoneme"
+    assert len(df) == 5  # wide melt would have produced 10 samples
+    assert df[value_col].max() <= 1.5  # counts did not leak into values

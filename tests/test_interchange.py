@@ -167,3 +167,29 @@ def test_writer_output_is_standard_npy(tmp_path):
     assert arr.shape == (5, 24)
     np.testing.assert_allclose(
         arr, np.concatenate([a, b]).reshape(5, -1), rtol=1e-6)
+
+
+def test_own_trainer_checkpoint_uses_safe_loader(tmp_path, capsys):
+    """This repo's trainer checkpoints carry numpy optimizer leaves and the
+    numpy RNG state; the safe (weights_only) loader must cover them via the
+    numpy-reconstructor allowlist — falling back to the legacy pickle loader
+    (with its warning) would mean the arbitrary-code protection never applies
+    to the main resume/bestval path."""
+    from freud_tpu.models.sae.serialize import load_checkpoint_file
+
+    p = tmp_path / "ckpt.pth"
+    torch.save(
+        {
+            "model": {"w": torch.zeros(2, 2)},
+            "optimizer": [np.zeros(4, np.float32), np.float64(1.5)],
+            "numpy_rng": np.random.RandomState(0).get_state(),
+            "hparams": {"autoencoder_variant": "topk", "n": 1},
+        },
+        p,
+    )
+    capsys.readouterr()
+    out = load_checkpoint_file(str(p))
+    captured = capsys.readouterr()
+    assert "unsafe" not in captured.out, captured.out
+    assert out["hparams"]["n"] == 1
+    np.testing.assert_array_equal(out["optimizer"][0], np.zeros(4))

@@ -245,3 +245,21 @@ def test_absolute_magnitude_time_locates_the_reported_value(tmp_path):
                                        shuffle=True)
     with pytest.raises(ValueError):
         top_activations(bad, 1, 1)
+
+
+def test_fly_loader_drop_last_rejected(tmp_path):
+    """The sequential-scan guard must actually see FlyActivationLoader's
+    drop_last: with drop_last=True the tail files would silently never be
+    scanned (the guard once read a missing attribute and passed)."""
+    from tests.test_store import _write_wavs
+    from freud_tpu.data.loaders import FlyActivationLoader
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_wavs(audio_dir, 3, seconds=0.2)
+    loader = FlyActivationLoader(
+        str(audio_dir), "test:tiny", None, "encoder.blocks.0",
+        batch_size=2, drop_last=True,
+    )
+    with pytest.raises(ValueError, match="drop_last"):
+        top_activations(loader, 0, 2)
