@@ -1,0 +1,522 @@
+"""Differential parity against the reference's OWN torch code (oracle tests).
+
+The rest of the suite pins freud_tpu against the reference's *published
+rules* (re-derived specs, golden files, synthetic fixtures). These tests are
+stronger: they execute ksadov/FREUD's actual SAE modules
+(src/models/l1autoencoder.py, src/models/topkautoencoder.py — torch, CPU)
+side by side with freud_tpu on IDENTICAL weights and inputs, and require
+numerical agreement of
+
+  - forward outputs and every loss term,
+  - parameter gradients (torch autograd vs our hand-written VJPs),
+  - full optimizer trajectories (torch RAdam/Adam + clip + LR schedules vs
+    the optax chain), and
+  - multi-step trainer runs (reference train loop semantics
+    src/scripts/train_sae.py:425-452 vs SAETrainer's donated-jit step).
+
+The reference tree is read-only and optional: everything here skips cleanly
+when /root/reference is absent, so the suite still runs outside this
+sandbox. Two inert import stubs (``simple_parsing``, ``whisper``) satisfy
+reference imports not present in this environment; they are removed again in
+fixture teardown so the asset-gated real-weights suite's ``find_spec``
+detection is unaffected. Nothing from the reference is copied — its code is
+executed in place as a test oracle only.
+"""
+
+from __future__ import annotations
+
+import importlib.machinery
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE
+
+torch = pytest.importorskip("torch")
+
+_REF_SRC = os.path.join(REFERENCE, "src", "models")
+
+
+def _install_stub(name: str, attrs: dict | None = None) -> bool:
+    """Register an inert module stub; returns True if WE added it."""
+    if name in sys.modules:
+        return False
+
+    class _Stub(types.ModuleType):
+        def __getattr__(self, key):
+            if key.startswith("__"):
+                raise AttributeError(key)
+            return _Stub(self.__name__ + "." + key)
+
+    mod = _Stub(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for key, val in (attrs or {}).items():
+        setattr(mod, key, val)
+    sys.modules[name] = mod
+    return True
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """The reference SAE modules, imported from /root/reference in place."""
+    if not os.path.isdir(_REF_SRC):
+        pytest.skip("reference tree unavailable")
+    added = []
+    if _install_stub("simple_parsing", {"Serializable": type("Serializable", (), {})}):
+        added.append("simple_parsing")
+    if _install_stub("whisper"):
+        added.append("whisper")
+    path_added = REFERENCE not in sys.path
+    if path_added:
+        sys.path.insert(0, REFERENCE)
+    try:
+        from src.models import l1autoencoder as ref_l1
+        from src.models import topkautoencoder as ref_topk
+
+        yield types.SimpleNamespace(l1=ref_l1, topk=ref_topk)
+    finally:
+        if path_added:
+            sys.path.remove(REFERENCE)
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+# --------------------------------------------------------------------- L1
+
+
+def _make_ref_l1(ref, d_act=24, n_dict=40, recon_alpha=11.0, seed=0):
+    torch.manual_seed(seed)
+    cfg = ref.l1.L1AutoEncoderConfig(
+        n_dict_components=n_dict, recon_alpha=recon_alpha
+    )
+    model = ref.l1.L1AutoEncoder(d_act, cfg)
+    with torch.no_grad():
+        model.encoder_bias.copy_(0.05 * torch.randn(n_dict))
+    return model, cfg
+
+
+def _l1_params_from_ref(model):
+    from freud_tpu.models.sae import L1Params
+    import jax.numpy as jnp
+
+    return L1Params(
+        W=jnp.asarray(model.decoder.weight.detach().numpy().copy()),
+        encoder_bias=jnp.asarray(model.encoder_bias.detach().numpy().copy()),
+    )
+
+
+def test_l1_forward_matches_reference(ref):
+    """Same weights + input → same latent, sae_out, and both loss terms as
+    the reference forward (l1autoencoder.py:69-95), including the in-place
+    decoder-column renormalization at encode time."""
+    from freud_tpu.models.sae import L1AutoEncoderConfig, l1 as l1_mod
+
+    model, _ = _make_ref_l1(ref)
+    params = _l1_params_from_ref(model)
+    cfg = L1AutoEncoderConfig(n_dict_components=40, recon_alpha=11.0)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 7, 24)).astype(np.float32)
+
+    ref_out = model(torch.from_numpy(x))
+    out = l1_mod.forward(params, x, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(out.encoded.latent),
+        ref_out.encoded.latent.detach().numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.sae_out), ref_out.sae_out.detach().numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(out.l1_loss), ref_out.l1_loss.item(), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out.reconstruction_loss), ref_out.reconstruction_loss.item(),
+        rtol=1e-5)
+
+
+def test_l1_gradients_match_reference(ref):
+    """∂(recon+l1)/∂{W, bias} via torch autograd on the reference model ==
+    our grads w.r.t. the normalized parameters (the reference's ``.data``
+    mutation makes the normalized weight the autograd leaf — trainer.py
+    mirrors that by normalizing OUTSIDE the differentiated function)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freud_tpu.models.sae import L1AutoEncoderConfig, l1 as l1_mod
+
+    model, _ = _make_ref_l1(ref)
+    cfg = L1AutoEncoderConfig(n_dict_components=40, recon_alpha=11.0)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 9, 24)).astype(np.float32)
+
+    ref_out = model(torch.from_numpy(x))
+    (ref_out.reconstruction_loss + ref_out.l1_loss).backward()
+    # after forward, model.decoder.weight.data HAS been normalized — grads
+    # are w.r.t. that leaf
+    ref_dW = model.decoder.weight.grad.numpy()
+    ref_db = model.encoder_bias.grad.numpy()
+
+    params = l1_mod.normalize_columns(_l1_params_from_ref(model))
+
+    def loss_fn(p):
+        out = l1_mod.forward(p, jnp.asarray(x), cfg, pre_normalized=True)
+        return out.reconstruction_loss + out.l1_loss
+
+    grads = jax.grad(loss_fn)(params)
+    np.testing.assert_allclose(np.asarray(grads.W), ref_dW, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads.encoder_bias), ref_db, rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------------------- TopK
+
+
+def _make_ref_topk(ref, d_act=20, n_dict=96, k=4, auxk_alpha=1 / 32,
+                   multi_topk=False, seed=0):
+    torch.manual_seed(seed)
+    cfg = ref.topk.TopKAutoEncoderConfig(
+        n_dict_components=n_dict, k=k, auxk_alpha=auxk_alpha,
+        multi_topk=multi_topk,
+    )
+    model = ref.topk.TopKAutoEncoder(d_act, cfg)
+    with torch.no_grad():
+        model.encoder.bias.copy_(0.05 * torch.randn(n_dict))
+        model.b_dec.copy_(0.05 * torch.randn(d_act))
+    return model, cfg
+
+
+def _topk_params_from_ref(model):
+    import jax.numpy as jnp
+
+    from freud_tpu.models.sae import TopKParams
+
+    return TopKParams(
+        encoder_weight=jnp.asarray(model.encoder.weight.detach().numpy().copy()),
+        encoder_bias=jnp.asarray(model.encoder.bias.detach().numpy().copy()),
+        W_dec=jnp.asarray(model.W_dec.detach().numpy().copy()),
+        b_dec=jnp.asarray(model.b_dec.detach().numpy().copy()),
+    )
+
+
+def _topk_batch(d_act, rows=(2, 8), seed=3):
+    # a mild positive shift keeps ≥ k latents strictly positive per frame, so
+    # the reference's exact-k topk and our ≥-threshold selection pick the
+    # same set (ties on post-ReLU zeros decode to zero either way, but the
+    # reference's did_fire WOULD see them — keep the comparison clean)
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((*rows, d_act)) * 0.7 + 0.15).astype(np.float32)
+
+
+@pytest.mark.parametrize("num_dead,multi_topk", [
+    (0, False),        # no dead latents → auxk term inert
+    (48, False),       # num_dead > k_aux (= d_in//2 = 10)
+    (6, False),        # num_dead < k_aux → reference shrinks k_aux
+    (48, True),        # multi-topk live
+])
+def test_topk_forward_matches_reference(ref, num_dead, multi_topk):
+    """forward (topkautoencoder.py:93-151): fvu, scaled auxk, multi-topk fvu
+    and sae_out must match the reference's gather/scatter formulation — ours
+    decodes via threshold-masked dense matmuls instead (no TPU scatter)."""
+    from freud_tpu.models.sae import TopKAutoEncoderConfig, topk as topk_mod
+
+    model, _ = _make_ref_topk(ref, multi_topk=multi_topk)
+    params = _topk_params_from_ref(model)
+    cfg = TopKAutoEncoderConfig(
+        n_dict_components=96, k=4, auxk_alpha=1 / 32, multi_topk=multi_topk)
+
+    x = _topk_batch(20)
+    if num_dead:
+        dead = np.zeros(96, bool)
+        dead[np.random.default_rng(4).choice(96, num_dead, replace=False)] = True
+        ref_out = model(torch.from_numpy(x), dead_mask=torch.from_numpy(dead))
+        out = topk_mod.forward(params, x, cfg, dead_mask=dead)
+    else:
+        ref_out = model(torch.from_numpy(x))
+        out = topk_mod.forward(params, x, cfg)
+
+    if multi_topk:
+        # reference quirk (topkautoencoder.py:135-139): under multi_topk the
+        # local ``sae_out`` is overwritten by the 4k decode before the output
+        # tuple is built, so forward().sae_out is the multi-topk decode even
+        # though fvu and return_mse are computed from the top-k decode. No
+        # reference pipeline reads .sae_out under multi_topk (validate uses
+        # return_mse), so freud_tpu keeps sae_out = top-k decode; compare
+        # against the reference's own encode→decode instead.
+        ref_sae_out = model.decode(*model.encode(torch.from_numpy(x)))
+    else:
+        ref_sae_out = ref_out.sae_out
+    np.testing.assert_allclose(
+        np.asarray(out.sae_out), ref_sae_out.detach().numpy(),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(out.fvu), ref_out.fvu.item(), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out.auxk_loss), ref_out.auxk_loss.item(), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(
+        float(out.multi_topk_fvu), ref_out.multi_topk_fvu.item(), rtol=1e-5,
+        atol=1e-7)
+
+
+@pytest.mark.parametrize("multi_topk", [False, True])
+def test_topk_training_gradients_match_reference(ref, multi_topk):
+    """∂(fvu + auxk + multi/8)/∂params (the reference train loss,
+    train_sae.py:441) — torch autograd through topk/scatter vs our
+    training_losses: the hand-written VJP (multi_topk=False) and the
+    XLA-autodiff threshold formulation (multi_topk=True)."""
+    import jax
+
+    from freud_tpu.models.sae import TopKAutoEncoderConfig, topk as topk_mod
+
+    model, _ = _make_ref_topk(ref, multi_topk=multi_topk)
+    cfg = TopKAutoEncoderConfig(
+        n_dict_components=96, k=4, auxk_alpha=1 / 32, multi_topk=multi_topk)
+    params = _topk_params_from_ref(model)
+
+    x = _topk_batch(20, rows=(3, 6), seed=5)
+    dead = np.zeros(96, bool)
+    dead[np.random.default_rng(6).choice(96, 40, replace=False)] = True
+
+    ref_out = model(torch.from_numpy(x), dead_mask=torch.from_numpy(dead))
+    ref_loss = ref_out.fvu + ref_out.auxk_loss + ref_out.multi_topk_fvu / 8
+    ref_loss.backward()
+    ref_grads = {
+        "encoder_weight": model.encoder.weight.grad.numpy(),
+        "encoder_bias": model.encoder.bias.grad.numpy(),
+        "W_dec": model.W_dec.grad.numpy(),
+        "b_dec": model.b_dec.grad.numpy(),
+    }
+
+    def loss_fn(p):
+        # keep x in its (b, s, d) shape: total_variance subtracts the mean
+        # over axis 0, so reshaping here would silently change the loss scale
+        terms, _ = topk_mod.training_losses(p, x, cfg, jax.numpy.asarray(dead))
+        return terms["fvu"] + terms["auxk_loss"] + terms["multi_topk_fvu"] / 8
+
+    grads = jax.grad(loss_fn)(params)
+    for name, ref_g in ref_grads.items():
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads, name)), ref_g, rtol=5e-4, atol=5e-5,
+            err_msg=f"grad mismatch: {name} (multi_topk={multi_topk})")
+
+
+def test_topk_maintenance_ops_match_reference(ref):
+    """set_decoder_norm_to_unit_norm + remove_gradient_parallel_to_decoder_
+    directions (topkautoencoder.py:154-180) against our pure versions."""
+    from freud_tpu.models.sae import topk as topk_mod
+
+    model, _ = _make_ref_topk(ref)
+    params = _topk_params_from_ref(model)
+    rng = np.random.default_rng(7)
+    grad = rng.standard_normal(model.W_dec.shape).astype(np.float32)
+
+    model.W_dec.grad = torch.from_numpy(grad.copy())
+    model.remove_gradient_parallel_to_decoder_directions()
+    ours = topk_mod.remove_gradient_parallel_to_decoder_directions(
+        params.W_dec, grad)
+    np.testing.assert_allclose(
+        np.asarray(ours), model.W_dec.grad.numpy(), rtol=1e-5, atol=1e-6)
+
+    with torch.no_grad():
+        model.W_dec.mul_(3.7)
+    model.set_decoder_norm_to_unit_norm()
+    scaled = topk_mod.set_decoder_norm_to_unit_norm(params.W_dec * 3.7)
+    np.testing.assert_allclose(
+        np.asarray(scaled), model.W_dec.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+# -------------------------------------------------- optimizers / schedules
+
+
+@pytest.mark.parametrize("opt_name,sched_name", [
+    ("radam", "cosine"),
+    ("adam", "linear"),
+])
+def test_optimizer_trajectory_matches_torch(opt_name, sched_name):
+    """30 updates with identical gradient sequences: the optax chain (clip →
+    RAdam/Adam → schedule) must track torch's RAdam(eps=1e-5)/Adam +
+    clip_grad_norm_ + CosineAnnealingLR / linear-warmup stepping order
+    (optimizer.step() then scheduler.step(), train_sae.py:448-451) —
+    including RAdam's rectification warmup, where early steps fall back to
+    un-adapted SGD-with-momentum."""
+    import jax.numpy as jnp
+
+    from freud_tpu.train.optim import make_optimizer
+
+    steps, lr = 30, 0.03
+    shapes = [(8, 4), (6,)]
+    rng = np.random.default_rng(8)
+    init = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+    grads = [
+        [rng.standard_normal(s).astype(np.float32) * 3.0 for s in shapes]
+        for _ in range(steps)
+    ]
+
+    # ---- torch trajectory (the reference's exact construction)
+    t_params = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in init]
+    if opt_name == "radam":
+        t_opt = torch.optim.RAdam(t_params, eps=1e-5, lr=lr, weight_decay=0.0)
+        t_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            t_opt, T_max=steps, eta_min=0)
+    else:
+        t_opt = torch.optim.Adam(t_params, lr=lr)
+        from torch.optim.lr_scheduler import LambdaLR
+
+        warmup = 5
+
+        def lr_lambda(current_step):  # transformers' linear schedule
+            if current_step < warmup:
+                return float(current_step) / float(max(1, warmup))
+            return max(
+                0.0,
+                float(steps - current_step) / float(max(1, steps - warmup)))
+
+        t_sched = LambdaLR(t_opt, lr_lambda)
+    for g in grads:
+        t_opt.zero_grad()
+        for p, gi in zip(t_params, g):
+            p.grad = torch.from_numpy(gi.copy())
+        torch.nn.utils.clip_grad_norm_(t_params, 1.0)
+        t_opt.step()
+        t_sched.step()
+
+    # ---- optax trajectory
+    tx, _ = make_optimizer(
+        opt_name, sched_name, lr, steps, clip_thresh=1.0,
+        scheduler_params={"num_warmup_steps": 5},
+    )
+    params = [jnp.asarray(p) for p in init]
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update([jnp.asarray(gi) for gi in g], state, params)
+        params = [p + u for p, u in zip(params, updates)]
+
+    for ours, theirs in zip(params, t_params):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------- full train loops
+
+
+def test_l1_trainer_tracks_reference_loop(ref):
+    """Five full steps: SAETrainer's donated-jit L1 step vs a hand-rolled
+    torch loop over the reference model with the reference's optimizer,
+    clip, and scheduler — final parameters must agree."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    d_act, n_dict, steps = 24, 40, 5
+    model, _ = _make_ref_l1(ref, d_act=d_act, n_dict=n_dict, recon_alpha=11.0)
+    t_opt = torch.optim.RAdam(
+        model.parameters(), eps=1e-5, lr=1e-3, weight_decay=0.0)
+    t_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        t_opt, T_max=100, eta_min=0)
+
+    trainer = SAETrainer(
+        "l1", {"n_dict_components": n_dict, "recon_alpha": 11.0}, d_act,
+        optimizer="radam", scheduler="cosine", lr=1e-3, steps=100,
+        clip_thresh=1.0, amp=False,
+    )
+    trainer.params = _l1_params_from_ref(model)
+
+    rng = np.random.default_rng(9)
+    losses, ref_losses = [], []
+    for _ in range(steps):
+        x = rng.standard_normal((2, 12, d_act)).astype(np.float32)
+
+        t_opt.zero_grad()
+        out = model(torch.from_numpy(x))
+        t_loss = out.reconstruction_loss + out.l1_loss
+        t_loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        t_opt.step()
+        t_sched.step()
+        ref_losses.append(t_loss.item())
+
+        metrics = trainer.train_step(x)
+        losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    # the reference leaves the stored weight normalized after its last
+    # forward; normalize ours for the comparison
+    from freud_tpu.models.sae import l1 as l1_mod
+
+    final = l1_mod.normalize_columns(trainer.params)
+    with torch.no_grad():
+        ref_w = torch.nn.functional.normalize(model.decoder.weight, dim=0)
+    np.testing.assert_allclose(
+        np.asarray(final.W), ref_w.numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(final.encoder_bias), model.encoder_bias.detach().numpy(),
+        rtol=5e-4, atol=5e-5)
+
+
+def test_topk_trainer_tracks_reference_loop(ref):
+    """Five full steps of the TopK recipe, dead-feature counters live
+    (dead_feature_threshold=0 → AuxK active from step 2): SAETrainer vs the
+    reference loop (train_sae.py:425-452, including did_fire → counter
+    reset semantics). Final params and per-step losses must agree."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    d_act, n_dict, k, steps = 20, 96, 4, 5
+    model, _ = _make_ref_topk(ref, d_act=d_act, n_dict=n_dict, k=k)
+    t_opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    warmup, total = 2, 100
+    from torch.optim.lr_scheduler import LambdaLR
+
+    t_sched = LambdaLR(
+        t_opt,
+        lambda s: (s / warmup if s < warmup
+                   else max(0.0, (total - s) / (total - warmup))))
+
+    trainer = SAETrainer(
+        "topk",
+        {"n_dict_components": n_dict, "k": k, "auxk_alpha": 1 / 32,
+         "dead_feature_threshold": 0.0},
+        d_act,
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": warmup},
+        lr=1e-3, steps=total, clip_thresh=1.0, amp=False,
+    )
+    trainer.params = _topk_params_from_ref(model)
+
+    counters = torch.zeros(n_dict)
+    rng = np.random.default_rng(10)
+    losses, ref_losses = [], []
+    for _ in range(steps):
+        x = _topk_batch(d_act, rows=(2, 10), seed=int(rng.integers(1 << 30)))
+
+        dead = counters > 0.0
+        did_fire = torch.zeros(n_dict, dtype=torch.bool)
+        t_opt.zero_grad()
+        out = model(
+            torch.from_numpy(x),
+            dead_mask=dead if int(dead.sum()) else None)
+        t_loss = out.fvu + out.auxk_loss + out.multi_topk_fvu / 8
+        t_loss.backward()
+        did_fire[out.encoded.top_indices.flatten()] = True
+        counters += x.shape[0] * x.shape[1]
+        counters[did_fire] = 0
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        t_opt.step()
+        t_sched.step()
+        ref_losses.append(t_loss.item())
+
+        metrics = trainer.train_step(x)
+        losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-4)
+    final = trainer.params
+    np.testing.assert_allclose(
+        np.asarray(final.encoder_weight), model.encoder.weight.detach().numpy(),
+        rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(final.W_dec), model.W_dec.detach().numpy(),
+        rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(final.b_dec), model.b_dec.detach().numpy(),
+        rtol=5e-4, atol=5e-5)
