@@ -51,6 +51,12 @@ from .optim import make_optimizer
 N_TRANSCRIPTS = 4
 
 
+def _to_torch(arr: np.ndarray):
+    from ..models.sae.serialize import _torch
+
+    return _torch().from_numpy(np.asarray(arr).copy())
+
+
 def set_seeds(seed: int = 42) -> None:
     np.random.seed(seed)
     random.seed(seed)
@@ -304,7 +310,10 @@ class SAETrainer:
             path, self.variant, jax.device_get(self.params),
             jax.device_get(self.opt_state), self.step, self.best_val_loss, hparams,
             extra={
-                "num_frames_since_fired": np.asarray(self.num_frames_since_fired),
+                # torch-typed so the whole .pth stays weights_only-loadable
+                # (checkpoint.opt_state_to_leaves has the full rationale)
+                "num_frames_since_fired": _to_torch(
+                    np.asarray(self.num_frames_since_fired)),
             },
         )
 

@@ -25,6 +25,7 @@ executed in place as a test oracle only.
 
 from __future__ import annotations
 
+import dataclasses
 import importlib.machinery
 import os
 import sys
@@ -520,3 +521,133 @@ def test_topk_trainer_tracks_reference_loop(ref):
     np.testing.assert_allclose(
         np.asarray(final.b_dec), model.b_dec.detach().numpy(),
         rtol=5e-4, atol=5e-5)
+
+
+# ------------------------------------------------- artifact interchange
+
+
+@pytest.fixture(scope="module")
+def ref_ds(ref):
+    """The reference's store-reading code (src/dataset/activations.py),
+    imported in place. Depends on ``ref`` so the stubs/path are live."""
+    from src.dataset import activations as ref_acts
+
+    return ref_acts
+
+
+def test_reference_reads_our_dense_store(ref_ds, tmp_path):
+    """A dense store written by ActivationStoreWriter must be readable by
+    the reference's MemoryMappedActivationsDataset byte-for-byte
+    (src/dataset/activations.py:117-175): same tensors, filenames, length,
+    and activation_shape — including rows appended across two flushes."""
+    from freud_tpu.data.store import ActivationStoreReader, ActivationStoreWriter
+
+    layer, T, d = "encoder.blocks.2", 12, 8
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((5, T, d)).astype(np.float32)
+    names = [f"clip_{i}.flac" for i in range(5)]
+    with ActivationStoreWriter(tmp_path, layer, (T, d), (T, d)) as w:
+        w.append_batch(names[:3], data[:3], n_frames=[T, T - 2, T])
+        w.flush()  # exercise the append-grown NPY header across a flush
+        w.append_batch(names[3:], data[3:], n_frames=[T - 5, T])
+
+    ds = ref_ds.MemoryMappedActivationsDataset(str(tmp_path), layer)
+    assert len(ds) == 5
+    assert ds.activation_type == "tensor"
+    assert list(ds.activation_shape) == [T, d]
+    ours = ActivationStoreReader(tmp_path, layer)
+    for i in range(5):
+        tensor, fname = ds[i]
+        assert fname == names[i]
+        np.testing.assert_array_equal(tensor.numpy(), data[i])
+        our_tensor, our_name = ours[i]
+        np.testing.assert_array_equal(tensor.numpy(), our_tensor)
+        assert our_name == fname
+
+
+def test_reference_reads_our_indexed_store(ref_ds, tmp_path):
+    """Indexed (TopK) layout: the reference autodetects it from the absence
+    of {layer}_tensors.npy and reads value/index planes separately."""
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    layer, T, k = "encoder.blocks.3", 9, 4
+    rng = np.random.default_rng(12)
+    vals = rng.standard_normal((4, T, k)).astype(np.float32)
+    idx = rng.integers(0, 640, size=(4, T, k)).astype(np.int64)
+    names = [f"f{i}.wav" for i in range(4)]
+    with ActivationStoreWriter(
+        tmp_path, layer, (T, k), (T, 640), indexed=True
+    ) as w:
+        w.append_batch(names, vals, idx, n_frames=[T] * 4)
+
+    ds = ref_ds.MemoryMappedActivationsDataset(str(tmp_path), layer)
+    assert ds.activation_type == "indexed"
+    assert len(ds) == 4
+    for i in range(4):
+        act, indices, fname = ds[i]
+        assert fname == names[i]
+        np.testing.assert_array_equal(act.numpy(), vals[i])
+        np.testing.assert_array_equal(indices.numpy(), idx[i])
+
+
+@pytest.mark.parametrize("variant", ["l1", "topk"])
+def test_reference_module_loads_our_trainer_checkpoint(ref, tmp_path, variant):
+    """End-to-end checkpoint interchange THROUGH the reference's own code
+    path: a stock ``torch.load(path, map_location=...)`` — torch ≥ 2.6
+    defaults weights_only=True, so every leaf we write must be
+    weights_only-safe (src/dataset/activations.py:19) — followed by
+    ``load_state_dict(strict=True)`` into the reference nn.Module, then a
+    forward agreement check against our own params."""
+    from freud_tpu.models.sae import (
+        L1AutoEncoderConfig, TopKAutoEncoderConfig, init_l1, init_topk,
+        l1 as l1_mod, topk as topk_mod,
+    )
+    from freud_tpu.train.checkpoint import save_trainer_checkpoint
+
+    d_act = 16
+    if variant == "l1":
+        cfg = L1AutoEncoderConfig(n_dict_components=24, recon_alpha=7.0)
+        params = init_l1(d_act, cfg, seed=3)
+    else:
+        cfg = TopKAutoEncoderConfig(n_dict_components=48, k=4, auxk_alpha=0.0)
+        params = init_topk(d_act, cfg, seed=3)
+
+    path = tmp_path / "ckpt.pth"
+    hparams = {
+        "autoencoder_variant": variant,
+        "autoencoder_config": dataclasses.asdict(cfg),
+        "activation_size": d_act,
+    }
+    save_trainer_checkpoint(
+        str(path), variant, params, opt_state=(), step=7,
+        best_val_loss=1.25, hparams=hparams)
+
+    # the reference's exact load call (init_sae_from_checkpoint line 19):
+    # stock torch.load, no weights_only escape hatch
+    ckpt = torch.load(str(path), map_location="cpu")
+    assert ckpt["hparams"]["autoencoder_variant"] == variant
+    assert ckpt["hparams"]["activation_size"] == d_act
+    assert ckpt["step"] == 7
+
+    x = np.random.default_rng(13).standard_normal((2, 5, d_act)).astype(np.float32)
+    if variant == "l1":
+        ref_cfg = ref.l1.L1AutoEncoderConfig(n_dict_components=24, recon_alpha=7.0)
+        model = ref.l1.L1AutoEncoder(d_act, ref_cfg)
+        model.load_state_dict(ckpt["model"], strict=True)
+        model.eval()
+        ref_out = model(torch.from_numpy(x))
+        out = l1_mod.forward(params, x, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.sae_out), ref_out.sae_out.detach().numpy(),
+            rtol=1e-5, atol=1e-5)
+    else:
+        ref_cfg = ref.topk.TopKAutoEncoderConfig(
+            n_dict_components=48, k=4, auxk_alpha=0.0)
+        model = ref.topk.TopKAutoEncoder(d_act, ref_cfg)
+        model.load_state_dict(ckpt["model"], strict=True)
+        model.eval()
+        ref_out = model(torch.from_numpy(x))
+        out = topk_mod.forward(params, x, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.sae_out), ref_out.sae_out.detach().numpy(),
+            rtol=1e-5, atol=1e-5)
