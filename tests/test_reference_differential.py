@@ -651,3 +651,122 @@ def test_reference_module_loads_our_trainer_checkpoint(ref, tmp_path, variant):
         np.testing.assert_allclose(
             np.asarray(out.sae_out), ref_out.sae_out.detach().numpy(),
             rtol=1e-5, atol=1e-5)
+
+
+# -------------------------------------------------------- search oracle
+
+
+@pytest.fixture(scope="module")
+def ref_search(ref):
+    """The reference's search code (src/utils/activations.py). Its
+    trim_activation reads audio durations through torchaudio, which is not
+    in this environment — a faithful WAV-backed shim (stdlib ``wave``)
+    provides exactly the two calls it makes: load()[0] → (channels, n)
+    float tensor, and info().sample_rate."""
+    import wave as wave_mod
+
+    class _Info:
+        def __init__(self, sample_rate):
+            self.sample_rate = sample_rate
+
+    def _load(path):
+        with wave_mod.open(path, "rb") as w:
+            frames = w.readframes(w.getnframes())
+            arr = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
+            arr = arr.reshape(-1, w.getnchannels()).T
+            return torch.from_numpy(arr.copy()), w.getframerate()
+
+    def _info(path):
+        with wave_mod.open(path, "rb") as w:
+            return _Info(w.getframerate())
+
+    added = _install_stub("torchaudio")
+    sys.modules["torchaudio"].load = _load
+    sys.modules["torchaudio"].info = _info
+    try:
+        from src.utils import activations as ref_search_mod
+
+        yield ref_search_mod
+    finally:
+        if added:
+            sys.modules.pop("torchaudio", None)
+
+
+@pytest.fixture(scope="module")
+def search_store(tmp_path_factory):
+    """A dense store + matching WAV files with NON-UNIFORM durations, so the
+    per-file trim actually changes which frame wins."""
+    import wave as wave_mod
+
+    from freud_tpu.constants import TIMESTEP_S
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    root = tmp_path_factory.mktemp("search_oracle")
+    audio_dir = root / "audio"
+    audio_dir.mkdir()
+    layer, T, d, n = "encoder.blocks.1", 40, 6, 8
+    rng = np.random.default_rng(21)
+    durations = rng.uniform(0.2, T * TIMESTEP_S, size=n)
+    names, n_frames = [], []
+    for i, dur in enumerate(durations):
+        path = str(audio_dir / f"clip{i}.wav")
+        samples = int(dur * 16000)
+        with wave_mod.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(
+                (rng.standard_normal(samples) * 1000).astype(np.int16).tobytes())
+        names.append(path)
+        n_frames.append(int((samples / 16000) / TIMESTEP_S))
+    data = rng.standard_normal((n, T, d)).astype(np.float32)
+    with ActivationStoreWriter(root, layer, (T, d), (T, d)) as w:
+        w.append_batch(names, data, n_frames=n_frames)
+    return types.SimpleNamespace(root=root, layer=layer, names=names,
+                                 n_frames=n_frames, data=data, T=T, d=d)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(feature_idx=2, n_files=4),
+    dict(feature_idx=0, n_files=3, min_val=-0.5, max_val=1.2),
+    dict(feature_idx=4, n_files=5, absolute_magnitude=True),
+])
+def test_search_matches_reference(ref_search, search_store, kwargs):
+    """top_activations vs the reference's scan (utils/activations.py:60-133)
+    over the SAME store and audio files: result ordering, file identity,
+    max values, trimmed traces, report times, and the max-per-file
+    histogram list. One documented divergence: in absolute_magnitude mode
+    the reference reports the time of the SIGNED argmax while returning the
+    absolute max value (its trimmed_activation.argmax() is not abs'd —
+    line 120-121); freud_tpu reports the time of the value it returns, so
+    times are only compared in plain mode."""
+    from freud_tpu.analysis.search import top_activations
+    from freud_tpu.data.loaders import MemoryMappedActivationLoader
+
+    s = search_store
+    ref_loader = ref_search.MemoryMappedActivationDataLoader(
+        str(s.root), s.layer, batch_size=3, dl_max_workers=0)
+    ref_results, ref_maxes = ref_search.top_activations(
+        ref_loader,
+        kwargs["feature_idx"], kwargs["n_files"],
+        kwargs.get("max_val"), kwargs.get("min_val"),
+        kwargs.get("absolute_magnitude", False),
+        True,
+    )
+
+    loader = MemoryMappedActivationLoader(str(s.root), s.layer, batch_size=3)
+    results, maxes = top_activations(
+        loader, return_max_per_file=True, **kwargs)
+
+    assert len(results) == len(ref_results)
+    for ours, theirs in zip(results, ref_results):
+        fname, trace, value, time_s = ours
+        ref_fname, ref_trace, ref_value, ref_time = theirs
+        assert fname == ref_fname
+        np.testing.assert_allclose(value, ref_value, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(trace), ref_trace.numpy(), rtol=1e-6)
+        if not kwargs.get("absolute_magnitude"):
+            np.testing.assert_allclose(time_s, ref_time, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(maxes), np.asarray(ref_maxes),
+                               rtol=1e-6)
