@@ -770,3 +770,43 @@ def test_search_matches_reference(ref_search, search_store, kwargs):
             np.testing.assert_allclose(time_s, ref_time, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(maxes), np.asarray(ref_maxes),
                                rtol=1e-6)
+
+
+# ----------------------------------------------------------- mel oracle
+
+
+@pytest.fixture(scope="module")
+def ref_audio_utils(ref):
+    from src.utils import audio_utils as ref_audio
+
+    return ref_audio
+
+
+def test_mel_matches_reference_on_speech(ref_audio_utils, example_flac):
+    """get_mels_from_np_array (audio_utils.py:117-123, its own torch.stft +
+    bundled filterbank + whisper epilogue) vs our framed-matmul DFT on the
+    real speech clip — the exact array every reference pipeline feeds the
+    encoder."""
+    from freud_tpu.audio.decode import load_audio
+    from freud_tpu.audio.mel import mels_from_array
+
+    audio = load_audio(example_flac)
+    ref_mels = ref_audio_utils.get_mels_from_np_array("cpu", audio, 80)
+    ours = mels_from_array(audio, 80)
+    assert tuple(ours.shape) == tuple(ref_mels.shape) == (80, 3000)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_mels.numpy(), atol=3e-4, rtol=0)
+
+
+def test_mel_matches_reference_on_noise(ref_audio_utils):
+    """Same comparison on short noise (exercises the pad path: 1.7 s →
+    padded to 30 s; the dynamic-range floor then depends on the global max,
+    so agreement here pins the epilogue ordering too)."""
+    from freud_tpu.audio.mel import mels_from_array
+
+    rng = np.random.default_rng(30)
+    audio = (rng.standard_normal(int(1.7 * 16000)) * 0.2).astype(np.float32)
+    ref_mels = ref_audio_utils.get_mels_from_np_array("cpu", audio, 80)
+    ours = mels_from_array(audio, 80)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_mels.numpy(), atol=3e-4, rtol=0)
