@@ -35,6 +35,29 @@ def _split_heads(t, heads):
     return jnp.moveaxis(t.reshape(*lead, heads, d // heads), -2, -3)
 
 
+def _cast_decode_inputs(params, encoded, compute_dtype):
+    """Serving-precision cast: decoder weights + encoded audio to
+    ``compute_dtype`` (the KV ring buffers and cross K/V follow
+    ``encoded.dtype``). Decode throughput is HBM-read-bound — per generated
+    token every cross K/V plane and every decoder weight is re-read — so
+    bf16 halves the dominant traffic (measured ~1.9× serving RTFx on v5e,
+    tools/bench_transcribe.py). Attention scores, the vocab projection,
+    softmax statistics, and every rule/ranking computation stay f32
+    (``preferred_element_type`` below), matching the encoder's proven
+    bf16-collection discipline (model.py:327-330).
+
+    ``encoded`` is ALWAYS cast to ``compute_dtype`` — the self-attention ring
+    buffers take ``encoded.dtype`` while their updates come from the weights'
+    dtype, so a bf16-encoded / f32-decode mix would feed
+    ``dynamic_update_slice`` mismatched dtypes."""
+    if compute_dtype == jnp.float32:
+        return params, encoded.astype(jnp.float32)
+    dec = jax.tree_util.tree_map(
+        lambda a: a.astype(compute_dtype), params["decoder"]
+    )
+    return {**params, "decoder": dec}, encoded.astype(compute_dtype)
+
+
 def precompute_cross_kv(params: Params, dims: WhisperDims, encoded: jnp.ndarray):
     """Per-layer cross-attention (k, v) of the encoded audio — computed once."""
     kvs = []
@@ -127,9 +150,10 @@ def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
     return logits[:, 0, :], jnp.stack(new_k), jnp.stack(new_v)
 
 
-@partial(jax.jit, static_argnames=("dims",))
+@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
 def detect_language(
-    params: Params, dims: WhisperDims, encoded: jnp.ndarray
+    params: Params, dims: WhisperDims, encoded: jnp.ndarray,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(b,) language indices: one decoder step from <|sot|>, argmax over the
     language-token band (the reference's default DecodingOptions path —
@@ -137,6 +161,7 @@ def detect_language(
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
     L, d = dims.n_text_layer, dims.n_text_state
+    params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
     cross = precompute_cross_kv(params, dims, encoded)
     cross_k = jnp.stack([k for k, _ in cross])
     cross_v = jnp.stack([v for _, v in cross])
@@ -233,7 +258,8 @@ def _apply_rules(logits, token, prev, max_ts, at_first, st, suppress,
     return jnp.where(force_ts & ~is_ts[None, :], -jnp.inf, logits)
 
 
-@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new"))
+@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new",
+                                   "compute_dtype"))
 def sample_decode(
     params: Params,
     dims: WhisperDims,
@@ -244,6 +270,7 @@ def sample_decode(
     temperature: jnp.ndarray | float = 0.0,
     key: jnp.ndarray | None = None,
     start: jnp.ndarray | None = None,
+    compute_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode token ids with optional temperature sampling.
 
@@ -271,6 +298,7 @@ def sample_decode(
         key = jax.random.PRNGKey(0)
     temperature = jnp.asarray(temperature, jnp.float32)
 
+    params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
     cross = precompute_cross_kv(params, dims, encoded)
     cross_k = jnp.stack([k for k, _ in cross])
     cross_v = jnp.stack([v for _, v in cross])
@@ -352,12 +380,15 @@ def greedy_decode(
     prompt: jnp.ndarray,  # (b, n_prompt) int32
     n_prompt: int,
     max_new: int = 224,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Greedy-decode token ids: (b, n_prompt + max_new), EOT-padded."""
-    return sample_decode(params, dims, encoded, prompt, n_prompt, max_new)[0]
+    return sample_decode(params, dims, encoded, prompt, n_prompt, max_new,
+                         compute_dtype=compute_dtype)[0]
 
 
-@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new", "beam_size"))
+@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new", "beam_size",
+                                   "compute_dtype"))
 def beam_decode(
     params: Params,
     dims: WhisperDims,
@@ -367,6 +398,7 @@ def beam_decode(
     max_new: int = 224,
     beam_size: int = 5,
     start: jnp.ndarray | None = None,
+    compute_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search as ONE fixed-shape lax.scan (whisper's
     BeamSearchDecoder semantics, TPU-native formulation).
@@ -398,6 +430,7 @@ def beam_decode(
     ctx = n_prompt + max_new
     assert ctx <= dims.n_text_ctx
 
+    params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
     cross = precompute_cross_kv(params, dims, encoded)
     # tile each clip's cross KV across its beams: (L, b·beam, s, d)
     cross_k = jnp.repeat(jnp.stack([k for k, _ in cross]), beam_size, axis=1)

@@ -160,14 +160,14 @@ def _decode_window_with_fallback(
             tokens, sum_lp, n_text, nsp = beam_decode(
                 runtime.params, dims, encoded, prompt, n_prompt,
                 max_new=runtime.max_new_tokens, beam_size=beam_size,
-                start=start,
+                start=start, compute_dtype=runtime.compute_dtype,
             )
         else:
             tokens, sum_lp, n_text, nsp = sample_decode(
                 runtime.params, dims, encoded, prompt, n_prompt,
                 max_new=runtime.max_new_tokens, temperature=float(t),
                 key=jax.random.fold_in(jax.random.PRNGKey(key_base), ti),
-                start=start,
+                start=start, compute_dtype=runtime.compute_dtype,
             )
         # one whole-array transfer per stat — ad-hoc [0] indexing on device
         # arrays compiles a fresh gather program remotely (CLAUDE.md hot-path

@@ -137,7 +137,9 @@ class WhisperRuntime:
             if lang_idx is not None:
                 lang_idx = np.broadcast_to(np.asarray(lang_idx), (batch,))
             elif self.language is None:
-                lang_idx = np.asarray(detect_language(self.params, self.dims, encoded))
+                lang_idx = np.asarray(detect_language(
+                    self.params, self.dims, encoded,
+                    compute_dtype=self.compute_dtype))
             else:
                 lang_idx = np.full(
                     (batch,), language_index(self.language, self.dims.n_vocab)
@@ -168,7 +170,7 @@ class WhisperRuntime:
         prompt, n_prompt = self._prompt(encoded)
         tokens = greedy_decode(
             self.params, self.dims, encoded, prompt, n_prompt,
-            max_new=self.max_new_tokens,
+            max_new=self.max_new_tokens, compute_dtype=self.compute_dtype,
         )
         tokens = np.asarray(tokens)
         return [decode_text(row, self.dims.n_vocab) for row in tokens]
@@ -221,12 +223,14 @@ class WhisperRuntime:
                 tokens, sum_lp, n_text, nsp = beam_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, beam_size=beam_size,
+                    compute_dtype=self.compute_dtype,
                 )
             else:
                 tokens, sum_lp, n_text, nsp = sample_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, temperature=float(t),
                     key=jax.random.PRNGKey(seed + ti),
+                    compute_dtype=self.compute_dtype,
                 )
             tokens = np.asarray(tokens)
             sum_lp, n_text = np.asarray(sum_lp), np.asarray(n_text)
@@ -268,7 +272,7 @@ class WhisperRuntime:
         prompt, n_prompt = self._prompt(encoded)
         tokens = greedy_decode(
             self.params, self.dims, encoded, prompt, n_prompt,
-            max_new=self.max_new_tokens,
+            max_new=self.max_new_tokens, compute_dtype=self.compute_dtype,
         )
 
         # (b, n_pairs, T, frames) over the curated (layer, head) pairs

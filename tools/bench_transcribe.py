@@ -22,7 +22,8 @@ from freud_tpu.models.whisper.decoding import sample_decode
 from freud_tpu.models.whisper.tokenizer import special_tokens
 
 
-def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2):
+def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2,
+        dtype=None):
     dims = dims_for(model)
     params = init_params(dims, seed=0)
     st = special_tokens(dims.n_vocab)
@@ -30,13 +31,16 @@ def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2):
     mels = jnp.asarray(
         rng.standard_normal((batch, dims.n_mels, 3000)).astype(np.float32) * 0.3)
 
+    cdt = dtype or jnp.float32
+
     @jax.jit
     def pipeline(params, mels):
-        encoded, _ = encoder_forward(params, dims, mels)
+        encoded, _ = encoder_forward(params, dims, mels, compute_dtype=cdt)
         seq = st.sot_sequence(lang_index=0, timestamps=True)
         prompt = jnp.tile(jnp.asarray(seq, jnp.int32)[None], (batch, 1))
         tokens, sum_lp, n_text, nsp = sample_decode(
-            params, dims, encoded, prompt, len(seq), max_new=max_new)
+            params, dims, encoded, prompt, len(seq), max_new=max_new,
+            compute_dtype=cdt)
         return jnp.sum(tokens[:, -1].astype(jnp.float32)) + jnp.sum(sum_lp)
 
     for _ in range(warmup):
@@ -49,6 +53,7 @@ def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2):
     audio_s = batch * 30.0
     print(json.dumps({
         "model": model, "batch": batch, "max_new": max_new,
+        "dtype": jnp.dtype(cdt).name,
         "ms_per_batch": round(dt * 1e3, 1),
         "transcribe_rtfx": round(audio_s / dt, 1),
         "clips_per_sec": round(batch / dt, 2),
@@ -58,6 +63,8 @@ def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2):
 def main():
     for batch in (8, 32):
         run(batch=batch)
+    for batch in (8, 32):
+        run(batch=batch, dtype=jnp.bfloat16)
 
 
 if __name__ == "__main__":
