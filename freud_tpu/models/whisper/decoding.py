@@ -258,8 +258,6 @@ def _apply_rules(logits, token, prev, max_ts, at_first, st, suppress,
     return jnp.where(force_ts & ~is_ts[None, :], -jnp.inf, logits)
 
 
-@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new",
-                                   "compute_dtype"))
 def sample_decode(
     params: Params,
     dims: WhisperDims,
@@ -289,13 +287,34 @@ def sample_decode(
     buffer — the conditioned-prompt (sot_prev + previous text) mechanism;
     positions before it are excluded from attention and position numbering
     (see ``_decode_step``)."""
+    # Greedy-only fast path: with no key and a STATICALLY-zero temperature
+    # the per-step Gumbel draw over the full (b, vocab) block (fold_in +
+    # uniform + log + divide) is provably dead — drop it at trace time.
+    # Decided here in Python (a jitted body would only see tracers); callers
+    # that sample (the fallback ladder) always pass a key, which preserves
+    # the one-compiled-program property of the traced-temperature schedule.
+    greedy_only = key is None and isinstance(temperature, (int, float)) \
+        and float(temperature) == 0.0
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _sample_decode_impl(
+        params, encoded, prompt, temperature, key, start,
+        dims=dims, n_prompt=n_prompt, max_new=max_new,
+        compute_dtype=compute_dtype, greedy_only=greedy_only,
+    )
+
+
+@partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new",
+                                   "compute_dtype", "greedy_only"))
+def _sample_decode_impl(
+    params, encoded, prompt, temperature, key, start,
+    *, dims, n_prompt, max_new, compute_dtype, greedy_only,
+):
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
     L, d = dims.n_text_layer, dims.n_text_state
     ctx = n_prompt + max_new
     assert ctx <= dims.n_text_ctx
-    if key is None:
-        key = jax.random.PRNGKey(0)
     temperature = jnp.asarray(temperature, jnp.float32)
 
     params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
@@ -328,11 +347,14 @@ def sample_decode(
                               suppress, suppress_blank, at_second=at_second)
 
         greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        temp = jnp.maximum(temperature, 1e-6)
-        sampled_tok = jax.random.categorical(
-            jax.random.fold_in(key, pos), logits / temp, axis=-1
-        ).astype(jnp.int32)
-        chosen = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+        if greedy_only:
+            chosen = greedy_tok
+        else:
+            temp = jnp.maximum(temperature, 1e-6)
+            sampled_tok = jax.random.categorical(
+                jax.random.fold_in(key, pos), logits / temp, axis=-1
+            ).astype(jnp.int32)
+            chosen = jnp.where(temperature > 0, sampled_tok, greedy_tok)
 
         is_prompt = pos + 1 < n_prompt
         next_tok = jnp.where(

@@ -69,12 +69,12 @@ def main():
     orig = decoding._apply_rules
     try:
         decoding._apply_rules = (
-            lambda logits, token, prev, max_ts, at_first, st, s, sb: logits)
-        decoding.sample_decode.clear_cache()
+            lambda logits, token, prev, max_ts, at_first, st, s, sb, **kw: logits)
+        decoding._sample_decode_impl.clear_cache()
         timeit("decode_224_no_rules", decode_n(224), params, mels)
     finally:
         decoding._apply_rules = orig
-        decoding.sample_decode.clear_cache()
+        decoding._sample_decode_impl.clear_cache()
 
 
 if __name__ == "__main__":
