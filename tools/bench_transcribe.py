@@ -23,9 +23,23 @@ from freud_tpu.models.whisper.tokenizer import special_tokens
 
 
 def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2,
-        dtype=None):
+        dtype=None, eot_bias=False, label=None):
     dims = dims_for(model)
     params = init_params(dims, seed=0)
+    if eot_bias:
+        # Early-exit mechanism demo: steer the final-LN bias toward the EOT
+        # embedding so every (real-compute) decode emits EOT right after the
+        # forced initial timestamp. Wall time should collapse to ~(n_prompt+2)
+        # of the 227 budgeted steps — proving lax.while_loop's all-finished
+        # exit fires on-chip. NOT a serving-throughput claim.
+        import numpy as _np
+        st_ = special_tokens(dims.n_vocab)
+        emb = _np.asarray(params["decoder"]["tok_emb"])
+        eot_dir = emb[st_.eot] / (_np.linalg.norm(emb[st_.eot]) + 1e-9)
+        dec = dict(params["decoder"])
+        dec["ln"] = dict(dec["ln"], b=jnp.asarray(
+            _np.asarray(dec["ln"]["b"]) + 40.0 * eot_dir))
+        params = {**params, "decoder": dec}
     st = special_tokens(dims.n_vocab)
     rng = np.random.default_rng(0)
     mels = jnp.asarray(
@@ -53,7 +67,7 @@ def run(model="tiny", batch=8, max_new=224, iters=5, warmup=2,
     audio_s = batch * 30.0
     print(json.dumps({
         "model": model, "batch": batch, "max_new": max_new,
-        "dtype": jnp.dtype(cdt).name,
+        "dtype": jnp.dtype(cdt).name, "mode": label or "full_budget",
         "ms_per_batch": round(dt * 1e3, 1),
         "transcribe_rtfx": round(audio_s / dt, 1),
         "clips_per_sec": round(batch / dt, 2),
@@ -65,6 +79,7 @@ def main():
         run(batch=batch)
     for batch in (8, 32):
         run(batch=batch, dtype=jnp.bfloat16)
+    run(batch=8, dtype=jnp.bfloat16, eot_bias=True, label="early_exit_demo")
 
 
 if __name__ == "__main__":
