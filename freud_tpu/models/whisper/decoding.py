@@ -607,7 +607,7 @@ def beam_decode(
             seq, new_tok[:, :, None], pos + 1, axis=2
         )
         return (new_tok, prev_tok, max_ts, sk, sv, new_cum, n_text, seq,
-                fin_key, fin_score, fin_ntext, fin_seq, nsp), None
+                fin_key, fin_score, fin_ntext, fin_seq, nsp)
 
     cum0 = jnp.broadcast_to(
         jnp.where(jnp.arange(beam_size) == 0, 0.0, -jnp.inf), (b, beam_size)
@@ -629,7 +629,27 @@ def beam_decode(
         jnp.full((b, beam_size, ctx), st.eot, jnp.int32),
         jnp.zeros((b,), jnp.float32),         # no_speech_prob
     )
-    carry, _ = jax.lax.scan(step, init, jnp.arange(ctx - 1))
+    # Early-exit loop: whisper's BeamSearchDecoder reports completed once
+    # every audio has beam_size finished sequences — and this formulation's
+    # FULL pool is immutable by construction (monotone insertion keys: a
+    # full pool's keep-smallest-k merge never admits a later candidate), the
+    # finalize ranking then ignores live beams (n_fin == beam_size), so
+    # stopping there is exact, not approximate.
+    def cond(state):
+        pos, carry = state
+        fin_key = carry[8]
+        pools_full = jnp.all(
+            jnp.sum(jnp.isfinite(fin_key), axis=1) == beam_size
+        )
+        return (pos < ctx - 1) & ~pools_full
+
+    def body(state):
+        pos, carry = state
+        return pos + 1, step(carry, pos)
+
+    _, carry = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), init)
+    )
     (_, _, _, _, _, cum, n_text, seq,
      fin_key, fin_score, fin_ntext, fin_seq, nsp) = carry
     # MaximumLikelihoodRanker with length_penalty=None: sum_logprob / LENGTH
