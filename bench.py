@@ -147,6 +147,43 @@ def bench_large_l1_train(batch: int = 16, iters: int = 30, warmup: int = 3) -> d
     )
 
 
+def bench_serving(batch: int = 8, max_new: int = 224, iters: int = 5,
+                  warmup: int = 2) -> dict:
+    """Batched greedy transcription serving RTFx (tiny, bf16 decode, the
+    tools/bench_transcribe.py headline configuration: EOT early exit live,
+    full token budget)."""
+    from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
+    from freud_tpu.models.whisper.decoding import sample_decode
+    from freud_tpu.models.whisper.tokenizer import special_tokens
+
+    dims = dims_for("tiny")
+    params = init_params(dims, seed=0)
+    st = special_tokens(dims.n_vocab)
+    rng = np.random.default_rng(0)
+    mels = jnp.asarray(
+        rng.standard_normal((batch, dims.n_mels, 3000)).astype(np.float32) * 0.3)
+
+    @jax.jit
+    def pipeline(params, mels):
+        encoded, _ = encoder_forward(
+            params, dims, mels, compute_dtype=jnp.bfloat16)
+        seq = st.sot_sequence(lang_index=0, timestamps=True)
+        prompt = jnp.tile(jnp.asarray(seq, jnp.int32)[None], (batch, 1))
+        tokens, sum_lp, _, _ = sample_decode(
+            params, dims, encoded, prompt, len(seq), max_new=max_new,
+            compute_dtype=jnp.bfloat16)
+        return jnp.sum(tokens[:, -1].astype(jnp.float32)) + jnp.sum(sum_lp)
+
+    for _ in range(warmup):
+        float(pipeline(params, mels))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(params, mels)
+    float(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"rtfx": batch * 30.0 / dt, "clips_per_sec": batch / dt}
+
+
 def main():
     backend = jax.default_backend()
     coll = bench_collection()
@@ -155,6 +192,10 @@ def main():
     topk = bench_topk_train()
     large_topk = bench_large_topk_train()
     large_l1 = bench_large_l1_train()
+    try:
+        serving = bench_serving()
+    except Exception:  # the headline metrics must never die on the extra row
+        serving = None
     result = {
         "metric": "whisper_tiny_block2_collection_rtfx",
         "value": round(coll["rtfx"], 1),
@@ -168,6 +209,8 @@ def main():
         "collection_rtfx_bf16": round(coll_bf16["rtfx"], 1),
         "backend": backend,
     }
+    if serving is not None:
+        result["serving_transcribe_rtfx_bf16"] = round(serving["rtfx"], 1)
     print(json.dumps(result))
 
 
