@@ -80,6 +80,10 @@ def main():
     for batch in (8, 32):
         run(batch=batch, dtype=jnp.bfloat16)
     run(batch=8, dtype=jnp.bfloat16, eot_bias=True, label="early_exit_demo")
+    # family rows: small, and large-v3-turbo (the production serving model:
+    # large encoder, 4-layer decoder)
+    run(model="small", batch=8, dtype=jnp.bfloat16)
+    run(model="turbo", batch=8, dtype=jnp.bfloat16)
 
 
 if __name__ == "__main__":
