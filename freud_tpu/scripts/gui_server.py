@@ -25,9 +25,15 @@ def main(argv=None):
                         help="Disable the audio upload endpoints")
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5555)
+    parser.add_argument("--precision", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="serving runtime precision (bfloat16 ~2x "
+                             "/transcribe throughput; from-disk mode)")
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = json.load(f)
+    if args.precision:
+        config["precision"] = args.precision
     serve_forever(
         config,
         from_disk=args.from_disk,

@@ -83,7 +83,15 @@ class GuiState:
                 config["batch_size"], subset_size=files_to_search,
             )
         if from_disk:
-            self.runtime = WhisperRuntime(whisper_model, layer_name)
+            # "precision": "bfloat16" in the config (or gui_server
+            # --precision) switches the serving runtime — encoder AND
+            # decoder — to the fast bf16 path (/transcribe throughput ~2x)
+            import jax.numpy as jnp
+
+            cdt = (jnp.bfloat16 if config.get("precision") == "bfloat16"
+                   else jnp.float32)
+            self.runtime = WhisperRuntime(whisper_model, layer_name,
+                                          compute_dtype=cdt)
             sae = load_sae(sae_checkpoint) if sae_checkpoint else None
         else:
             self.runtime = self.loader.runtime
@@ -314,7 +322,8 @@ def make_handler(state: GuiState):
             path, q = self._query()
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
-            if path not in ("/top_features", "/manipulate_feature"):
+            if path not in ("/top_features", "/manipulate_feature",
+                            "/transcribe"):
                 self._send_json({"error": "not found"}, 404)
                 return
             if not state.allow_audio_upload:
@@ -332,7 +341,35 @@ def make_handler(state: GuiState):
                 self._send_json({"error": str(e)}, 400)
                 return
 
-            if path == "/top_features":
+            if path == "/transcribe":
+                # Serving endpoint (beyond the reference's five GUI routes):
+                # multipart ``audio`` → transcript JSON. ``?long=1`` (or any
+                # clip beyond 30 s) routes through the whisper.transcribe
+                # seek loop with the per-window fallback ladder and returns
+                # its {"text", "segments"} form; ``?fallback=1`` walks the
+                # temperature ladder on a single 30-s window. The decode
+                # precision is the server runtime's compute_dtype
+                # (gui_server --precision bfloat16 for the fast serving
+                # path).
+                from ..audio.mel import mels_from_array
+                from ..constants import N_SAMPLES
+
+                truthy = ("1", "true", "yes")
+                long_mode = q.get("long", "0").lower() in truthy
+                fallback = q.get("fallback", "0").lower() in truthy
+                with state.lock:
+                    rt = state.runtime
+                    if long_mode or len(audio) > N_SAMPLES:
+                        result = rt.transcribe_long(audio)
+                        self._send_json(result)
+                    else:
+                        mel = mels_from_array(audio, rt.dims.n_mels)
+                        if fallback:
+                            text = rt.transcribe_with_fallback(mel)[0]
+                        else:
+                            text = rt.transcribe(mel)[0]
+                        self._send_json({"text": text})
+            elif path == "/top_features":
                 top_n = int(q.get("top_n", 32))
                 with state.lock:
                     idx, traces = state.analyzer.top_features_for_audio(audio, top_n)

@@ -61,3 +61,62 @@ def test_fly_serves_gui_page(served_fly):
     with urllib.request.urlopen(served_fly + "/", timeout=60) as r:
         page = r.read().decode()
     assert "freud_tpu" in page and "Activation Search" in page
+
+
+def _post_multipart(url, audio_bytes, filename="u.wav"):
+    import urllib.error
+
+    boundary = "testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="audio"; filename="{filename}"\r\n'
+        f"Content-Type: audio/wav\r\n\r\n"
+    ).encode() + audio_bytes + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _wav_bytes(seconds=0.5, seed=1):
+    import io
+
+    buf = io.BytesIO()
+    audio = np.random.default_rng(seed).standard_normal(int(16000 * seconds))
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((audio * 0.1 * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_transcribe_endpoint(served_fly):
+    """POST /transcribe (the serving route beyond the reference's five):
+    plain, fallback-ladder, and long-audio forms."""
+    code, d = _post_multipart(served_fly + "/transcribe", _wav_bytes())
+    assert code == 200 and isinstance(d["text"], str)
+
+    code, d = _post_multipart(
+        served_fly + "/transcribe?fallback=1", _wav_bytes()
+    )
+    assert code == 200 and isinstance(d["text"], str)
+
+    # >30 s routes through transcribe_long automatically → segments form
+    code, d = _post_multipart(
+        served_fly + "/transcribe", _wav_bytes(seconds=31.0)
+    )
+    assert code == 200
+    assert "segments" in d and isinstance(d["text"], str)
+    for seg in d["segments"]:
+        assert {"start", "end", "text", "temperature"} <= set(seg)
+
+
+def test_transcribe_endpoint_rejects_empty(served_fly):
+    code, d = _post_multipart(served_fly + "/transcribe", b"")
+    assert code == 400 and "error" in d
