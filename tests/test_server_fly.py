@@ -120,3 +120,45 @@ def test_transcribe_endpoint(served_fly):
 def test_transcribe_endpoint_rejects_empty(served_fly):
     code, d = _post_multipart(served_fly + "/transcribe", b"")
     assert code == 400 and "error" in d
+
+
+def test_concurrent_requests_are_serialized(served_fly):
+    """The device lock must serialize concurrent search + transcribe work:
+    parallel clients all get well-formed 200s, no interleaved-jit errors."""
+    import threading
+
+    errors = []
+    results = {"search": 0, "transcribe": 0}
+
+    def search_worker():
+        try:
+            for _ in range(3):
+                with urllib.request.urlopen(
+                    served_fly + "/top_files?feature_idx=1&n_files=2",
+                    timeout=600,
+                ) as r:
+                    d = json.loads(r.read())
+                assert len(d["top_files"]) == 2
+                results["search"] += 1
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append(e)
+
+    def transcribe_worker():
+        try:
+            for _ in range(3):
+                code, d = _post_multipart(
+                    served_fly + "/transcribe", _wav_bytes(seed=7)
+                )
+                assert code == 200 and isinstance(d["text"], str)
+                results["transcribe"] += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=search_worker),
+               threading.Thread(target=transcribe_worker)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert results == {"search": 3, "transcribe": 3}
