@@ -71,6 +71,13 @@ class GuiState:
         layer_name = config["layer_name"]
         whisper_model = config["whisper_model"]
         sae_checkpoint = config.get("sae_model") or None
+        # "precision": "bfloat16" in the config (or gui_server --precision)
+        # switches the serving runtime — encoder AND decoder — to the fast
+        # bf16 path (/transcribe throughput ~2x) in both modes
+        import jax.numpy as jnp
+
+        cdt = (jnp.bfloat16 if config.get("precision") == "bfloat16"
+               else jnp.float32)
 
         if from_disk:
             self.loader = MemoryMappedActivationLoader(
@@ -81,15 +88,9 @@ class GuiState:
             self.loader = FlyActivationLoader(
                 config["data_path"], whisper_model, sae_checkpoint, layer_name,
                 config["batch_size"], subset_size=files_to_search,
+                compute_dtype=cdt,
             )
         if from_disk:
-            # "precision": "bfloat16" in the config (or gui_server
-            # --precision) switches the serving runtime — encoder AND
-            # decoder — to the fast bf16 path (/transcribe throughput ~2x)
-            import jax.numpy as jnp
-
-            cdt = (jnp.bfloat16 if config.get("precision") == "bfloat16"
-                   else jnp.float32)
             self.runtime = WhisperRuntime(whisper_model, layer_name,
                                           compute_dtype=cdt)
             sae = load_sae(sae_checkpoint) if sae_checkpoint else None

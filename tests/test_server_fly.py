@@ -162,3 +162,27 @@ def test_concurrent_requests_are_serialized(served_fly):
         t.join(timeout=600)
     assert not errors, errors
     assert results == {"search": 3, "transcribe": 3}
+
+
+def test_fly_state_respects_precision(tmp_path):
+    import jax.numpy as jnp
+
+    from freud_tpu.server.app import GuiState
+
+    audio_dir = tmp_path / "a"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    with wave.open(str(audio_dir / "c.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((rng.standard_normal(4000) * 3000).astype(np.int16).tobytes())
+    state = GuiState({
+        "whisper_model": "test:tiny",
+        "sae_model": None,
+        "layer_name": "encoder.blocks.0",
+        "batch_size": 1,
+        "data_path": str(audio_dir),
+        "precision": "bfloat16",
+    }, from_disk=False)
+    assert state.runtime.compute_dtype == jnp.bfloat16
