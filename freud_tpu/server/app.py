@@ -319,9 +319,16 @@ def make_handler(state: GuiState):
             else:
                 self._send_json({"error": "not found"}, 404)
 
+        MAX_UPLOAD_BYTES = 256 * 1024 * 1024  # ~2.3 h of 16 kHz wav
+
         def do_POST(self):
             path, q = self._query()
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.MAX_UPLOAD_BYTES:
+                # reject before reading: an unbounded body would be decoded
+                # to a temp file and a float32 buffer ~8x its size
+                self._send_json({"error": "upload too large"}, 413)
+                return
             body = self.rfile.read(length)
             if path not in ("/top_features", "/manipulate_feature",
                             "/transcribe"):

@@ -186,3 +186,21 @@ def test_fly_state_respects_precision(tmp_path):
         "precision": "bfloat16",
     }, from_disk=False)
     assert state.runtime.compute_dtype == jnp.bfloat16
+
+
+def test_oversized_upload_rejected_without_read(served_fly):
+    import urllib.error
+
+    req = urllib.request.Request(
+        served_fly + "/transcribe", data=b"x",
+        headers={"Content-Type": "multipart/form-data; boundary=b",
+                 "Content-Length": str(300 * 1024 * 1024)},
+    )
+    # the server must answer 413 from the header alone (it would otherwise
+    # block reading 300 MB that never arrives)
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected HTTP error")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        assert "error" in json.loads(e.read())
