@@ -61,6 +61,8 @@ def test_fly_serves_gui_page(served_fly):
     with urllib.request.urlopen(served_fly + "/", timeout=60) as r:
         page = r.read().decode()
     assert "freud_tpu" in page and "Activation Search" in page
+    # the transcription controls ship with the upload tab
+    assert "runTranscribe" in page and 'id="t-fallback"' in page
 
 
 def _post_multipart(url, audio_bytes, filename="u.wav"):
