@@ -52,11 +52,15 @@ class AudioBatchPipeline:
         compute_mels: bool = True,
         decode_threads: int | None = None,
         shard: tuple[int, int] | None = None,
+        exclude: Optional[set] = None,
     ):
         """``shard=(i, n)`` keeps every n-th file starting at i — the
         multi-host collection split (each host walks the same sorted list,
         so the shards are disjoint and exhaustive; subset_size applies to
-        the full list BEFORE sharding so hosts agree on the universe)."""
+        the full list BEFORE sharding so hosts agree on the universe).
+        ``exclude``: file paths to skip, applied AFTER subset/shard so a
+        resumed run keeps the original run's universe and shard split
+        (collection resume — scripts/collect_activations.py)."""
         self.files = list_audio_files(folder)
         if subset_size is not None:
             self.files = self.files[:subset_size]
@@ -65,6 +69,8 @@ class AudioBatchPipeline:
             if not (0 <= idx < count):
                 raise ValueError(f"bad shard {shard}")
             self.files = self.files[idx::count]
+        if exclude:
+            self.files = [f for f in self.files if f not in exclude]
         self.batch_size = batch_size
         self.n_mels = n_mels
         self.prefetch = prefetch

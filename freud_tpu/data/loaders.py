@@ -71,6 +71,7 @@ class FlyActivationLoader:
         decode_threads: int | None = None,
         mesh=None,
         shard: tuple[int, int] | None = None,
+        exclude: set | None = None,
     ):
         """``mesh``: a freud_tpu data×model Mesh shards collection over the
         ``data`` axis — the batch is device_put with the file dim partitioned,
@@ -117,6 +118,7 @@ class FlyActivationLoader:
             compute_mels=mesh is None,
             decode_threads=decode_threads,
             shard=shard,
+            exclude=exclude,
         )
         if mesh is not None:
             from ..parallel import mesh as mesh_lib

@@ -76,6 +76,16 @@ class AppendableNpy:
             if self._header_len < target:
                 self._rebase(target)
             self._f = open(self.path, "r+b")
+            # Trust the HEADER's row count, not the file size: a killed
+            # writer may have written rows after its last header flush
+            # (orphan bytes past the accounted region). Appending at the
+            # raw file end would leave that garbage spliced between the
+            # accounted rows and the new ones — truncate to the accounted
+            # data end instead (crash-consistent resume).
+            data_end = self._header_len + self.n_rows * (
+                self.dtype.itemsize * int(np.prod(self.row_shape, dtype=np.int64))
+            )
+            self._f.truncate(data_end)
             self._f.seek(0, os.SEEK_END)
         else:
             self._f = open(self.path, "w+b")
@@ -123,6 +133,18 @@ class AppendableNpy:
             )
         self._f.write(rows.tobytes())
         self.n_rows += rows.shape[0]
+
+    def truncate_rows(self, n_rows: int) -> None:
+        """Drop rows past ``n_rows`` (crash-recovery reconciliation)."""
+        if n_rows > self.n_rows:
+            raise ValueError(f"cannot grow via truncate ({n_rows} > {self.n_rows})")
+        self.n_rows = int(n_rows)
+        data_end = self._header_len + self.n_rows * (
+            self.dtype.itemsize * int(np.prod(self.row_shape, dtype=np.int64))
+        )
+        self._f.truncate(data_end)
+        self._f.seek(0, os.SEEK_END)
+        self.flush()
 
     def flush(self) -> None:
         self._f.flush()
@@ -192,6 +214,18 @@ class ActivationStoreWriter:
                     p.unlink()
         flat = (int(np.prod(self.tensor_shape)),)
         self.files = [AppendableNpy(p, flat, dt) for p, dt in zip(paths, dtypes)]
+        if not overwrite:
+            # Crash-consistent resume: a kill between a data flush and the
+            # metadata write (or vice versa) leaves row counts and the
+            # filename list disagreeing. The prefix they AGREE on is intact
+            # — reconcile everything down to it so resumed appends stay
+            # row↔filename aligned.
+            n = min([len(self.filenames), *[f.n_rows for f in self.files]])
+            for f in self.files:
+                if f.n_rows > n:
+                    f.truncate_rows(n)
+            del self.filenames[n:]
+            del self.n_frames[n:]
 
     def append_batch(
         self,

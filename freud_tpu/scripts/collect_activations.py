@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -63,16 +64,36 @@ def get_activations(
     dl_max_workers: int = 0,
     build_index: bool = False,
     data_parallel: bool = False,
+    resume: bool = False,
+    flush_every_s: float = 30.0,
 ) -> dict:
     """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
     captured activations, substantially higher throughput); the default keeps
     f32 for reference-tolerance parity. ``data_parallel`` shards every batch
     over the device mesh's data axis (one decode→mel→encoder→SAE pipeline
-    per chip; batch_size must divide by the chip count)."""
+    per chip; batch_size must divide by the chip count).
+
+    ``resume=True`` continues an interrupted collection: already-stored
+    files (per the existing metadata) are skipped, new activations append to
+    the store, and the store is flushed crash-consistently every
+    ``flush_every_s`` seconds (header + metadata; a kill loses at most that
+    window, and the writer reconciles any data/metadata disagreement down to
+    their common prefix on reopen). Composes with multi-host shards — each
+    host resumes its own ``shard<i>`` store."""
     import jax.numpy as jnp
 
     mesh, shard, out_folder = collection_shard_setup(out_folder, data_parallel)
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+
+    exclude = None
+    if resume:
+        meta_path = Path(out_folder) / f"{layer_name}_metadata.json"
+        if meta_path.exists():
+            with open(meta_path) as f:
+                exclude = set(json.load(f).get("filenames", []))
+            if verbose and exclude:
+                print(f"resume: skipping {len(exclude)} already-stored files")
+
     loader = FlyActivationLoader(
         data_path=data_path,
         whisper_model=whisper_model,
@@ -84,11 +105,13 @@ def get_activations(
         decode_threads=dl_max_workers if dl_max_workers > 0 else None,
         mesh=mesh,
         shard=shard,
+        exclude=exclude,
     )
 
     writer: Optional[ActivationStoreWriter] = None
     n_files = 0
     t0 = time.perf_counter()
+    last_flush = t0
     for batch in loader.iter_with_lengths():
         *arrays, filenames, n_frames = batch
         arrays = [np.asarray(a) for a in arrays]
@@ -99,9 +122,15 @@ def get_activations(
                 tensor_shape=arrays[0].shape[1:],
                 activation_shape=loader.activation_shape,
                 indexed=loader.activation_type == "indexed",
+                overwrite=not resume,
             )
         with profiling.span("store_append"):
             writer.append_batch(filenames, *arrays, n_frames=n_frames)
+        # periodic crash-consistency point (header + metadata) so ANY
+        # interrupted run is resumable with at most this window lost
+        if time.perf_counter() - last_flush >= flush_every_s:
+            writer.flush()
+            last_flush = time.perf_counter()
         n_files += len(filenames)
         if verbose:
             dt = time.perf_counter() - t0
@@ -141,10 +170,17 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", type=str, required=True,
                         help="Path to feature configuration file")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue an interrupted collection: skip "
+                             "already-stored files and append to the store")
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = json.load(f)
     if isinstance(config["layer_name"], list):
+        if args.resume or config.get("resume"):
+            raise SystemExit("--resume is not supported for multi-layer "
+                             "collection yet; re-collect or collect the "
+                             "missing layers individually")
         # multi-layer extension: one encoder pass, one store per layer
         from ..data.multilayer import collect_multilayer
 
@@ -179,6 +215,7 @@ def main(argv=None):
         dl_max_workers=config.get("dl_max_workers", 0),
         build_index=bool(config.get("build_index", False)),
         data_parallel=bool(config.get("data_parallel", False)),
+        resume=bool(args.resume or config.get("resume", False)),
     )
     print(json.dumps(stats))
 
