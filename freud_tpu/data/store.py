@@ -179,7 +179,14 @@ class ActivationStoreWriter:
         activation_shape: tuple[int, ...],
         indexed: bool = False,
         overwrite: bool = True,
+        store_dtype=np.float32,
     ):
+        """``store_dtype=np.float16`` halves store size and read IO; every
+        in-repo consumer upcasts to f32 on read (trainer, validate, search,
+        device cache), and the files stay standard NPY the reference's
+        ``MemoryMappedActivationsDataset`` can open — but ITS pipeline then
+        computes in torch fp16, so fp16 stores are a freud_tpu-native option
+        (an opt-in divergence). Index files (int64) are unaffected."""
         self.out = Path(out_folder)
         self.out.mkdir(parents=True, exist_ok=True)
         self.layer_name = layer_name
@@ -199,15 +206,18 @@ class ActivationStoreWriter:
                 meta = json.load(f)
             self.filenames = list(meta.get("filenames", []))
             self.n_frames = [int(n) for n in meta.get("n_frames", [])]
+        store_dtype = np.dtype(store_dtype)
+        if store_dtype not in (np.dtype(np.float32), np.dtype(np.float16)):
+            raise ValueError(f"store_dtype must be float32|float16, got {store_dtype}")
         if indexed:
             paths = [
                 self.out / f"{layer_name}_activation_values.npy",
                 self.out / f"{layer_name}_feature_indices.npy",
             ]
-            dtypes = [np.float32, np.int64]
+            dtypes = [store_dtype, np.int64]
         else:
             paths = [self.out / f"{layer_name}_tensors.npy"]
-            dtypes = [np.float32]
+            dtypes = [store_dtype]
         if overwrite:
             for p in [self.metadata_path, *paths]:
                 if p.exists():

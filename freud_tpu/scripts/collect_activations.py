@@ -66,6 +66,7 @@ def get_activations(
     data_parallel: bool = False,
     resume: bool = False,
     flush_every_s: float = 30.0,
+    store_dtype: str = "float32",
 ) -> dict:
     """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
     captured activations, substantially higher throughput); the default keeps
@@ -79,7 +80,11 @@ def get_activations(
     ``flush_every_s`` seconds (header + metadata; a kill loses at most that
     window, and the writer reconciles any data/metadata disagreement down to
     their common prefix on reopen). Composes with multi-host shards — each
-    host resumes its own ``shard<i>`` store."""
+    host resumes its own ``shard<i>`` store.
+
+    ``store_dtype="float16"`` halves store size and read IO (every in-repo
+    consumer upcasts on read; see data/store.py for the reference-pipeline
+    caveat)."""
     import jax.numpy as jnp
 
     mesh, shard, out_folder = collection_shard_setup(out_folder, data_parallel)
@@ -123,6 +128,7 @@ def get_activations(
                 activation_shape=loader.activation_shape,
                 indexed=loader.activation_type == "indexed",
                 overwrite=not resume,
+                store_dtype=np.dtype(store_dtype),
             )
         with profiling.span("store_append"):
             writer.append_batch(filenames, *arrays, n_frames=n_frames)
@@ -216,6 +222,7 @@ def main(argv=None):
         build_index=bool(config.get("build_index", False)),
         data_parallel=bool(config.get("data_parallel", False)),
         resume=bool(args.resume or config.get("resume", False)),
+        store_dtype=config.get("store_dtype", "float32"),
     )
     print(json.dumps(stats))
 

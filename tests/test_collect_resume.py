@@ -135,3 +135,51 @@ def test_resume_noop_when_complete(tmp_path):
     meta = json.loads((tmp_path / "acts" / "encoder.blocks.1_metadata.json")
                       .read_text())
     assert len(meta["filenames"]) == 2
+
+
+def test_float16_store_roundtrip_and_search(tmp_path):
+    """store_dtype=float16: half-size store, every consumer upcasts on read;
+    search results match the f32 store within fp16 quantization."""
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 4)
+    kw = dict(
+        data_path=str(audio), layer_name="encoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        verbose=False,
+    )
+    get_activations(out_folder=str(tmp_path / "f32"), **kw)
+    get_activations(out_folder=str(tmp_path / "f16"),
+                    store_dtype="float16", **kw)
+
+    t32 = np.load(tmp_path / "f32" / "encoder.blocks.1_tensors.npy",
+                  mmap_mode="r")
+    t16 = np.load(tmp_path / "f16" / "encoder.blocks.1_tensors.npy",
+                  mmap_mode="r")
+    assert t16.dtype == np.float16 and t32.dtype == np.float32
+    assert t16.shape == t32.shape
+    assert (tmp_path / "f16" / "encoder.blocks.1_tensors.npy").stat().st_size \
+        < 0.6 * (tmp_path / "f32" / "encoder.blocks.1_tensors.npy").stat().st_size
+    np.testing.assert_allclose(np.asarray(t16, np.float32), t32,
+                               rtol=2e-3, atol=2e-3)
+
+    from freud_tpu.data.loaders import MemoryMappedActivationLoader
+    from freud_tpu.analysis.search import top_activations
+
+    l32 = MemoryMappedActivationLoader(str(tmp_path / "f32"),
+                                       "encoder.blocks.1", 2)
+    l16 = MemoryMappedActivationLoader(str(tmp_path / "f16"),
+                                       "encoder.blocks.1", 2)
+    r32, _ = top_activations(l32, 7, 3, None, None, False,
+                             return_max_per_file=True)
+    r16, _ = top_activations(l16, 7, 3, None, None, False,
+                             return_max_per_file=True)
+    assert [r[0] for r in r32] == [r[0] for r in r16]
+
+    # training from an fp16 store runs (loader output upcast by the trainer)
+    from freud_tpu.train.trainer import SAETrainer
+
+    tr = SAETrainer("l1", {"n_dict_components": 8, "recon_alpha": 100.0},
+                    t16.shape[-1], steps=2)
+    batch = np.asarray(t16[:2], np.float32)
+    m = tr.train_step(batch)
+    assert np.isfinite(float(m["loss"]))
