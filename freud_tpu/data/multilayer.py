@@ -133,6 +133,7 @@ def collect_multilayer(
     data_parallel: bool = False,
     precision: str = "float32",
     build_index: bool = False,
+    store_dtype: str = "float32",
 ) -> dict:
     """One encoder pass per batch, one reference-format store per layer.
 
@@ -159,6 +160,7 @@ def collect_multilayer(
                 writers[layer] = ActivationStoreWriter(
                     out_folder, layer,
                     tensor_shape=arr.shape[1:], activation_shape=arr.shape[1:],
+                    store_dtype=np.dtype(store_dtype),
                 )
             writers[layer].append_batch(filenames, arr, n_frames=n_frames)
         n_files += len(filenames)

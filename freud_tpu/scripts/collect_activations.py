@@ -206,6 +206,7 @@ def main(argv=None):
             data_parallel=bool(config.get("data_parallel", False)),
             precision=config.get("precision", "float32"),
             build_index=bool(config.get("build_index", False)),
+            store_dtype=config.get("store_dtype", "float32"),
         )
         print(json.dumps(stats))
         return

@@ -51,11 +51,15 @@ def merge_shards(out_folder: str, layer_name: str, chunk: int = 0,
             2 if indexed else 1)
         chunk = max(1, (64 * 1024 * 1024) // max(row_bytes, 1))
 
+    # preserve the shards' on-disk value dtype (a float16 collection must
+    # not silently double in size through an f32 merge)
+    value_dtype = readers[0].mmaps[0].dtype
     writer = ActivationStoreWriter(
         out_folder, layer_name,
         tensor_shape=readers[0].tensor_shape,
         activation_shape=readers[0].activation_shape,
         indexed=indexed,
+        store_dtype=value_dtype,
     )
     p = len(readers)
     written = 0

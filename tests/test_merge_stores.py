@@ -66,3 +66,27 @@ def test_pipeline_shard_param(tmp_path):
     with pytest.raises(ValueError):
         AudioBatchPipeline(str(tmp_path), 2, 80, compute_mels=False,
                            shard=(3, 3))
+
+
+def test_merge_preserves_float16(tmp_path):
+    """A float16 collection must not silently double in size through the
+    merge — the merged store keeps the shards' value dtype."""
+    rng = np.random.default_rng(0)
+    n, p = 4, 2
+    names = [f"f{i}.wav" for i in range(n)]
+    data = rng.standard_normal((n, 3, 2)).astype(np.float16)
+    for i in range(p):
+        w = ActivationStoreWriter(tmp_path / f"shard{i}", "L",
+                                  data.shape[1:], data.shape[1:],
+                                  store_dtype=np.float16)
+        w.append_batch(names[i::p], data[i::p],
+                       n_frames=np.full(len(names[i::p]), 3))
+        w.close()
+    merge_shards(tmp_path, "L", verbose=False)
+    merged = np.load(tmp_path / "L_tensors.npy", mmap_mode="r")
+    assert merged.dtype == np.float16
+    r = ActivationStoreReader(tmp_path, "L")
+    assert r.filenames == names
+    for i in range(n):
+        np.testing.assert_array_equal(
+            np.asarray(r[i][0]), data[i].reshape(3, 2))
