@@ -565,6 +565,31 @@ def test_reference_reads_our_dense_store(ref_ds, tmp_path):
         assert our_name == fname
 
 
+def test_reference_reads_our_float16_store(ref_ds, tmp_path):
+    """The opt-in float16 store stays a standard NPY the reference's reader
+    opens unchanged (its pipeline then carries torch.float16 tensors — the
+    documented divergence of opting in; data/store.py)."""
+    import torch
+
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    layer, T, d = "encoder.blocks.2", 6, 4
+    rng = np.random.default_rng(13)
+    data = rng.standard_normal((3, T, d)).astype(np.float16)
+    names = [f"h{i}.wav" for i in range(3)]
+    with ActivationStoreWriter(tmp_path, layer, (T, d), (T, d),
+                               store_dtype=np.float16) as w:
+        w.append_batch(names, data, n_frames=[T] * 3)
+
+    ds = ref_ds.MemoryMappedActivationsDataset(str(tmp_path), layer)
+    assert len(ds) == 3
+    for i in range(3):
+        tensor, fname = ds[i]
+        assert fname == names[i]
+        assert tensor.dtype == torch.float16
+        np.testing.assert_array_equal(tensor.numpy(), data[i])
+
+
 def test_reference_reads_our_indexed_store(ref_ds, tmp_path):
     """Indexed (TopK) layout: the reference autodetects it from the absence
     of {layer}_tensors.npy and reads value/index planes separately."""
