@@ -32,7 +32,7 @@ def _apply(logits, token, prev, max_ts, at_first, at_second):
     return np.asarray(out)[0]
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(
     seed=st_.integers(0, 2**31 - 1),
     token=st_.integers(0, V - 1),
@@ -91,7 +91,7 @@ def test_rule_invariants(seed, token, prev, max_ts, at_first):
     assert np.isfinite(out).any()
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(seed=st_.integers(0, 2**31 - 1))
 def test_timestamp_mass_forcing(seed):
     """When total timestamp probability outweighs the best text token,

@@ -29,7 +29,7 @@ _value = st.one_of(
 )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     data=st.lists(_value, min_size=ROWS * N, max_size=ROWS * N),
     dead_seed=st.integers(0, 2**31 - 1),
