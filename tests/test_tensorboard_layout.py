@@ -86,3 +86,35 @@ def test_tb_scalar_steps_monotonic(run_dir):
     steps = [e.step for e in acc.Scalars("train/loss")]
     assert steps == sorted(steps) and len(steps) >= 3
     assert all(np.isfinite(e.value) for e in acc.Scalars("train/loss"))
+
+
+def test_topk_tb_tags_present(run_dir, tmp_path):
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acts = run_dir.parent / "acts"
+    rd = tmp_path / "run_topk"
+    train(
+        seed=0, train_folder=str(acts), val_folder=str(acts),
+        run_dir=str(rd), lr=1e-4, weight_decay=0.0, steps=3,
+        clip_thresh=1.0, batch_size=2, log_tb_every=1, save_every=10,
+        val_every=2,
+        whisper_config={"model": "test:tiny",
+                        "layer_name": "encoder.blocks.1"},
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": 2},
+        autoencoder_variant="topk",
+        autoencoder_config={"expansion_factor": 2, "k": 4,
+                            "auxk_alpha": 0.03125,
+                            "dead_feature_threshold": 1e6},
+        enable_transcripts=False, verbose=False,
+    )
+    acc = EventAccumulator(str(rd))
+    acc.Reload()
+    scalars = set(acc.Tags()["scalars"])
+    assert {
+        "train/loss", "train/fvu", "train/auxk_loss",
+        "train/multi_topk_fvu", "train/dead_pct", "train/lr",
+        "val/fvu", "val/auxk_loss", "val/multi_topk_fvu", "val/mse",
+    } <= scalars, scalars
