@@ -22,7 +22,10 @@ def make_schedule(scheduler: str, lr: float, steps: int, scheduler_params: dict)
     if scheduler == "cosine":
         return optax.cosine_decay_schedule(init_value=lr, decay_steps=steps, alpha=0.0)
     if scheduler == "linear":
-        warmup = int(scheduler_params["num_warmup_steps"])
+        # reference configs always carry num_warmup_steps; default to 0
+        # (plain linear decay) so callers without params get a sane schedule
+        # instead of a KeyError
+        warmup = int((scheduler_params or {}).get("num_warmup_steps", 0))
 
         def schedule(count):
             count = jnp.asarray(count, jnp.float32)

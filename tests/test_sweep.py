@@ -131,3 +131,38 @@ def test_multilayer_collection_data_parallel(tmp_path):
             assert fa == fb
             np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_sweep_cli_wiring(tmp_path):
+    """The sweep CLI (scripts/sweep.py) drives train_sweep end-to-end and
+    writes one reference-format checkpoint per layer."""
+    import json
+
+    from freud_tpu.scripts import sweep as sweep_cli
+
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 4)
+    layers = ["encoder.blocks.0", "encoder.blocks.1"]
+    acts = tmp_path / "acts"
+    collect_multilayer(str(audio), layers, "test:tiny", batch_size=2,
+                       out_folder=str(acts), verbose=False)
+    cfg = tmp_path / "sweep.json"
+    cfg.write_text(json.dumps({
+        "data_path": str(acts),
+        "layer_names": layers,
+        "variant": "l1",
+        "autoencoder_config": {"n_dict_components": 16,
+                               "recon_alpha": 100.0},
+        "steps": 2,
+        "batch_size": 2,
+        "out_dir": str(tmp_path / "out"),
+        "verbose": False,
+    }))
+    sweep_cli.main(["--config", str(cfg)])
+    import torch
+
+    for layer in layers:
+        ckpts = list((tmp_path / "out").glob(f"*{layer}*.pth"))
+        assert ckpts, f"no checkpoint written for {layer}"
+        state = torch.load(ckpts[0], map_location="cpu")
+        assert "model" in state and "hparams" in state
