@@ -797,6 +797,87 @@ def test_search_matches_reference(ref_search, search_store, kwargs):
                                rtol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def indexed_search_store(tmp_path_factory):
+    """An INDEXED (TopK-SAE layout) store + non-uniform-duration WAVs.
+    Indices are distinct within each frame — the reference's densify does
+    ``(row == feature_idx).nonzero().item()``, which requires a feature to
+    appear at most once per timestep (true of real top-k output)."""
+    import wave as wave_mod
+
+    from freud_tpu.constants import TIMESTEP_S
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    root = tmp_path_factory.mktemp("search_oracle_idx")
+    audio_dir = root / "audio"
+    audio_dir.mkdir()
+    layer, T, k, n_feat, n = "encoder.blocks.2", 30, 4, 12, 6
+    rng = np.random.default_rng(31)
+    names, n_frames = [], []
+    for i in range(n):
+        dur = rng.uniform(0.2, T * TIMESTEP_S)
+        path = str(audio_dir / f"clip{i}.wav")
+        samples = int(dur * 16000)
+        with wave_mod.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(
+                (rng.standard_normal(samples) * 1000).astype(np.int16).tobytes())
+        names.append(path)
+        n_frames.append(int((samples / 16000) / TIMESTEP_S))
+    vals = rng.standard_normal((n, T, k)).astype(np.float32)
+    idx = np.stack([
+        np.stack([rng.choice(n_feat, size=k, replace=False) for _ in range(T)])
+        for _ in range(n)
+    ]).astype(np.int64)
+    # metadata activation_shape is (T, n_dict) for indexed stores (the
+    # fly loader's probe shape), while stored rows are (T, k) pairs
+    with ActivationStoreWriter(root, layer, (T, k), [T, n_feat],
+                               indexed=True) as w:
+        w.append_batch(names, vals, idx, n_frames=n_frames)
+    return types.SimpleNamespace(root=root, layer=layer, names=names)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(feature_idx=3, n_files=4),
+    dict(feature_idx=7, n_files=3, absolute_magnitude=True),
+])
+def test_indexed_search_matches_reference(ref_search, indexed_search_store,
+                                          kwargs):
+    """The INDEXED store path: the reference densifies each row with its
+    nested-loop activation_tensor_from_indexed (utils/activations.py:41-57);
+    ours densifies on device (_densify_indexed). Ordering, values, traces,
+    and the histogram list must agree."""
+    from freud_tpu.analysis.search import top_activations
+    from freud_tpu.data.loaders import MemoryMappedActivationLoader
+
+    s = indexed_search_store
+    ref_loader = ref_search.MemoryMappedActivationDataLoader(
+        str(s.root), s.layer, batch_size=2, dl_max_workers=0)
+    ref_results, ref_maxes = ref_search.top_activations(
+        ref_loader, kwargs["feature_idx"], kwargs["n_files"],
+        None, None, kwargs.get("absolute_magnitude", False), True,
+    )
+
+    loader = MemoryMappedActivationLoader(str(s.root), s.layer, batch_size=2)
+    results, maxes = top_activations(
+        loader, return_max_per_file=True, **kwargs)
+
+    assert len(results) == len(ref_results)
+    for ours, theirs in zip(results, ref_results):
+        fname, trace, value, time_s = ours
+        ref_fname, ref_trace, ref_value, ref_time = theirs
+        assert fname == ref_fname
+        np.testing.assert_allclose(value, ref_value, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(trace), ref_trace.numpy(), rtol=1e-6)
+        if not kwargs.get("absolute_magnitude"):
+            np.testing.assert_allclose(time_s, ref_time, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(maxes), np.asarray(ref_maxes),
+                               rtol=1e-6)
+
+
 # ----------------------------------------------------------- mel oracle
 
 
