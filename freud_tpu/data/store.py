@@ -278,8 +278,13 @@ class ActivationStoreWriter:
         }
         if self.n_frames:
             meta["n_frames"] = self.n_frames
-        with open(self.metadata_path, "w") as f:
+        # atomic replace: a kill mid-write must never leave corrupt JSON —
+        # the crash-consistent resume path (flush points every 30 s) reads
+        # this file back to decide what is already stored
+        tmp = self.metadata_path.with_name(self.metadata_path.name + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, self.metadata_path)
 
     def flush(self) -> None:
         for f in self.files:
