@@ -68,6 +68,41 @@ def precompute_cross_kv(params: Params, dims: WhisperDims, encoded: jnp.ndarray)
     return kvs
 
 
+def _quant_rows_int8(t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization over the last axis → (int8, f32
+    scale with a keepdims-1 last axis)."""
+    f = t.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cross_kv_stacks(params, dims, encoded, kv_dtype=None):
+    """Stacked (L, b, s, d) cross-attention K/V planes for the decode loop.
+
+    ``kv_dtype="int8"`` returns the quantized 4-tuple ``(k8, k_scale, v8,
+    v_scale)`` (per-(layer, batch, position) symmetric scales). Per-token
+    decode is HBM-read-bound on exactly these planes (58% of the bf16 token
+    step — tools/bench_decode2.py), and int8 storage DEQUANTIZED to the
+    compute dtype at the attention einsum halves that traffic again: XLA
+    fuses the convert+scale into the dot's read, measured 0.359 → 0.253
+    ms/step on v5e (tools/bench_decode3.py ``x_kv8_deq``; the requantized
+    int8-math variants all lose to their own quantization overhead). Token
+    stream agreement with bf16 was exact on the probe (logit rel-err ~0.7%).
+    """
+    cross = precompute_cross_kv(params, dims, encoded)
+    k = jnp.stack([k for k, _ in cross])
+    v = jnp.stack([v for _, v in cross])
+    if kv_dtype is None:
+        return (k, v)
+    if kv_dtype != "int8":
+        raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
+    k8, ks = _quant_rows_int8(k)
+    v8, vs = _quant_rows_int8(v)
+    return (k8, ks, v8, vs)
+
+
 def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
                  start=None):
     """One decoder step at position ``pos``: (b,) token → (b, vocab) logits.
@@ -128,14 +163,34 @@ def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
 
         h = _layer_norm(block["cross_attn_ln"], x)
         q = _linear(block["cross_attn"]["q"], h)
-        ck, cv = cross_kv[0][i], cross_kv[1][i]
-        qh = _split_heads(q, heads) * scale
-        kh = _split_heads(ck, heads) * scale
-        vh = _split_heads(cv, heads)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        if len(cross_kv) == 4:
+            # int8 planes + per-(b, s) scales (see _cross_kv_stacks). The
+            # dequant must stay convert-ONLY on the (b, s, d) planes — the
+            # int8→compute cast fuses into the dot's HBM read, while a
+            # full-plane scale multiply materializes a dense copy per step
+            # inside the decode while_loop (measured: it erases the entire
+            # win). Exact algebra moves both scales to tiny axes: the K
+            # scale multiplies the (b, h, 1, s) logits, the V scale folds
+            # into the softmax weights.
+            ck8, cks, cv8, cvs = (c[i] for c in cross_kv)
+            qh = _split_heads(q, heads) * (scale * scale)
+            k8h = _split_heads(ck8.astype(x.dtype), heads)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, k8h,
+                                preferred_element_type=jnp.float32)
+            logits = logits * cks[..., 0][:, None, None, :]
+            w = jax.nn.softmax(logits, axis=-1)
+            w = (w * cvs[..., 0][:, None, None, :]).astype(x.dtype)
+            v8h = _split_heads(cv8.astype(x.dtype), heads)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", w, v8h)
+        else:
+            ck, cv = cross_kv[0], cross_kv[1]
+            qh = _split_heads(q, heads) * scale
+            kh = _split_heads(ck[i], heads) * scale
+            vh = _split_heads(cv[i], heads)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
         attn = jnp.moveaxis(attn, -3, -2).reshape(*x.shape)
         x = x + _linear(block["cross_attn"]["out"], attn)
 
@@ -162,14 +217,14 @@ def detect_language(
     b = encoded.shape[0]
     L, d = dims.n_text_layer, dims.n_text_state
     params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
-    cross = precompute_cross_kv(params, dims, encoded)
-    cross_k = jnp.stack([k for k, _ in cross])
-    cross_v = jnp.stack([v for _, v in cross])
+    # one decoder step total: the cross K/V planes are read exactly once, so
+    # int8 kv_dtype would only add quantization cost here — always dense
+    cross_kv = _cross_kv_stacks(params, dims, encoded)
     self_k = jnp.zeros((L, b, 1, d), encoded.dtype)
     self_v = jnp.zeros((L, b, 1, d), encoded.dtype)
     token = jnp.full((b,), st.sot, jnp.int32)
     logits, _, _ = _decode_step(
-        params, dims, token, 0, self_k, self_v, (cross_k, cross_v)
+        params, dims, token, 0, self_k, self_v, cross_kv
     )
     lang_logits = jax.lax.dynamic_slice_in_dim(
         logits, st.lang_base, st.n_langs, axis=-1
@@ -269,6 +324,7 @@ def sample_decode(
     key: jnp.ndarray | None = None,
     start: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
+    kv_dtype: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode token ids with optional temperature sampling.
 
@@ -286,7 +342,10 @@ def sample_decode(
     clip's prompt really begins inside a fixed-size left-padded prompt
     buffer — the conditioned-prompt (sot_prev + previous text) mechanism;
     positions before it are excluded from attention and position numbering
-    (see ``_decode_step``)."""
+    (see ``_decode_step``). ``kv_dtype="int8"`` stores the precomputed
+    cross-attention K/V planes int8-quantized and dequantizes at the
+    attention dot — ~1.4× on the HBM-read-bound token step with exact token
+    agreement measured (see ``_cross_kv_stacks``)."""
     # Greedy-only fast path: with no key and a STATICALLY-zero temperature
     # the per-step Gumbel draw over the full (b, vocab) block (fold_in +
     # uniform + log + divide) is provably dead — drop it at trace time.
@@ -301,14 +360,16 @@ def sample_decode(
         params, encoded, prompt, temperature, key, start,
         dims=dims, n_prompt=n_prompt, max_new=max_new,
         compute_dtype=compute_dtype, greedy_only=greedy_only,
+        kv_dtype=kv_dtype,
     )
 
 
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new",
-                                   "compute_dtype", "greedy_only"))
+                                   "compute_dtype", "greedy_only",
+                                   "kv_dtype"))
 def _sample_decode_impl(
     params, encoded, prompt, temperature, key, start,
-    *, dims, n_prompt, max_new, compute_dtype, greedy_only,
+    *, dims, n_prompt, max_new, compute_dtype, greedy_only, kv_dtype,
 ):
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
@@ -318,9 +379,7 @@ def _sample_decode_impl(
     temperature = jnp.asarray(temperature, jnp.float32)
 
     params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
-    cross = precompute_cross_kv(params, dims, encoded)
-    cross_k = jnp.stack([k for k, _ in cross])
-    cross_v = jnp.stack([v for _, v in cross])
+    cross_kv = _cross_kv_stacks(params, dims, encoded, kv_dtype=kv_dtype)
     suppress, suppress_blank = _suppress_tables(dims)
     ts0 = st.timestamp_begin
 
@@ -330,7 +389,7 @@ def _sample_decode_impl(
     def step(carry, pos):
         token, prev, max_ts, sk, sv, finished, sum_lp, n_text, nsp = carry
         logits, sk, sv = _decode_step(
-            params, dims, token, pos, sk, sv, (cross_k, cross_v), start=start
+            params, dims, token, pos, sk, sv, cross_kv, start=start
         )
         # no_speech prob from the RAW logits at the SOT step, before any
         # suppression (whisper decoding.py probs_at_sot → no_speech_probs);
@@ -428,14 +487,15 @@ def greedy_decode(
     n_prompt: int,
     max_new: int = 224,
     compute_dtype=jnp.float32,
+    kv_dtype: str | None = None,
 ) -> jnp.ndarray:
     """Greedy-decode token ids: (b, n_prompt + max_new), EOT-padded."""
     return sample_decode(params, dims, encoded, prompt, n_prompt, max_new,
-                         compute_dtype=compute_dtype)[0]
+                         compute_dtype=compute_dtype, kv_dtype=kv_dtype)[0]
 
 
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new", "beam_size",
-                                   "compute_dtype"))
+                                   "compute_dtype", "kv_dtype"))
 def beam_decode(
     params: Params,
     dims: WhisperDims,
@@ -446,6 +506,7 @@ def beam_decode(
     beam_size: int = 5,
     start: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
+    kv_dtype: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search as ONE fixed-shape lax.scan (whisper's
     BeamSearchDecoder semantics, TPU-native formulation).
@@ -478,10 +539,12 @@ def beam_decode(
     assert ctx <= dims.n_text_ctx
 
     params, encoded = _cast_decode_inputs(params, encoded, compute_dtype)
-    cross = precompute_cross_kv(params, dims, encoded)
-    # tile each clip's cross KV across its beams: (L, b·beam, s, d)
-    cross_k = jnp.repeat(jnp.stack([k for k, _ in cross]), beam_size, axis=1)
-    cross_v = jnp.repeat(jnp.stack([v for _, v in cross]), beam_size, axis=1)
+    # tile each clip's cross KV across its beams: (L, b·beam, s, ·) — the
+    # int8 4-tuple's scale planes repeat identically
+    cross_kv = tuple(
+        jnp.repeat(c, beam_size, axis=1)
+        for c in _cross_kv_stacks(params, dims, encoded, kv_dtype=kv_dtype)
+    )
     suppress, suppress_blank = _suppress_tables(dims)
     ts0 = st.timestamp_begin
 
@@ -498,7 +561,7 @@ def beam_decode(
         (token, prev, max_ts, sk, sv, cum, n_text, seq,
          fin_key, fin_score, fin_ntext, fin_seq, nsp) = carry
         logits, sk, sv = _decode_step(
-            params, dims, token.reshape(-1), pos, sk, sv, (cross_k, cross_v),
+            params, dims, token.reshape(-1), pos, sk, sv, cross_kv,
             start=start_rep,
         )
         # SOT-step <|nospeech|> mass from the RAW logits (pre-rules); during
