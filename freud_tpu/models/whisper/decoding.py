@@ -82,15 +82,19 @@ def _cross_kv_stacks(params, dims, encoded, kv_dtype=None):
     """Stacked (L, b, s, d) cross-attention K/V planes for the decode loop.
 
     ``kv_dtype="int8"`` returns the quantized 4-tuple ``(k8, k_scale, v8,
-    v_scale)`` (per-(layer, batch, position) symmetric scales). Per-token
-    decode is HBM-read-bound on exactly these planes (58% of the bf16 token
-    step — tools/bench_decode2.py), and int8 storage DEQUANTIZED to the
-    compute dtype at the attention einsum halves that traffic again: XLA
-    fuses the convert+scale into the dot's read, measured 0.359 → 0.253
-    ms/step on v5e (tools/bench_decode3.py ``x_kv8_deq``; the requantized
-    int8-math variants all lose to their own quantization overhead). Token
-    stream agreement with bf16 was exact on the probe (logit rel-err ~0.7%).
-    """
+    v_scale)`` (per-(layer, batch, position) symmetric scales) — an
+    EXPERIMENTAL knob kept for probe reproducibility, NOT wired into any
+    product surface, because it is a measured end-to-end LOSER on v5e.
+    The measurement story (tools/bench_decode3.py, tools/bench_kv8.py):
+    per-token decode is HBM-read-bound on exactly these planes (58% of the
+    bf16 token step), and under a bare fixed ``lax.scan`` the int8 planes
+    dequantized at the attention dot win 0.359 → 0.253 ms/step (tiny) and
+    3.90 → 3.16 (small) with exact token agreement. But the PRODUCT decode
+    loop is an early-exit ``while_loop`` whose bf16 body is already
+    cross-op-overlapped, and there the extra dequant producer breaks the
+    overlap instead of fusing: serving RTFx drops 3854 → 3257 (tiny b8)
+    and 455 → 262 (small b8). The requantized int8-math variants lose to
+    their own quantization overhead in every configuration."""
     cross = precompute_cross_kv(params, dims, encoded)
     k = jnp.stack([k for k, _ in cross])
     v = jnp.stack([v for _, v in cross])
@@ -344,8 +348,8 @@ def sample_decode(
     positions before it are excluded from attention and position numbering
     (see ``_decode_step``). ``kv_dtype="int8"`` stores the precomputed
     cross-attention K/V planes int8-quantized and dequantizes at the
-    attention dot — ~1.4× on the HBM-read-bound token step with exact token
-    agreement measured (see ``_cross_kv_stacks``)."""
+    attention dot — exact token agreement, but a measured end-to-end LOSER
+    in this loop; experimental/probe-only, see ``_cross_kv_stacks``."""
     # Greedy-only fast path: with no key and a STATICALLY-zero temperature
     # the per-step Gumbel draw over the full (b, vocab) block (fold_in +
     # uniform + log + divide) is provably dead — drop it at trace time.

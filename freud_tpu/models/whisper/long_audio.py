@@ -161,7 +161,6 @@ def _decode_window_with_fallback(
                 runtime.params, dims, encoded, prompt, n_prompt,
                 max_new=runtime.max_new_tokens, beam_size=beam_size,
                 start=start, compute_dtype=runtime.compute_dtype,
-                kv_dtype=runtime.kv_dtype,
             )
         else:
             tokens, sum_lp, n_text, nsp = sample_decode(
@@ -169,7 +168,6 @@ def _decode_window_with_fallback(
                 max_new=runtime.max_new_tokens, temperature=float(t),
                 key=jax.random.fold_in(jax.random.PRNGKey(key_base), ti),
                 start=start, compute_dtype=runtime.compute_dtype,
-                kv_dtype=runtime.kv_dtype,
             )
         # one whole-array transfer per stat — ad-hoc [0] indexing on device
         # arrays compiles a fresh gather program remotely (CLAUDE.md hot-path

@@ -72,23 +72,17 @@ class WhisperRuntime:
         max_new_tokens: int = 224,
         language: Optional[str] = None,
         task: str = "transcribe",
-        kv_dtype: Optional[str] = None,
     ):
         """``language=None`` auto-detects per clip (multilingual models only),
         mirroring the reference's default DecodingOptions; pass a code like
         ``"en"`` to pin it and skip the detection step. ``task`` is whisper's
         DecodingOptions.task: "transcribe" (default) or "translate"
-        (any-language → English, multilingual models only). ``kv_dtype=
-        "int8"`` int8-quantizes the decode loop's cross-attention K/V planes
-        (serving throughput — decoding.py ``_cross_kv_stacks``)."""
+        (any-language → English, multilingual models only)."""
         if task not in ("transcribe", "translate"):
             raise ValueError(f"task must be transcribe|translate, got {task!r}")
-        if kv_dtype not in (None, "int8"):
-            raise ValueError(f"kv_dtype must be None or 'int8', got {kv_dtype!r}")
         self.model_name = model_name
         self.layer_name = layer_name
         self.compute_dtype = compute_dtype
-        self.kv_dtype = kv_dtype
         self.max_new_tokens = max_new_tokens
         self.language = language
         self.task = task
@@ -177,7 +171,6 @@ class WhisperRuntime:
         tokens = greedy_decode(
             self.params, self.dims, encoded, prompt, n_prompt,
             max_new=self.max_new_tokens, compute_dtype=self.compute_dtype,
-            kv_dtype=self.kv_dtype,
         )
         tokens = np.asarray(tokens)
         return [decode_text(row, self.dims.n_vocab) for row in tokens]
@@ -230,14 +223,14 @@ class WhisperRuntime:
                 tokens, sum_lp, n_text, nsp = beam_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, beam_size=beam_size,
-                    compute_dtype=self.compute_dtype, kv_dtype=self.kv_dtype,
+                    compute_dtype=self.compute_dtype,
                 )
             else:
                 tokens, sum_lp, n_text, nsp = sample_decode(
                     self.params, self.dims, encoded, prompt, n_prompt,
                     max_new=self.max_new_tokens, temperature=float(t),
                     key=jax.random.PRNGKey(seed + ti),
-                    compute_dtype=self.compute_dtype, kv_dtype=self.kv_dtype,
+                    compute_dtype=self.compute_dtype,
                 )
             tokens = np.asarray(tokens)
             sum_lp, n_text = np.asarray(sum_lp), np.asarray(n_text)
@@ -280,7 +273,6 @@ class WhisperRuntime:
         tokens = greedy_decode(
             self.params, self.dims, encoded, prompt, n_prompt,
             max_new=self.max_new_tokens, compute_dtype=self.compute_dtype,
-            kv_dtype=self.kv_dtype,
         )
 
         # (b, n_pairs, T, frames) over the curated (layer, head) pairs

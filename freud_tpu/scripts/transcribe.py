@@ -9,8 +9,7 @@ temperature-fallback ladder (models/whisper/decoding.py, runtime.py).
 Usage:
   python -m freud_tpu.scripts.transcribe --data_path DIR [--model tiny]
       [--batch_size 8] [--language en] [--beam_size 5] [--fallback]
-      [--max_new_tokens 224] [--precision float32|bfloat16]
-      [--kv_cache int8] [--out out.json]
+      [--max_new_tokens 224] [--precision float32|bfloat16] [--out out.json]
 
 Every batch is padded to ``batch_size`` files so the decode compiles exactly
 once per run (ragged tails would re-trace; a remote TPU compile is minutes).
@@ -40,7 +39,6 @@ def transcribe_folder(
     precision: str = "float32",
     word_timestamps: bool = False,
     verbose: bool = True,
-    kv_cache: str | None = None,
 ) -> dict:
     """→ {file path: transcript} — or, with ``word_timestamps``,
     {file path: {"text", "words": [{"word", "start", "end"}, …]}} — for every
@@ -55,7 +53,7 @@ def transcribe_folder(
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     rt = WhisperRuntime(
         model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
-        language=language, task=task, kv_dtype=kv_cache,
+        language=language, task=task,
     )
     pipeline = AudioBatchPipeline(
         data_path, batch_size, rt.dims.n_mels, drop_last=False
@@ -109,7 +107,6 @@ def transcribe_folder_long(
     beam_size: int | None = None,
     word_timestamps: bool = False,
     task: str = "transcribe",
-    kv_cache: str | None = None,
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
     duration, each decoded window at a fixed compiled shape through the
@@ -122,7 +119,7 @@ def transcribe_folder_long(
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     rt = WhisperRuntime(
         model, compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
-        language=language, task=task, kv_dtype=kv_cache,
+        language=language, task=task,
     )
     out: dict = {}
     for f in list_audio_files(data_path):
@@ -153,10 +150,6 @@ def main() -> None:
     ap.add_argument("--max_new_tokens", type=int, default=224)
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--kv_cache", default=None, choices=["int8"],
-                    help="int8-quantize the decode loop's cross-attention "
-                         "K/V planes (~1.4x token step, exact token "
-                         "agreement measured — tools/bench_decode3.py)")
     ap.add_argument("--word_timestamps", action="store_true",
                     help="cross-attention DTW word timings per file")
     ap.add_argument("--long", action="store_true",
@@ -170,14 +163,12 @@ def main() -> None:
             args.data_path, args.model, args.language, args.max_new_tokens,
             args.precision, beam_size=args.beam_size,
             word_timestamps=args.word_timestamps, task=args.task,
-            kv_cache=args.kv_cache,
         )
     else:
         result = transcribe_folder(
             args.data_path, args.model, args.batch_size, args.language,
             args.task, args.beam_size, args.fallback, args.max_new_tokens,
             args.precision, args.word_timestamps,
-            kv_cache=args.kv_cache,
         )
     if args.out:
         with open(args.out, "w") as f:

@@ -78,9 +78,6 @@ class GuiState:
 
         cdt = (jnp.bfloat16 if config.get("precision") == "bfloat16"
                else jnp.float32)
-        # "kv_cache": "int8" int8-quantizes the decode loop's cross-attention
-        # K/V planes (another ~1.4x on /transcribe's token step)
-        kvd = config.get("kv_cache") or None
 
         if from_disk:
             self.loader = MemoryMappedActivationLoader(
@@ -95,15 +92,10 @@ class GuiState:
             )
         if from_disk:
             self.runtime = WhisperRuntime(whisper_model, layer_name,
-                                          compute_dtype=cdt, kv_dtype=kvd)
+                                          compute_dtype=cdt)
             sae = load_sae(sae_checkpoint) if sae_checkpoint else None
         else:
             self.runtime = self.loader.runtime
-            if kvd:  # decode-time-only attribute; the shared loader runtime
-                # was built for capture, so flip it here for /transcribe
-                if kvd != "int8":
-                    raise ValueError(f"kv_cache must be 'int8', got {kvd!r}")
-                self.runtime.kv_dtype = kvd
             sae = None
             if self.loader.sae is not None:
                 variant, cfg, params = self.loader.sae

@@ -1,13 +1,16 @@
-"""int8 cross-attention KV cache for the decode loop (``kv_dtype="int8"``).
+"""int8 cross-attention KV planes for the decode loop (``kv_dtype="int8"``).
 
-Per-token decode is HBM-read-bound on the cross-attention K/V planes (58% of
-the bf16 token step, tools/bench_decode2.py); storing them int8 and
-dequantizing at the attention dot measured 0.359 → 0.253 ms/step on v5e with
-EXACT token agreement (tools/bench_decode3.py ``x_kv8_deq`` — the int8-math
-variants all lost to their own quantization overhead). These tests pin the
-contract: the quantized stacks really are int8 + per-row scales, the token
-stream matches the dense path on separated test-scale logits, and the option
-composes with beam search and the conditioned-prompt ``start`` offset.
+An EXPERIMENTAL decoding-level knob kept for probe reproducibility — it is
+NOT wired into any product surface (runtime/CLI/server), because it is a
+measured end-to-end loser on v5e: the int8 planes win under a bare fixed
+scan (0.359 → 0.253 ms/step tiny, tools/bench_decode3.py) but lose inside
+the product early-exit while_loop, whose bf16 body is already
+cross-op-overlapped (serving 3854 → 3257 RTFx tiny b8, 455 → 262 small b8
+— tools/bench_kv8.py; full verdict in ``_cross_kv_stacks``). These tests
+pin the knob's exactness so the probes stay reproducible: the quantized
+stacks really are int8 + per-row scales, the token stream matches the dense
+path on separated test-scale logits, and the option composes with beam
+search and the conditioned-prompt ``start`` offset.
 """
 
 import jax.numpy as jnp
@@ -120,20 +123,11 @@ def test_int8_kv_with_start_offset_padded_equals_unpadded(setup):
     )
 
 
-def test_runtime_validates_kv_dtype():
+def test_kv_dtype_not_on_product_surfaces():
+    """The knob is probe-only by decision (measured end-to-end loser): the
+    product serving surfaces must NOT grow it back without re-measuring."""
+    import inspect
+
     from freud_tpu.models.whisper.runtime import WhisperRuntime
 
-    with pytest.raises(ValueError, match="kv_dtype"):
-        WhisperRuntime("test:tiny", kv_dtype="fp8")
-
-
-def test_runtime_transcribe_with_int8_kv():
-    from freud_tpu.models.whisper.runtime import WhisperRuntime
-
-    rt8 = WhisperRuntime("test:tiny", kv_dtype="int8", max_new_tokens=10)
-    rt = WhisperRuntime("test:tiny", max_new_tokens=10)
-    rng = np.random.default_rng(1)
-    mels = jnp.asarray(
-        rng.standard_normal((1, rt.dims.n_mels, 3000)).astype(np.float32) * 0.3
-    )
-    assert rt8.transcribe(mels) == rt.transcribe(mels)
+    assert "kv_dtype" not in inspect.signature(WhisperRuntime.__init__).parameters

@@ -1,11 +1,17 @@
-"""End-to-end serving RTFx with the integrated int8 cross-KV decode path.
+"""End-to-end serving RTFx of the int8 cross-KV decode knob. VERDICT: LOSES.
 
 tools/bench_decode3.py isolated the token step and found ``x_kv8_deq`` (int8
 cross-K/V planes dequantized at the attention dot) at 0.253 vs bf16's 0.359
-ms/step with exact token agreement. This probe measures the PRODUCT path —
-``sample_decode(..., kv_dtype="int8")`` behind the same encoder+decode
-pipeline bench.py's serving row times — to see what survives end-to-end
-(the encoder and the early-exit loop dilute a pure token-step win).
+ms/step with exact token agreement. This probe measures the knob behind the
+same encoder+decode pipeline bench.py's serving row times, to see what
+survives end-to-end. Result (v5e): the bare product-step scan (``--step``)
+keeps the win — tiny b8 0.403 → 0.273, small b8 3.90 → 3.16 ms/step — but
+the composed early-exit while_loop LOSES on every model: tiny b8
+3854 → 3257 RTFx, small b8 455 → 262. The composed bf16 body is already
+cross-op-overlapped; the dequant producer breaks that overlap instead of
+fusing into the dot as it does under a bare scan. Outcome: ``kv_dtype`` is
+a probe-only decoding knob, NOT wired into runtime/CLI/server (same
+discipline as bench_sqattn.py's unintegrated kernel).
 """
 
 from __future__ import annotations
