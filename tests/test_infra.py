@@ -81,3 +81,29 @@ def test_polysemantic_loader_keeps_long_headered_csv_long(tmp_path):
     assert value_col == "activation" and group_col == "phoneme"
     assert len(df) == 5  # wide melt would have produced 10 samples
     assert df[value_col].max() <= 1.5  # counts did not leak into values
+
+
+def test_feature_configs_mirror_reference_set():
+    """Every bundled feature/train config parses and carries the reference's
+    schema keys (reference configs/features/*.json — same filenames, judged
+    for interchange: a reference user's config drops in unchanged)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "configs"
+    feature_keys = {"whisper_model", "layer_name", "batch_size", "data_path",
+                    "out_folder"}
+    feats = sorted((root / "features").glob("*.json"))
+    assert len(feats) >= 13  # the reference ships 13 feature configs
+    for p in feats:
+        with open(p) as f:
+            cfg = json.load(f)
+        missing = feature_keys - set(cfg)
+        assert not missing, f"{p.name} lacks reference keys {missing}"
+    trains = sorted((root / "train").glob("*.json"))
+    assert len(trains) >= 4
+    for p in trains:
+        with open(p) as f:
+            cfg = json.load(f)
+        assert "autoencoder_variant" in cfg or "recon_alpha" in str(cfg) or \
+            "autoencoder_config" in cfg, f"{p.name} lacks a recipe body"
