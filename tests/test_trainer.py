@@ -282,3 +282,59 @@ def test_topk_dp_mesh_step_matches_single_device():
     for a, b in zip(t_dp.params, t_1.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-2, atol=3e-3)
+
+
+def test_train_fly_mode_end_to_end(tmp_path):
+    """``from_disk: false`` — the reference README's documented no-collection
+    workflow (train straight from audio through decode→mel→capture): one
+    short L1 run over tmp WAVs must step, validate through the fly val
+    loader, and write reference-format checkpoints."""
+    import wave
+
+    from freud_tpu.models.sae.serialize import sae_from_checkpoint
+    from freud_tpu.train.trainer import train
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        with wave.open(str(audio_dir / f"clip{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(
+                (rng.standard_normal(8000) * 2000).astype(np.int16).tobytes()
+            )
+    run_dir = tmp_path / "run"
+
+    stats = train(
+        seed=0,
+        train_folder=str(audio_dir),
+        val_folder=str(audio_dir),
+        run_dir=str(run_dir),
+        lr=1e-3,
+        weight_decay=0.0,
+        steps=2,
+        clip_thresh=1.0,
+        batch_size=2,
+        log_tb_every=1,
+        save_every=2,
+        val_every=2,
+        whisper_config={"model": "test:tiny", "layer_name": "encoder.blocks.1"},
+        optimizer="radam",
+        scheduler="cosine",
+        scheduler_params={},
+        autoencoder_variant="l1",
+        autoencoder_config={"n_dict_components": 16, "recon_alpha": 100.0},
+        from_disk=False,
+        enable_transcripts=False,
+        verbose=False,
+    )
+    assert stats["steps"] == 2
+    ckpts = sorted(p.name for p in (run_dir / "checkpoints").glob("*.pth"))
+    assert "step2.pth" in ckpts and "bestval.pth" in ckpts
+    v, cfg, act_size, params = sae_from_checkpoint(
+        str(run_dir / "checkpoints/step2.pth")
+    )
+    # fly activations carry whisper-tiny's encoder width
+    assert v == "l1" and act_size == 384
