@@ -20,7 +20,6 @@ list per append):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

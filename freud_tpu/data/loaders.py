@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import profiling
-from ..constants import SAMPLE_RATE, TIMESTEP_S, get_n_mels
+from ..constants import get_n_mels
 from ..models.sae import config as sae_config
 from ..models.sae import l1 as l1_mod
 from ..models.sae import serialize as sae_serialize

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import profiling
-from ..constants import SAMPLE_RATE, TIMESTEP_S, get_n_mels
+from ..constants import get_n_mels
 from ..models.whisper import WhisperRuntime, encoder_forward
 from .audio_dataset import AudioBatchPipeline
 from .loaders import decodable_mask

@@ -25,7 +25,6 @@ is kept, but paths must resolve inside the configured dataset roots unless
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import re
