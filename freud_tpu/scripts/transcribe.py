@@ -10,6 +10,8 @@ Usage:
   python -m freud_tpu.scripts.transcribe --data_path DIR [--model tiny]
       [--batch_size 8] [--language en] [--beam_size 5] [--fallback]
       [--max_new_tokens 224] [--precision float32|bfloat16] [--out out.json]
+      [--output_format txt|srt|vtt|tsv|json --output_dir D]  (subtitle
+      formats render --long's timed segments — models/whisper/writers.py)
 
 Every batch is padded to ``batch_size`` files so the decode compiles exactly
 once per run (ragged tails would re-trace; a remote TPU compile is minutes).
@@ -156,7 +158,17 @@ def main() -> None:
                     help="30-s seek loop for arbitrary-length audio "
                          "(whisper.transcribe); yields timed segments")
     ap.add_argument("--out", default=None, help="write {file: text} JSON here")
+    ap.add_argument("--output_format", default=None,
+                    choices=["txt", "srt", "vtt", "tsv", "json"],
+                    help="per-file transcript files (whisper-CLI formats; "
+                         "srt/vtt/tsv need --long's timed segments)")
+    ap.add_argument("--output_dir", default=".",
+                    help="directory for --output_format files")
     args = ap.parse_args()
+
+    if args.output_format in ("srt", "vtt", "tsv") and not args.long:
+        ap.error(f"--output_format {args.output_format} needs the timed "
+                 "segments of --long")
 
     if args.long:
         result = transcribe_folder_long(
@@ -170,6 +182,13 @@ def main() -> None:
             args.task, args.beam_size, args.fallback, args.max_new_tokens,
             args.precision, args.word_timestamps,
         )
+    if args.output_format:
+        from ..models.whisper.writers import write_result
+
+        for path, res in result.items():
+            if not isinstance(res, dict):  # batch mode / decode failures
+                res = {"text": res if isinstance(res, str) else str(res)}
+            write_result(res, path, args.output_dir, args.output_format)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

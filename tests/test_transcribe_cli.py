@@ -70,3 +70,54 @@ def test_transcribe_cli_writes_json(tmp_path, monkeypatch, capsys):
     assert len(data) == 2
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
     assert {d["file"] for d in lines} == set(data)
+
+
+def test_transcribe_cli_output_formats(tmp_path, monkeypatch):
+    """--long --output_format srt renders per-file subtitle files from the
+    seek loop's timed segments; srt/vtt/tsv without --long is an argparse
+    error (no segments to time)."""
+    import sys
+
+    import pytest
+
+    from freud_tpu.scripts import transcribe as cli
+
+    _write_wavs(tmp_path / "audio", n=1)
+    out_dir = tmp_path / "subs"
+    monkeypatch.setattr(sys, "argv", [
+        "transcribe", "--data_path", str(tmp_path / "audio"),
+        "--model", "test:tiny", "--language", "en",
+        "--max_new_tokens", "4", "--long",
+        "--output_format", "srt", "--output_dir", str(out_dir),
+    ])
+    cli.main()
+    srt = (out_dir / "clip0.srt").read_text()
+    if srt:  # random weights may emit zero segments for noise
+        assert srt.splitlines()[0] == "1"
+        assert "-->" in srt
+
+    monkeypatch.setattr(sys, "argv", [
+        "transcribe", "--data_path", str(tmp_path / "audio"),
+        "--model", "test:tiny", "--output_format", "vtt",
+    ])
+    with pytest.raises(SystemExit):
+        cli.main()
+
+
+def test_transcribe_cli_txt_output_batch_mode(tmp_path, monkeypatch):
+    import sys
+
+    from freud_tpu.scripts import transcribe as cli
+
+    _write_wavs(tmp_path / "audio", n=2)
+    out_dir = tmp_path / "txt"
+    monkeypatch.setattr(sys, "argv", [
+        "transcribe", "--data_path", str(tmp_path / "audio"),
+        "--model", "test:tiny", "--batch_size", "2", "--language", "en",
+        "--max_new_tokens", "3",
+        "--output_format", "txt", "--output_dir", str(out_dir),
+    ])
+    cli.main()
+    files = sorted(p.name for p in out_dir.glob("*.txt"))
+    assert files == ["clip0.txt", "clip1.txt"]
+    assert (out_dir / "clip0.txt").read_text().endswith("\n")
