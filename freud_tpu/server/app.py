@@ -185,6 +185,15 @@ def make_handler(state: GuiState):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_text(self, text, mime, code=200):
+            data = text.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", f"{mime}; charset=utf-8")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def _send_audio(self, fpath):
             """Serve a file with HTTP Range support (single range form), as
             Flask's send_file does for the reference (gui_server.py:187-189)
@@ -364,18 +373,41 @@ def make_handler(state: GuiState):
                 truthy = ("1", "true", "yes")
                 long_mode = q.get("long", "0").lower() in truthy
                 fallback = q.get("fallback", "0").lower() in truthy
+                # ?format=srt|vtt|tsv|txt renders the result server-side
+                # (models/whisper/writers.py); subtitle formats need the
+                # long path's timed segments. Default stays JSON.
+                fmt = q.get("format", "json").lower()
+                if fmt not in ("json", "txt", "srt", "vtt", "tsv"):
+                    self._send_json(
+                        {"error": f"format must be json|txt|srt|vtt|tsv, "
+                                  f"got {fmt!r}"}, 400)
+                    return
+                if fmt in ("srt", "vtt", "tsv") and not (
+                        long_mode or len(audio) > N_SAMPLES):
+                    self._send_json(
+                        {"error": f"format={fmt} needs timed segments — "
+                                  "pass long=1"}, 400)
+                    return
                 with state.lock:
                     rt = state.runtime
                     if long_mode or len(audio) > N_SAMPLES:
                         result = rt.transcribe_long(audio)
-                        self._send_json(result)
                     else:
                         mel = mels_from_array(audio, rt.dims.n_mels)
                         if fallback:
                             text = rt.transcribe_with_fallback(mel)[0]
                         else:
                             text = rt.transcribe(mel)[0]
-                        self._send_json({"text": text})
+                        result = {"text": text}
+                if fmt == "json":
+                    self._send_json(result)
+                else:
+                    from ..models.whisper.writers import get_writer
+
+                    mime = "text/vtt" if fmt == "vtt" else \
+                        "text/tab-separated-values" if fmt == "tsv" else \
+                        "text/plain"
+                    self._send_text(get_writer(fmt)(result), mime)
             elif path == "/top_features":
                 top_n = int(q.get("top_n", 32))
                 with state.lock:

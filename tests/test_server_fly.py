@@ -206,3 +206,52 @@ def test_oversized_upload_rejected_without_read(served_fly):
     except urllib.error.HTTPError as e:
         assert e.code == 413
         assert "error" in json.loads(e.read())
+
+
+def _post_multipart_raw(url, audio_bytes, filename="u.wav"):
+    """Like _post_multipart but returns (status, content_type, raw text) —
+    for the non-JSON ?format= responses."""
+    import urllib.error
+
+    boundary = "testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="audio"; filename="{filename}"\r\n'
+        f"Content-Type: audio/wav\r\n\r\n"
+    ).encode() + audio_bytes + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read().decode()
+
+
+def test_transcribe_endpoint_formats(served_fly):
+    """?format=srt|vtt|txt renders server-side via the transcript writers;
+    subtitle formats demand the long path's timed segments."""
+    code, ctype, text = _post_multipart_raw(
+        served_fly + "/transcribe?format=txt", _wav_bytes()
+    )
+    assert code == 200 and ctype.startswith("text/plain")
+    assert text.endswith("\n")
+
+    # srt on a 30-s window (no segments) → explicit 400, not a crash
+    code, _, text = _post_multipart_raw(
+        served_fly + "/transcribe?format=srt", _wav_bytes()
+    )
+    assert code == 400 and "long=1" in text
+
+    code, ctype, text = _post_multipart_raw(
+        served_fly + "/transcribe?format=vtt&long=1", _wav_bytes()
+    )
+    assert code == 200 and ctype.startswith("text/vtt")
+    assert text.startswith("WEBVTT")
+
+    code, _, text = _post_multipart_raw(
+        served_fly + "/transcribe?format=docx", _wav_bytes()
+    )
+    assert code == 400 and "format" in text
