@@ -204,9 +204,10 @@ def transcribe_long(
     seed: int = 0,
 ) -> dict:
     """→ {"text", "segments": [{"start", "end", "text", "tokens",
-    "temperature", "avg_logprob", "compression_ratio", "no_speech_prob"}, …]}
-    for a waveform of any length, via ``runtime``'s (batch-1, fixed-shape)
-    decode programs (whisper transcribe.py's segment record).
+    "temperature", "avg_logprob", "compression_ratio", "no_speech_prob"}, …],
+    "language"} for a waveform of any length, via ``runtime``'s (batch-1,
+    fixed-shape) decode programs (whisper transcribe.py's result record —
+    language detected on the first window and pinned, whisper's rule).
 
     ``word_timestamps=True`` adds whisper's per-word timing to every
     segment (one teacher-forced alignment pass per window —
@@ -345,7 +346,19 @@ def transcribe_long(
             # never conditions later windows (its own tokens included)
             history.clear()
         seek += advance
+    # whisper.transcribe's result carries the decode language (detected on
+    # the first window and pinned, or the caller's override); English-only
+    # models are always "en"
+    from .tokenizer import LANGUAGES
+
+    if not runtime._st.multilingual:
+        language = "en"
+    elif lang_pinned is not None and 0 <= lang_pinned < len(LANGUAGES):
+        language = LANGUAGES[lang_pinned]
+    else:
+        language = runtime.language
     return {
         "text": "".join(s["text"] for s in segments),
         "segments": segments,
+        "language": language,
     }

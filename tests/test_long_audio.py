@@ -96,7 +96,10 @@ def test_transcribe_long_end_to_end():
     audio = np.random.default_rng(2).standard_normal(int(16000 * 45)).astype(
         np.float32) * 0.1
     out = rt.transcribe_long(audio, condition_on_previous_text=False)
-    assert set(out) == {"text", "segments"}
+    assert set(out) == {"text", "segments", "language"}
+    # whisper result record: language detected on window 1 and pinned;
+    # test:tiny is multilingual so the pinned index must render to a code
+    assert isinstance(out["language"], str) and len(out["language"]) >= 2
     assert isinstance(out["text"], str)
     for s in out["segments"]:
         assert 0.0 <= s["start"] <= s["end"] <= 45.0 + 30.0
@@ -222,4 +225,5 @@ def test_transcribe_long_empty_audio_returns_empty():
 
     rt = WhisperRuntime("test:tiny", max_new_tokens=4, language="en")
     out = rt.transcribe_long(np.zeros(100, np.float32))
-    assert out == {"text": "", "segments": []}
+    # no window ever decoded → language falls back to the caller's pin
+    assert out == {"text": "", "segments": [], "language": "en"}
