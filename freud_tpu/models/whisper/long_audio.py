@@ -316,10 +316,14 @@ def transcribe_long(
             )
             aligned = (starts_w, ends_w, pieces_w)
         tok_cursor = 0
-        for s in segs:
+        for seg_i, s in enumerate(segs):
             toks = s.pop("text_tokens")
             if condition_on_previous_text:
                 history.extend(toks)
+            # whisper new_segment record: id numbers segments across the
+            # whole recording, seek is the window's mel-frame origin
+            s["id"] = len(segments) + seg_i
+            s["seek"] = seek
             s["text"] = decode_text(toks, dims.n_vocab)
             s["tokens"] = toks
             s["temperature"] = used_t

@@ -177,10 +177,14 @@ def test_long_audio_fallback_ladder(monkeypatch):
         audio, temperatures=(0.0, 1.0), logprob_threshold=10.0,
         no_speech_threshold=None)
     assert 1.0 in calls, "ladder never escalated past t=0"
-    for s in out["segments"]:
+    for i, s in enumerate(out["segments"]):
         assert s["temperature"] == 1.0
-        assert {"tokens", "avg_logprob", "compression_ratio",
+        assert {"id", "seek", "tokens", "avg_logprob", "compression_ratio",
                 "no_speech_prob"} <= set(s)
+        # whisper's new_segment record: id numbers segments across the whole
+        # recording; seek is the window's mel-frame origin
+        assert s["id"] == i
+        assert 0 <= s["seek"] and s["seek"] * 0.01 <= s["start"] + 1e-6
 
     # permissive gates: the ladder accepts every window at t=0
     calls.clear()
