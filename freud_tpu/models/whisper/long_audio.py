@@ -310,11 +310,10 @@ def transcribe_long(
 
             window_tokens = [t for s in segs for t in s["text_tokens"]]
             enc_frames = min(content_frames - seek, N_FRAMES) // 2
-            starts_w, ends_w, pieces_w = runtime.align_words(
+            aligned = runtime.align_words(
                 encoded, window_tokens,
                 lang_idx=(lang_pinned or 0), num_frames=enc_frames,
             )
-            aligned = (starts_w, ends_w, pieces_w)
         tok_cursor = 0
         for seg_i, s in enumerate(segs):
             toks = s.pop("text_tokens")
@@ -331,15 +330,17 @@ def transcribe_long(
             s["compression_ratio"] = ratio
             s["no_speech_prob"] = nsp
             if aligned is not None:
-                starts_w, ends_w, pieces_w = aligned
+                starts_w, ends_w, pieces_w, probs_w = aligned
                 n_tok = min(len(toks), len(pieces_w) - tok_cursor)
                 sl = slice(tok_cursor, tok_cursor + n_tok)
                 s["words"] = [
                     {"word": wd["word"],
                      "start": wd["start"] + seek * 0.01,
-                     "end": wd["end"] + seek * 0.01}
+                     "end": wd["end"] + seek * 0.01,
+                     "probability": wd["probability"]}
                     for wd in group_words(
-                        pieces_w[sl], starts_w[sl], ends_w[sl])
+                        pieces_w[sl], starts_w[sl], ends_w[sl],
+                        probs=probs_w[sl])
                 ]
                 tok_cursor += n_tok
             if verbose:

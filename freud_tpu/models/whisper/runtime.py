@@ -276,7 +276,7 @@ class WhisperRuntime:
         )
 
         # (b, n_pairs, T, frames) over the curated (layer, head) pairs
-        w = self._alignment_forward(tokens, encoded)
+        w, tok_probs = self._alignment_forward(tokens, encoded)
 
         tokens = np.asarray(tokens)
         eot = self._st.eot
@@ -293,7 +293,8 @@ class WhisperRuntime:
             rows = [p - 1 for p in pos]
             starts, ends = timing.token_times(w[i], rows, nf)
             texts.append(decode_text(tokens[i], self.dims.n_vocab))
-            words.append(timing.group_words(pieces, starts, ends))
+            words.append(timing.group_words(
+                pieces, starts, ends, probs=tok_probs[i][rows]))
         return texts, words
 
     def _alignment_forward(self, tokens: jnp.ndarray, encoded: jnp.ndarray):
@@ -317,15 +318,24 @@ class WhisperRuntime:
             self._align_key = pairs
 
             def _fwd(p, t, e):
-                caps = decoder_forward(p, self.dims, t, e, capture=capture)[1]
-                return jnp.stack([
+                logits, caps = decoder_forward(p, self.dims, t, e,
+                                               capture=capture)
+                w = jnp.stack([
                     caps[f"decoder.blocks.{l}.cross_attn.weights"][:, h]
                     for l, h in pairs
                 ], axis=1)
+                # teacher-forced next-token probabilities: row r predicts
+                # token r+1 (whisper find_alignment's text_token_probs —
+                # word probability = mean over the word's tokens)
+                sm = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                probs = jnp.take_along_axis(
+                    sm[:, :-1], t[:, 1:, None], axis=-1
+                )[..., 0]
+                return w, probs
 
             self._align_fwd = jax.jit(_fwd)
-        return np.asarray(
-            self._align_fwd(self.params, tokens, encoded), np.float32)
+        w, probs = self._align_fwd(self.params, tokens, encoded)
+        return np.asarray(w, np.float32), np.asarray(probs, np.float32)
 
     def align_words(
         self,
@@ -333,8 +343,10 @@ class WhisperRuntime:
         text_tokens: list[int],
         lang_idx: int = 0,
         num_frames: Optional[int] = None,
-    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
-        """→ (starts, ends, pieces) for ``text_tokens`` against one window.
+    ) -> tuple[np.ndarray, np.ndarray, list[str], np.ndarray]:
+        """→ (starts, ends, pieces, token_probs) for ``text_tokens`` against
+        one window (token_probs: teacher-forced next-token probabilities,
+        whisper find_alignment's text_token_probs).
 
         whisper timing.py ``find_alignment``: the alignment sequence is the
         CLEAN ``sot_sequence + <|notimestamps|> + text + <|eot|>`` —
@@ -352,12 +364,12 @@ class WhisperRuntime:
         cap = self.max_new_tokens
         text_tokens = list(text_tokens)[:cap]
         if not text_tokens:  # timestamp-only window: nothing to align —
-            return np.zeros(0), np.zeros(0), []  # skip the decoder pass
+            return np.zeros(0), np.zeros(0), [], np.zeros(0)  # skip the pass
         row = base + text_tokens + [st.eot]
         buf = len(base) + cap + 1
         row = row + [st.eot] * (buf - len(row))
         tokens = jnp.asarray(np.asarray([row], np.int32))
-        w = self._alignment_forward(tokens, encoded)
+        w, tok_probs = self._alignment_forward(tokens, encoded)
         n = len(text_tokens)
         # rows B-1 .. B+n-1 predict text[0..n-1]; row B+n-1 (the last text
         # token's own row) predicts EOT and rides along as whisper's extra
@@ -365,7 +377,7 @@ class WhisperRuntime:
         rows = list(range(len(base) - 1, len(base) + n))
         pieces = token_pieces(np.asarray(text_tokens), self.dims.n_vocab)
         starts, ends = timing.token_times(w[0], rows, num_frames)
-        return starts[:n], ends[:n], pieces
+        return starts[:n], ends[:n], pieces, tok_probs[0][rows[:n]]
 
     def transcribe_long(self, audio: np.ndarray, verbose: bool = False,
                         **kw) -> dict:

@@ -185,15 +185,19 @@ def token_times(
 
 
 def group_words(
-    pieces: list[str], starts: np.ndarray, ends: np.ndarray
+    pieces: list[str], starts: np.ndarray, ends: np.ndarray,
+    probs: np.ndarray | None = None,
 ) -> list[dict]:
     """Merge token pieces into words (whisper split_tokens_on_spaces for
     spaced languages: a piece starting with a space — or a ``<tok:`` marker
     when no tokenizer assets exist — begins a new word). The ``word`` field
     RETAINS its leading space, exactly whisper's JSON shape — consumers
-    reconstruct segment text with ``''.join(w["word"] for w in words)``."""
+    reconstruct segment text with ``''.join(w["word"] for w in words)``.
+    ``probs`` (per-token teacher-forced probabilities) adds whisper's
+    ``probability`` field: the mean over the word's tokens."""
     words: list[dict] = []
-    for piece, s, e in zip(pieces, starts, ends):
+    counts: list[int] = []
+    for i, (piece, s, e) in enumerate(zip(pieces, starts, ends)):
         new_word = (
             not words
             or piece.startswith(" ")
@@ -201,7 +205,15 @@ def group_words(
         )
         if new_word:
             words.append({"word": piece, "start": float(s), "end": float(e)})
+            counts.append(1)
+            if probs is not None:
+                words[-1]["probability"] = float(probs[i])
         else:
             words[-1]["word"] += piece
             words[-1]["end"] = float(e)
+            counts[-1] += 1
+            if probs is not None:
+                n = counts[-1]
+                words[-1]["probability"] += (
+                    float(probs[i]) - words[-1]["probability"]) / n
     return words

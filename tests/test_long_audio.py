@@ -214,7 +214,8 @@ def test_long_audio_word_timestamps():
         assert "words" in s
         for wd in s["words"]:
             saw_words = True
-            assert set(wd) == {"word", "start", "end"}
+            assert set(wd) == {"word", "start", "end", "probability"}
+            assert 0.0 <= wd["probability"] <= 1.0
             # within the recording (+ zero-padded tail) and ordered
             assert 0.0 <= wd["start"] <= wd["end"] <= 35.0 + 30.0
         starts = [wd["start"] for wd in s["words"]]

@@ -67,7 +67,8 @@ def test_runtime_word_timestamps_structural():
     assert len(texts) == len(words) == 2
     for ws in words:
         for wd in ws:
-            assert set(wd) == {"word", "start", "end"}
+            assert set(wd) == {"word", "start", "end", "probability"}
+            assert 0.0 <= wd["probability"] <= 1.0
             assert 0.0 <= wd["start"] <= wd["end"] <= 30.0
         starts = [wd["start"] for wd in ws]
         assert starts == sorted(starts)
@@ -122,4 +123,5 @@ def test_load_alignment_heads_table(tmp_path, monkeypatch):
     texts, words = rt.transcribe_with_word_timestamps(mels)
     assert len(texts) == 1
     for wd in words[0]:
-        assert set(wd) == {"word", "start", "end"}
+        assert set(wd) == {"word", "start", "end", "probability"}
+        assert 0.0 <= wd["probability"] <= 1.0
