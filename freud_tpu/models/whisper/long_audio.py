@@ -333,14 +333,16 @@ def transcribe_long(
                 starts_w, ends_w, pieces_w, probs_w = aligned
                 n_tok = min(len(toks), len(pieces_w) - tok_cursor)
                 sl = slice(tok_cursor, tok_cursor + n_tok)
+                from .timing import merge_punctuations
+
                 s["words"] = [
                     {"word": wd["word"],
                      "start": wd["start"] + seek * 0.01,
                      "end": wd["end"] + seek * 0.01,
                      "probability": wd["probability"]}
-                    for wd in group_words(
+                    for wd in merge_punctuations(group_words(
                         pieces_w[sl], starts_w[sl], ends_w[sl],
-                        probs=probs_w[sl])
+                        probs=probs_w[sl]))
                 ]
                 tok_cursor += n_tok
             if verbose:

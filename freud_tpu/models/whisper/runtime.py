@@ -293,8 +293,8 @@ class WhisperRuntime:
             rows = [p - 1 for p in pos]
             starts, ends = timing.token_times(w[i], rows, nf)
             texts.append(decode_text(tokens[i], self.dims.n_vocab))
-            words.append(timing.group_words(
-                pieces, starts, ends, probs=tok_probs[i][rows]))
+            words.append(timing.merge_punctuations(timing.group_words(
+                pieces, starts, ends, probs=tok_probs[i][rows])))
         return texts, words
 
     def _alignment_forward(self, tokens: jnp.ndarray, encoded: jnp.ndarray):

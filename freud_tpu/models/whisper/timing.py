@@ -184,6 +184,42 @@ def token_times(
     return starts, ends
 
 
+# whisper transcribe.py's word_timestamps defaults
+PREPEND_PUNCTUATIONS = "\"'“¿([{-"
+APPEND_PUNCTUATIONS = "\"'.。,，!！?？:：”)]}、"
+
+
+def merge_punctuations(words: list[dict],
+                       prepended: str = PREPEND_PUNCTUATIONS,
+                       appended: str = APPEND_PUNCTUATIONS) -> list[dict]:
+    """whisper timing.py ``merge_punctuations``: a word that is a lone
+    prepending punctuation mark (`` "``, `` (``, …) fuses onto the FOLLOWING
+    word; a lone appending mark (``.``, ``,``, ``?``, …) fuses onto the
+    PREVIOUS one. The absorber keeps its own times and probability (whisper
+    concatenates text/tokens only); emptied entries drop from the list."""
+    # backwards pass: prepended marks attach forward
+    i, j = len(words) - 2, len(words) - 1
+    while i >= 0:
+        prev, nxt = words[i], words[j]
+        if prev["word"].startswith(" ") and prev["word"].strip() in prepended:
+            nxt["word"] = prev["word"] + nxt["word"]
+            prev["word"] = ""
+        else:
+            j = i
+        i -= 1
+    # forwards pass: appended marks attach backward
+    i, j = 0, 1
+    while j < len(words):
+        prev, nxt = words[i], words[j]
+        if not prev["word"].endswith(" ") and nxt["word"] in appended:
+            prev["word"] = prev["word"] + nxt["word"]
+            nxt["word"] = ""
+        else:
+            i = j
+        j += 1
+    return [w for w in words if w["word"]]
+
+
 def group_words(
     pieces: list[str], starts: np.ndarray, ends: np.ndarray,
     probs: np.ndarray | None = None,

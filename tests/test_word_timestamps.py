@@ -125,3 +125,29 @@ def test_load_alignment_heads_table(tmp_path, monkeypatch):
     for wd in words[0]:
         assert set(wd) == {"word", "start", "end", "probability"}
         assert 0.0 <= wd["probability"] <= 1.0
+
+
+def test_merge_punctuations():
+    """whisper timing.py merge_punctuations: lone prepending marks fuse onto
+    the following word, lone appending marks onto the previous; the absorber
+    keeps its own times/probability and emptied entries drop."""
+    from freud_tpu.models.whisper.timing import merge_punctuations
+
+    words = [
+        {"word": " \"", "start": 0.0, "end": 0.1, "probability": 0.5},
+        {"word": " hello", "start": 0.1, "end": 0.5, "probability": 0.9},
+        {"word": ",", "start": 0.5, "end": 0.6, "probability": 0.4},
+        {"word": " world", "start": 0.6, "end": 1.0, "probability": 0.8},
+        {"word": ".", "start": 1.0, "end": 1.1, "probability": 0.3},
+    ]
+    out = merge_punctuations(words)
+    assert [w["word"] for w in out] == [' " hello,', " world."]
+    # absorbers keep their own timing and probability
+    assert out[0]["start"] == 0.1 and out[0]["end"] == 0.5
+    assert out[0]["probability"] == 0.9
+    assert out[1]["end"] == 1.0 and out[1]["probability"] == 0.8
+
+    # words that are not lone punctuation pass through untouched
+    plain = [{"word": " a", "start": 0.0, "end": 0.1, "probability": 1.0},
+             {"word": " b", "start": 0.1, "end": 0.2, "probability": 1.0}]
+    assert merge_punctuations([dict(w) for w in plain]) == plain
