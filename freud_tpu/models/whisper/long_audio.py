@@ -201,6 +201,7 @@ def transcribe_long(
     history_budget: int | None = None,
     initial_prompt: str | None = None,
     word_timestamps: bool = False,
+    clip_timestamps: str | list = "0",
     seed: int = 0,
 ) -> dict:
     """→ {"text", "segments": [{"start", "end", "text", "tokens",
@@ -219,6 +220,11 @@ def transcribe_long(
     the t=0 rung); when a window escalates past t=0.5, the conditioning
     history is reset (whisper's ``prompt_reset_since`` rule — high-temperature
     text is never fed forward as a prompt).
+
+    ``clip_timestamps`` (whisper's option, "start,end,start,end,…" seconds
+    as a string or list) restricts transcription to those ranges; windows
+    never cross a clip boundary (the mel past the clip end zero-pads, and
+    seek jumps to the next clip's start).
 
     Silence gating matches whisper transcribe.py: a window whose SOT-step
     <|nospeech|> probability exceeds ``no_speech_threshold`` is skipped —
@@ -255,11 +261,43 @@ def transcribe_long(
         ids = encode_text(" " + initial_prompt.strip(), dims.n_vocab)
         if ids:  # silently a no-op without tokenizer assets (whisper needs
             history.extend(ids)  # them to encode the prompt too)
-    seek = 0  # in mel frames (10 ms each)
-    while seek < content_frames:
+    # whisper's clip_timestamps: comma-separated string (or list) of
+    # start,end second offsets to transcribe; a trailing start without an
+    # end implicitly closes at the recording end. Default "0" = everything.
+    if isinstance(clip_timestamps, str):
+        clip_list = ([float(t) for t in clip_timestamps.split(",")]
+                     if clip_timestamps else [])
+    else:
+        clip_list = [float(t) for t in (clip_timestamps or [])]
+    pts = [round(t * 100) for t in clip_list]  # seconds → mel frames
+    if not pts:
+        pts = [0]
+    if len(pts) % 2 == 1:
+        pts.append(content_frames)
+    seek_clips = [(max(s, 0), min(e, content_frames))
+                  for s, e in zip(pts[::2], pts[1::2])]
+
+    clip_idx = 0
+    seek = seek_clips[0][0] if seek_clips else 0  # in mel frames (10 ms each)
+    while clip_idx < len(seek_clips):
+        clip_start, clip_end = seek_clips[clip_idx]
+        if seek < clip_start:
+            seek = clip_start
+        if seek >= clip_end:
+            clip_idx += 1
+            if clip_idx < len(seek_clips):
+                seek = seek_clips[clip_idx][0]
+            continue
         # seek < content_frames ⇒ seek + N_FRAMES ≤ total mel frames: every
-        # window is full-width (the 30-s zero tail is part of the mel)
+        # window is full-width (the 30-s zero tail is part of the mel) — but
+        # a window crossing its CLIP end zero-pads past it, whisper's
+        # pad_or_trim of the clipped mel segment (audio beyond the clip
+        # must not leak into the encoder)
+        segment_size = min(N_FRAMES, clip_end - seek)
         win = mel[:, seek: seek + N_FRAMES]
+        if segment_size < N_FRAMES:
+            win = win.copy()
+            win[:, segment_size:] = 0.0
         encoded, _ = runtime._encode(runtime.params, jnp.asarray(win[None]))
         # whisper.transcribe detects the language once (first window), pins it
         prompt, n_prompt = runtime._prompt(encoded, lang_idx=lang_pinned)
@@ -293,7 +331,7 @@ def transcribe_long(
                 continue
         tokens = tokens[0]
         gen = tokens[n_prompt:]
-        window_s = min((content_frames - seek) * 0.01, 30.0)
+        window_s = segment_size * 0.01
         segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)
         if not condition_on_previous_text:
             # whisper resets the prompt after every window in this mode (the
@@ -309,7 +347,7 @@ def transcribe_long(
             from .timing import group_words
 
             window_tokens = [t for s in segs for t in s["text_tokens"]]
-            enc_frames = min(content_frames - seek, N_FRAMES) // 2
+            enc_frames = segment_size // 2
             aligned = runtime.align_words(
                 encoded, window_tokens,
                 lang_idx=(lang_pinned or 0), num_frames=enc_frames,

@@ -109,6 +109,7 @@ def transcribe_folder_long(
     beam_size: int | None = None,
     word_timestamps: bool = False,
     task: str = "transcribe",
+    clip_timestamps: str = "0",
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
     duration, each decoded window at a fixed compiled shape through the
@@ -131,7 +132,8 @@ def transcribe_folder_long(
             out[f] = "<decode-failed>"
             continue
         out[f] = rt.transcribe_long(audio, beam_size=beam_size,
-                                    word_timestamps=word_timestamps)
+                                    word_timestamps=word_timestamps,
+                                    clip_timestamps=clip_timestamps)
         if verbose:
             print(json.dumps({"file": f, "result": out[f]}))
     return out
@@ -157,6 +159,9 @@ def main() -> None:
     ap.add_argument("--long", action="store_true",
                     help="30-s seek loop for arbitrary-length audio "
                          "(whisper.transcribe); yields timed segments")
+    ap.add_argument("--clip_timestamps", default="0",
+                    help="whisper's clip option: 'start,end,start,end,…' "
+                         "seconds; transcribe only these ranges (--long)")
     ap.add_argument("--out", default=None, help="write {file: text} JSON here")
     ap.add_argument("--output_format", default=None,
                     choices=["txt", "srt", "vtt", "tsv", "json"],
@@ -175,6 +180,7 @@ def main() -> None:
             args.data_path, args.model, args.language, args.max_new_tokens,
             args.precision, beam_size=args.beam_size,
             word_timestamps=args.word_timestamps, task=args.task,
+            clip_timestamps=args.clip_timestamps,
         )
     else:
         result = transcribe_folder(

@@ -232,3 +232,42 @@ def test_transcribe_long_empty_audio_returns_empty():
     out = rt.transcribe_long(np.zeros(100, np.float32))
     # no window ever decoded → language falls back to the caller's pin
     assert out == {"text": "", "segments": [], "language": "en"}
+
+
+def test_clip_timestamps_restricts_decoding():
+    """whisper's clip_timestamps: only the given ranges are transcribed —
+    segments stay inside their clips, and the string/list forms agree."""
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
+    audio = np.random.default_rng(5).standard_normal(int(16000 * 70)).astype(
+        np.float32) * 0.1
+
+    out = rt.transcribe_long(audio, condition_on_previous_text=False,
+                             clip_timestamps="5,20,40,55")
+    for s in out["segments"]:
+        # windows never START outside a clip (segments may still END past a
+        # clip edge when the model emits a late timestamp into the window's
+        # zero-padded tail — whisper's pad_or_trim has the same property)
+        in_clip1 = 500 <= s["seek"] < 2000
+        in_clip2 = 4000 <= s["seek"] < 5500
+        assert in_clip1 or in_clip2, s["seek"]
+        assert s["start"] >= 5.0 - 0.011  # nothing before the first clip
+
+    out_list = rt.transcribe_long(audio, condition_on_previous_text=False,
+                                  clip_timestamps=[5, 20, 40, 55])
+    assert out_list["text"] == out["text"]
+    assert [s["start"] for s in out_list["segments"]] == \
+        [s["start"] for s in out["segments"]]
+
+    # an odd list closes at the recording end (whisper's rule); default "0"
+    # covers everything and matches the unclipped call
+    out_tail = rt.transcribe_long(audio, condition_on_previous_text=False,
+                                  clip_timestamps="60")
+    for s in out_tail["segments"]:
+        assert s["seek"] >= 6000  # windows begin at the trailing clip
+
+    plain = rt.transcribe_long(audio, condition_on_previous_text=False)
+    out_zero = rt.transcribe_long(audio, condition_on_previous_text=False,
+                                  clip_timestamps="0")
+    assert out_zero["text"] == plain["text"]
