@@ -79,12 +79,14 @@ def full_log_mel(audio: np.ndarray, n_mels: int) -> np.ndarray:
 def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
     """Split one window's generated tokens on paired timestamps.
 
-    → (segments ``[{"start", "end", "text_tokens"}]``, seek_advance_frames).
-    whisper transcribe.py's rule set: consecutive timestamp tokens close a
-    segment; a window ENDING on a lone timestamp means no speech after it —
-    the final piece is emitted too and the whole window is consumed;
-    otherwise the unfinished trailing piece is dropped and seek moves to the
-    last closed timestamp so that audio is re-decoded.
+    → (segments ``[{"start", "end", "text_tokens"}]``, seek_advance_frames,
+    single_timestamp_ending). whisper transcribe.py's rule set: consecutive
+    timestamp tokens close a segment; a window ENDING on a lone timestamp
+    (single_timestamp_ending — whisper consults it for the word-timestamp
+    seek heuristics too) means no speech after it — the final piece is
+    emitted and the whole window is consumed; otherwise the unfinished
+    trailing piece is dropped and seek moves to the last closed timestamp
+    so that audio is re-decoded.
     """
     ts0 = st.timestamp_begin
     toks = [int(t) for t in gen]
@@ -131,7 +133,48 @@ def _parse_segments(gen: np.ndarray, st, seek_time: float, window_s: float):
             segments.append({"start": seek_time, "end": seek_time + end,
                              "text_tokens": text})
         advance = N_FRAMES
-    return segments, advance
+    return segments, advance, single_ending
+
+
+def _get_end(segments: list[dict]) -> float | None:
+    """whisper transcribe.py ``get_end``: the last word end over segments
+    that carry words (None when none do)."""
+    for s in reversed(segments):
+        if s.get("words"):
+            return s["words"][-1]["end"]
+    return None
+
+
+def _next_words_segment(segments: list[dict]) -> dict | None:
+    return next((s for s in segments if s.get("words")), None)
+
+
+def _word_anomaly_score(word: dict) -> float:
+    """whisper transcribe.py's hallucination heuristic per word: low
+    teacher-forced probability, implausibly short, or implausibly long."""
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: dict | None) -> bool:
+    """whisper's segment-level call: score the first 8 non-punctuation words;
+    anomalous when the total reaches 3 or ~1 per word."""
+    from .timing import APPEND_PUNCTUATIONS, PREPEND_PUNCTUATIONS
+
+    if segment is None or not segment.get("words"):
+        return False
+    punct = PREPEND_PUNCTUATIONS + APPEND_PUNCTUATIONS
+    words = [w for w in segment["words"] if w["word"] not in punct][:8]
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
 
 
 def _decode_window_with_fallback(
@@ -202,6 +245,9 @@ def transcribe_long(
     initial_prompt: str | None = None,
     word_timestamps: bool = False,
     clip_timestamps: str | list = "0",
+    prepend_punctuations: str | None = None,
+    append_punctuations: str | None = None,
+    hallucination_silence_threshold: float | None = None,
     seed: int = 0,
 ) -> dict:
     """→ {"text", "segments": [{"start", "end", "text", "tokens",
@@ -212,7 +258,14 @@ def transcribe_long(
 
     ``word_timestamps=True`` adds whisper's per-word timing to every
     segment (one teacher-forced alignment pass per window —
-    ``runtime.align_words`` — words split per segment by token spans).
+    ``runtime.align_words`` — words split per segment by token spans), and
+    enables whisper's word-informed seek rule: a window that does not end
+    on a closed timestamp pair resumes right after the last attested word.
+    ``hallucination_silence_threshold`` (seconds; needs word timestamps,
+    whisper's option of the same name) additionally drops anomalous
+    segments — low word probability, implausible word durations — that sit
+    surrounded by silence gaps longer than the threshold, re-seeking past
+    the silence instead of transcribing it.
 
     EVERY window decodes through the temperature-fallback ladder
     (``_decode_window_with_fallback`` — whisper's ``decode_with_fallback``
@@ -255,6 +308,7 @@ def transcribe_long(
     segments: list[dict] = []
     history: list[int] = []  # previous windows' text tokens
     lang_pinned = None
+    last_speech_timestamp = 0.0  # across windows AND clips (whisper's init)
     if initial_prompt:
         from .tokenizer import encode_text
 
@@ -332,7 +386,8 @@ def transcribe_long(
         tokens = tokens[0]
         gen = tokens[n_prompt:]
         window_s = segment_size * 0.01
-        segs, advance = _parse_segments(gen, st, seek * 0.01, window_s)
+        segs, advance, single_ts_ending = _parse_segments(
+            gen, st, seek * 0.01, window_s)
         if not condition_on_previous_text:
             # whisper resets the prompt after every window in this mode (the
             # initial_prompt still conditioned the FIRST window above)
@@ -353,13 +408,11 @@ def transcribe_long(
                 lang_idx=(lang_pinned or 0), num_frames=enc_frames,
             )
         tok_cursor = 0
-        for seg_i, s in enumerate(segs):
+        for s in segs:
             toks = s.pop("text_tokens")
-            if condition_on_previous_text:
-                history.extend(toks)
-            # whisper new_segment record: id numbers segments across the
-            # whole recording, seek is the window's mel-frame origin
-            s["id"] = len(segments) + seg_i
+            # whisper new_segment record: seek is the window's mel-frame
+            # origin (ids are assigned at commit time below — the
+            # hallucination heuristics may still drop trailing segments)
             s["seek"] = seek
             s["text"] = decode_text(toks, dims.n_vocab)
             s["tokens"] = toks
@@ -371,21 +424,100 @@ def transcribe_long(
                 starts_w, ends_w, pieces_w, probs_w = aligned
                 n_tok = min(len(toks), len(pieces_w) - tok_cursor)
                 sl = slice(tok_cursor, tok_cursor + n_tok)
-                from .timing import merge_punctuations
+                from .timing import (APPEND_PUNCTUATIONS,
+                                     PREPEND_PUNCTUATIONS,
+                                     merge_punctuations)
 
                 s["words"] = [
                     {"word": wd["word"],
                      "start": wd["start"] + seek * 0.01,
                      "end": wd["end"] + seek * 0.01,
                      "probability": wd["probability"]}
-                    for wd in merge_punctuations(group_words(
-                        pieces_w[sl], starts_w[sl], ends_w[sl],
-                        probs=probs_w[sl]))
+                    for wd in merge_punctuations(
+                        group_words(pieces_w[sl], starts_w[sl], ends_w[sl],
+                                    probs=probs_w[sl]),
+                        prepended=(prepend_punctuations
+                                   if prepend_punctuations is not None
+                                   else PREPEND_PUNCTUATIONS),
+                        appended=(append_punctuations
+                                  if append_punctuations is not None
+                                  else APPEND_PUNCTUATIONS))
                 ]
                 tok_cursor += n_tok
+
+        if aligned is not None:
+            # whisper transcribe.py's word-timestamp seek heuristics. When
+            # the window does not end on a closed timestamp pair, trust the
+            # word alignment over the timestamp tokens and resume right
+            # after the last attested word
+            time_offset = seek * 0.01
+            window_end_time = (seek + N_FRAMES) * 0.01
+            if not single_ts_ending:
+                lwe = _get_end(segs)
+                if lwe is not None and lwe > time_offset:
+                    # (max 1: a word ending within the seek frame must still
+                    # advance, or the loop would re-decode forever)
+                    advance = max(round(lwe * 100) - seek, 1)
+            if hallucination_silence_threshold is not None:
+                threshold = hallucination_silence_threshold
+                if not single_ts_ending:
+                    lwe = _get_end(segs)
+                    if lwe is not None and lwe > time_offset:
+                        remaining = window_end_time - lwe
+                        if remaining > threshold:
+                            advance = max(round(lwe * 100) - seek, 1)
+                        else:
+                            advance = segment_size
+                # a leading anomaly after a long silent gap: skip the
+                # silence and retry from the anomaly's start
+                first_seg = _next_words_segment(segs)
+                if first_seg is not None and _is_segment_anomaly(first_seg):
+                    gap = first_seg["start"] - time_offset
+                    if gap > threshold:
+                        seek += max(round(gap * 100), 1)
+                        continue  # window's output dropped entirely
+                # an anomaly surrounded by silence (or more anomalies):
+                # drop it and everything after, resume at its start
+                hal_last_end = last_speech_timestamp
+                for si, segment in enumerate(segs):
+                    if not segment.get("words"):
+                        continue
+                    if _is_segment_anomaly(segment):
+                        nxt = _next_words_segment(segs[si + 1:])
+                        if nxt is not None:
+                            hal_next_start = nxt["words"][0]["start"]
+                        else:
+                            hal_next_start = (time_offset
+                                              + segment_size * 0.01)
+                        silence_before = (
+                            segment["start"] - hal_last_end > threshold
+                            or segment["start"] < threshold
+                            or segment["start"] - time_offset < 2.0)
+                        silence_after = (
+                            hal_next_start - segment["end"] > threshold
+                            or _is_segment_anomaly(nxt)
+                            or window_end_time - segment["end"] < 2.0)
+                        if silence_before and silence_after:
+                            advance = max(
+                                round(max(time_offset + 1, segment["start"])
+                                      * 100) - seek, 1)
+                            if (content_frames * 0.01 - segment["end"]
+                                    < threshold):
+                                advance = content_frames - seek
+                            del segs[si:]
+                            break
+                    hal_last_end = segment["words"][-1]["end"]
+            lwe = _get_end(segs)
+            if lwe is not None:
+                last_speech_timestamp = lwe
+
+        for s in segs:
+            s["id"] = len(segments)
+            segments.append(s)
+            if condition_on_previous_text:
+                history.extend(s["tokens"])
             if verbose:
                 print(f"[{s['start']:.2f} -> {s['end']:.2f}] {s['text']}")
-        segments.extend(segs)
         if used_t > 0.5:
             # whisper's prompt_reset_since: a window that escalated past 0.5
             # never conditions later windows (its own tokens included)

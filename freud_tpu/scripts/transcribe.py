@@ -110,6 +110,7 @@ def transcribe_folder_long(
     word_timestamps: bool = False,
     task: str = "transcribe",
     clip_timestamps: str = "0",
+    hallucination_silence_threshold: float | None = None,
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
     duration, each decoded window at a fixed compiled shape through the
@@ -131,9 +132,10 @@ def transcribe_folder_long(
         except RuntimeError:
             out[f] = "<decode-failed>"
             continue
-        out[f] = rt.transcribe_long(audio, beam_size=beam_size,
-                                    word_timestamps=word_timestamps,
-                                    clip_timestamps=clip_timestamps)
+        out[f] = rt.transcribe_long(
+            audio, beam_size=beam_size, word_timestamps=word_timestamps,
+            clip_timestamps=clip_timestamps,
+            hallucination_silence_threshold=hallucination_silence_threshold)
         if verbose:
             print(json.dumps({"file": f, "result": out[f]}))
     return out
@@ -162,6 +164,12 @@ def main() -> None:
     ap.add_argument("--clip_timestamps", default="0",
                     help="whisper's clip option: 'start,end,start,end,…' "
                          "seconds; transcribe only these ranges (--long)")
+    ap.add_argument("--hallucination_silence_threshold", type=float,
+                    default=None,
+                    help="whisper's option: with --long --word_timestamps, "
+                         "skip silent gaps longer than this (seconds) when "
+                         "an anomalous (probable-hallucination) segment is "
+                         "detected")
     ap.add_argument("--out", default=None, help="write {file: text} JSON here")
     ap.add_argument("--output_format", default=None,
                     choices=["txt", "srt", "vtt", "tsv", "json"],
@@ -181,6 +189,8 @@ def main() -> None:
             args.precision, beam_size=args.beam_size,
             word_timestamps=args.word_timestamps, task=args.task,
             clip_timestamps=args.clip_timestamps,
+            hallucination_silence_threshold=(
+                args.hallucination_silence_threshold),
         )
     else:
         result = transcribe_folder(

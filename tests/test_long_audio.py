@@ -62,8 +62,8 @@ def test_parse_segments_pairs_and_seek():
     # whole window is consumed (whisper transcribe.py's rule)
     gen = np.array([ts0 + 0, 100, 101, ts0 + 150, ts0 + 150, 102, ts0 + 200,
                     st.eot, st.eot])
-    segs, advance = long_audio._parse_segments(gen, st, seek_time=10.0,
-                                               window_s=30.0)
+    segs, advance, single = long_audio._parse_segments(
+        gen, st, seek_time=10.0, window_s=30.0)
     assert len(segs) == 2
     assert segs[0]["start"] == 10.0 and abs(segs[0]["end"] - 13.0) < 1e-6
     assert segs[0]["text_tokens"] == [100, 101]
@@ -71,22 +71,26 @@ def test_parse_segments_pairs_and_seek():
     assert abs(segs[1]["end"] - 14.0) < 1e-6
     assert segs[1]["text_tokens"] == [102]
     assert advance == N_FRAMES
+    assert single  # "<ts> text <ts>" ending
 
     # text after the last closed pair WITHOUT a closing timestamp: the
     # unfinished piece is dropped and seek returns to the closed timestamp
     # so that audio is re-decoded
     gen_unfinished = np.array([ts0 + 0, 100, ts0 + 150, ts0 + 150, 102,
                                st.eot])
-    segs_u, adv_u = long_audio._parse_segments(gen_unfinished, st, 0.0, 30.0)
+    segs_u, adv_u, single_u = long_audio._parse_segments(
+        gen_unfinished, st, 0.0, 30.0)
     assert len(segs_u) == 1 and segs_u[0]["text_tokens"] == [100]
     assert adv_u == 150 * 2
+    assert not single_u
 
     # no consecutive pair: whole window consumed, end from the last timestamp
     gen2 = np.array([ts0 + 0, 100, 101, ts0 + 90, st.eot])
-    segs2, advance2 = long_audio._parse_segments(gen2, st, 0.0, 30.0)
+    segs2, advance2, single2 = long_audio._parse_segments(gen2, st, 0.0, 30.0)
     assert advance2 == N_FRAMES
     assert segs2 and segs2[0]["text_tokens"] == [100, 101]
     assert abs(segs2[0]["end"] - 1.8) < 1e-6
+    assert single2  # trailing lone timestamp
 
 
 def test_transcribe_long_end_to_end():
@@ -271,3 +275,57 @@ def test_clip_timestamps_restricts_decoding():
     out_zero = rt.transcribe_long(audio, condition_on_previous_text=False,
                                   clip_timestamps="0")
     assert out_zero["text"] == plain["text"]
+
+
+def test_hallucination_silence_threshold(monkeypatch):
+    """whisper's hallucination_silence_threshold: an anomalous segment (low
+    word probability, implausible duration) surrounded by silence is dropped
+    and the seek resumes past it; without the option the same segment is
+    kept — and the word-informed seek rule advances past the last attested
+    word. Scripted decode + alignment (real models can't be steered here)."""
+    import freud_tpu.models.whisper.long_audio as la
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=8, language="en")
+    st = rt._st
+    ts0 = st.timestamp_begin
+    audio = np.zeros(int(16000 * 35), np.float32)
+
+    windows = []
+
+    def fake_decode(runtime, encoded, prompt, n_prompt, start, *a, **k):
+        import numpy as _np
+        windows.append(len(windows))
+        base = _np.asarray(prompt)[0].tolist()
+        if len(windows) == 1:
+            # one closed segment 0.0 -> 2.0 s, then a dangling pair opener:
+            # NOT a single-timestamp ending, so the word seek rule applies
+            gen = [ts0, 100, ts0 + 100, ts0 + 100]
+        else:
+            gen = []  # silent window (nsp high below): skipped entirely
+        row = base + gen + [st.eot] * (n_prompt + 8 - len(base) - len(gen))
+        toks = _np.asarray([row], _np.int32)
+        nsp = 0.0 if len(windows) == 1 else 0.99
+        slp = -1.0 if len(windows) == 1 else -50.0  # silent: fails override
+        return toks, slp, 3.0, nsp, 0.0, 1.0
+
+    def fake_align(encoded, text_tokens, lang_idx=0, num_frames=None):
+        n = len(text_tokens)
+        # one word spanning 0-3 s at probability 0.01: anomaly score
+        # 1 (prob) + 1 (3s-2s) = 2 >= ~1/word -> anomalous
+        return (np.zeros(n), np.full(n, 3.0), [f"<tok:{t}>" for t in
+                text_tokens], np.full(n, 0.01))
+
+    monkeypatch.setattr(la, "_decode_window_with_fallback", fake_decode)
+    monkeypatch.setattr(rt, "align_words", fake_align)
+
+    control = rt.transcribe_long(audio, word_timestamps=True,
+                                 condition_on_previous_text=False)
+    assert len(control["segments"]) == 1
+    assert control["segments"][0]["words"][0]["probability"] == 0.01
+
+    windows.clear()
+    dropped = rt.transcribe_long(audio, word_timestamps=True,
+                                 condition_on_previous_text=False,
+                                 hallucination_silence_threshold=2.0)
+    assert dropped["segments"] == [] and dropped["text"] == ""
