@@ -245,6 +245,7 @@ def transcribe_long(
     initial_prompt: str | None = None,
     word_timestamps: bool = False,
     clip_timestamps: str | list = "0",
+    carry_initial_prompt: bool = False,
     prepend_punctuations: str | None = None,
     append_punctuations: str | None = None,
     hallucination_silence_threshold: float | None = None,
@@ -286,7 +287,10 @@ def transcribe_long(
 
     ``condition_on_previous_text`` threads the previous windows' text tokens
     into the prompt as ``<|startofprev|> history… <|sot|>…`` (whisper
-    transcribe.py's all_tokens prompt). TPU-shape discipline: the prompt
+    transcribe.py's all_tokens prompt). ``initial_prompt`` seeds that
+    history; with ``carry_initial_prompt`` it instead re-prefixes EVERY
+    window's conditioning, surviving high-temperature resets (whisper's
+    option of the same name). TPU-shape discipline: the prompt
     lives in a FIXED buffer of ``n_text_ctx − max_new`` slots, left-filled
     with ``<|startofprev|>`` and carried with a per-clip ``start`` offset
     (positions before it are masked out of attention and position numbering
@@ -309,12 +313,17 @@ def transcribe_long(
     history: list[int] = []  # previous windows' text tokens
     lang_pinned = None
     last_speech_timestamp = 0.0  # across windows AND clips (whisper's init)
+    init_ids: list[int] = []
     if initial_prompt:
         from .tokenizer import encode_text
 
         ids = encode_text(" " + initial_prompt.strip(), dims.n_vocab)
         if ids:  # silently a no-op without tokenizer assets (whisper needs
-            history.extend(ids)  # them to encode the prompt too)
+            init_ids = list(ids)  # them to encode the prompt too)
+            if not carry_initial_prompt:
+                # one-shot conditioning: the prompt tokens live in the
+                # ordinary history and vanish on the first reset
+                history.extend(init_ids)
     # whisper's clip_timestamps: comma-separated string (or list) of
     # start,end second offsets to transcribe; a trailing start without an
     # end implicitly closes at the recording end. Default "0" = everything.
@@ -358,14 +367,24 @@ def transcribe_long(
         if lang_pinned is None and runtime._st.multilingual:
             lang_pinned = int(np.asarray(prompt)[0, 1]) - runtime._st.lang_base
         start = None
-        if (condition_on_previous_text or initial_prompt) and history:
+        carried = init_ids if carry_initial_prompt else []
+        if (condition_on_previous_text or initial_prompt) and (
+                history or carried):
             base = [int(t) for t in np.asarray(prompt)[0]]
             buf_len = dims.n_text_ctx - runtime.max_new_tokens
             if history_budget is not None:
                 buf_len = min(buf_len, len(base) + 1 + history_budget)
             budget = buf_len - len(base) - 1
             if budget > 0:  # max_new_tokens near n_text_ctx can leave no room
-                tail = history[-budget:]  # for even the sot_prev marker —
+                if carried:
+                    # whisper's carry_initial_prompt: the initial prompt
+                    # re-prefixes EVERY window's conditioning (surviving
+                    # resets); the rolling history fills what's left
+                    room = max(budget - len(carried), 0)
+                    tail = carried + (history[-room:] if room else [])
+                    tail = tail[-budget:]  # init_ids alone may exceed budget
+                else:
+                    tail = history[-budget:]  # for even the sot_prev marker —
                 seq = [st.sot_prev] + tail + base  # then skip conditioning
                 pad_n = buf_len - len(seq)  # (≥ 0 by the budget cap above)
                 prompt = jnp.asarray(

@@ -111,6 +111,8 @@ def transcribe_folder_long(
     task: str = "transcribe",
     clip_timestamps: str = "0",
     hallucination_silence_threshold: float | None = None,
+    initial_prompt: str | None = None,
+    carry_initial_prompt: bool = False,
 ) -> dict:
     """→ {file: {"text", "segments"}} via the 30-s seek loop — files of any
     duration, each decoded window at a fixed compiled shape through the
@@ -135,7 +137,9 @@ def transcribe_folder_long(
         out[f] = rt.transcribe_long(
             audio, beam_size=beam_size, word_timestamps=word_timestamps,
             clip_timestamps=clip_timestamps,
-            hallucination_silence_threshold=hallucination_silence_threshold)
+            hallucination_silence_threshold=hallucination_silence_threshold,
+            initial_prompt=initial_prompt,
+            carry_initial_prompt=carry_initial_prompt)
         if verbose:
             print(json.dumps({"file": f, "result": out[f]}))
     return out
@@ -164,6 +168,12 @@ def main() -> None:
     ap.add_argument("--clip_timestamps", default="0",
                     help="whisper's clip option: 'start,end,start,end,…' "
                          "seconds; transcribe only these ranges (--long)")
+    ap.add_argument("--initial_prompt", default=None,
+                    help="text to condition the first window on (whisper's "
+                         "option; --long, needs tokenizer assets)")
+    ap.add_argument("--carry_initial_prompt", action="store_true",
+                    help="re-prefix --initial_prompt onto EVERY window's "
+                         "conditioning (whisper's option)")
     ap.add_argument("--hallucination_silence_threshold", type=float,
                     default=None,
                     help="whisper's option: with --long --word_timestamps, "
@@ -191,6 +201,8 @@ def main() -> None:
             clip_timestamps=args.clip_timestamps,
             hallucination_silence_threshold=(
                 args.hallucination_silence_threshold),
+            initial_prompt=args.initial_prompt,
+            carry_initial_prompt=args.carry_initial_prompt,
         )
     else:
         result = transcribe_folder(

@@ -329,3 +329,49 @@ def test_hallucination_silence_threshold(monkeypatch):
                                  condition_on_previous_text=False,
                                  hallucination_silence_threshold=2.0)
     assert dropped["segments"] == [] and dropped["text"] == ""
+
+
+def test_carry_initial_prompt(monkeypatch):
+    """whisper's carry_initial_prompt: the initial prompt re-prefixes every
+    window's conditioning and survives the high-temperature history reset;
+    without it the prompt tokens vanish after the first reset."""
+    import freud_tpu.models.whisper.long_audio as la
+    import freud_tpu.models.whisper.tokenizer as tok
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=8, language="en")
+    st = rt._st
+    ts0 = st.timestamp_begin
+    audio = np.zeros(int(16000 * 65), np.float32)
+    marker = [701, 702, 703]
+
+    monkeypatch.setattr(tok, "encode_text", lambda *a, **k: list(marker))
+
+    prompts = []
+
+    def fake_decode(runtime, encoded, prompt, n_prompt, start, *a, **k):
+        import numpy as _np
+        row = _np.asarray(prompt)[0].tolist()
+        prompts.append(row)
+        base = row
+        # a full window 0->30 s (single-timestamp ending) at t=1.0: the
+        # history resets after EVERY window (whisper prompt_reset_since)
+        gen = [ts0, 100, ts0 + 1500]
+        full = base + gen + [st.eot] * (n_prompt + 8 - len(base) - len(gen))
+        return (_np.asarray([full], _np.int32), -0.5, 1.0, 0.0, 1.0, 1.0)
+
+    monkeypatch.setattr(la, "_decode_window_with_fallback", fake_decode)
+
+    def contains_marker(row):
+        return any(row[i:i + 3] == marker for i in range(len(row)))
+
+    rt.transcribe_long(audio, initial_prompt="seed words",
+                       carry_initial_prompt=True)
+    assert len(prompts) >= 2
+    assert all(contains_marker(p) for p in prompts)  # every window carries it
+
+    prompts.clear()
+    rt.transcribe_long(audio, initial_prompt="seed words")
+    assert len(prompts) >= 2
+    assert contains_marker(prompts[0])       # seeds the first window…
+    assert not contains_marker(prompts[-1])  # …but dies with the reset
