@@ -362,8 +362,10 @@ def make_handler(state: GuiState):
                 # multipart ``audio`` → transcript JSON. ``?long=1`` (or any
                 # clip beyond 30 s) routes through the whisper.transcribe
                 # seek loop with the per-window fallback ladder and returns
-                # its {"text", "segments"} form; ``?fallback=1`` walks the
-                # temperature ladder on a single 30-s window. The decode
+                # its {"text", "segments", "language"} form
+                # (``&word_timestamps=1`` adds per-word times);
+                # ``?fallback=1`` walks the temperature ladder on a single
+                # 30-s window. The decode
                 # precision is the server runtime's compute_dtype
                 # (gui_server --precision bfloat16 for the fast serving
                 # path).
@@ -388,10 +390,12 @@ def make_handler(state: GuiState):
                         {"error": f"format={fmt} needs timed segments — "
                                   "pass long=1"}, 400)
                     return
+                wts = q.get("word_timestamps", "0").lower() in truthy
                 with state.lock:
                     rt = state.runtime
                     if long_mode or len(audio) > N_SAMPLES:
-                        result = rt.transcribe_long(audio)
+                        result = rt.transcribe_long(audio,
+                                                    word_timestamps=wts)
                     else:
                         mel = mels_from_array(audio, rt.dims.n_mels)
                         if fallback:

@@ -255,3 +255,17 @@ def test_transcribe_endpoint_formats(served_fly):
         served_fly + "/transcribe?format=docx", _wav_bytes()
     )
     assert code == 400 and "format" in text
+
+
+def test_transcribe_endpoint_word_timestamps(served_fly):
+    """?long=1&word_timestamps=1 returns segments whose word lists carry
+    whisper's {word, start, end, probability} record."""
+    code, d = _post_multipart(
+        served_fly + "/transcribe?long=1&word_timestamps=1",
+        _wav_bytes(seconds=2.0)
+    )
+    assert code == 200
+    assert set(d) == {"text", "segments", "language"}
+    for s in d["segments"]:
+        for wd in s.get("words", []):
+            assert set(wd) == {"word", "start", "end", "probability"}
