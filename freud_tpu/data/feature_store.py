@@ -17,7 +17,8 @@ file axis is interior), so the index is SEGMENTED — the base
 ``{layer}_feature_major.npy`` plus ``{layer}_feature_major.seg{K}.npy``
 files, each covering a contiguous file range. ``extend_feature_major_index``
 transposes only the files added since the last build into a new segment (the
-collection pipeline calls it on flush whenever an index exists), and a
+collection pipeline calls it at the end of every run whenever an index
+exists), and a
 feature query concatenates the per-segment planes — still O(one feature).
 """
 
@@ -155,7 +156,8 @@ def extend_feature_major_index(
 
     Returns the new segment path (or the full-rebuild base path), or None
     when the index verifiably already covers the store. Called by the
-    collection pipeline on flush whenever an index exists, so a grown store
+    collection pipeline at the end of every run whenever an index exists,
+    so a grown store
     never silently degrades search to a full scan (the staleness path in
     analysis/search.py). The sidecar fingerprint guards against a
     TRUNCATING or same-size re-collection: if the store's covered-prefix

@@ -156,7 +156,7 @@ def get_activations(
         from ..data.feature_store import (FeatureMajorReader,
                                           extend_feature_major_index)
 
-        # keep an existing index current on every flush (a grown store must
+        # keep an existing index current after every run (a grown store must
         # never silently degrade search to a full scan); build fresh only
         # when asked
         if build_index or FeatureMajorReader.exists(out_folder, layer_name):
