@@ -375,3 +375,25 @@ def test_carry_initial_prompt(monkeypatch):
     assert len(prompts) >= 2
     assert contains_marker(prompts[0])       # seeds the first window…
     assert not contains_marker(prompts[-1])  # …but dies with the reset
+
+
+def test_all_options_compose():
+    """Kitchen-sink smoke: every seek-loop option at once (beam rung, word
+    timestamps, clips, hallucination gate, carried prompt) yields a
+    well-formed whisper result record."""
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=6, language="en")
+    audio = np.random.default_rng(9).standard_normal(int(16000 * 40)).astype(
+        np.float32) * 0.1
+    out = rt.transcribe_long(
+        audio, beam_size=2, word_timestamps=True, clip_timestamps="0,35",
+        hallucination_silence_threshold=10.0, initial_prompt="seed",
+        carry_initial_prompt=True, history_budget=8,
+    )
+    assert set(out) == {"text", "segments", "language"}
+    for s in out["segments"]:
+        assert {"id", "seek", "start", "end", "text", "tokens", "temperature",
+                "avg_logprob", "compression_ratio", "no_speech_prob"} <= set(s)
+        for wd in s.get("words", []):
+            assert set(wd) == {"word", "start", "end", "probability"}

@@ -63,6 +63,7 @@ def test_fly_serves_gui_page(served_fly):
     assert "freud_tpu" in page and "Activation Search" in page
     # the transcription controls ship with the upload tab
     assert "runTranscribe" in page and 'id="t-fallback"' in page
+    assert 'id="t-words"' in page and "word_timestamps" in page
 
 
 def _post_multipart(url, audio_bytes, filename="u.wav"):
