@@ -14,7 +14,9 @@ to the same formats here:
   json  the full result dict (segments, statistics, optional words)
 
 Formatting matches whisper's published writer behavior (timestamp layout,
-rounding, headers); the implementation is independent.
+rounding, headers); the implementation is independent. With word timings
+present, srt/vtt accept whisper's subtitle options (``max_line_width``,
+``max_line_count``, ``highlight_words``) and split cues on word boundaries.
 """
 
 from __future__ import annotations
@@ -54,21 +56,83 @@ def write_txt(result: dict) -> str:
     return "".join(s["text"].strip() + "\n" for s in _segments(result))
 
 
-def write_srt(result: dict) -> str:
+def _subtitle_cues(result: dict, max_line_width: int | None,
+                   max_line_count: int | None,
+                   highlight_words: bool) -> list[tuple[float, float, str]]:
+    """(start, end, text) cue list. With word timings present and any
+    subtitle option set, cues split on word boundaries (whisper
+    SubtitlesWriter.iterate_result: a line breaks at ``max_line_width``
+    chars, a cue at ``max_line_count`` lines or a new segment;
+    ``highlight_words`` additionally emits one cue per word with the
+    current word <u>underlined</u>, karaoke-style). Otherwise cues are the
+    segments as-is."""
+    segs = _segments(result)
+    word_mode = (max_line_width or max_line_count or highlight_words) and \
+        any(s.get("words") for s in segs)
+    if not word_mode:
+        return [(s["start"], s["end"], s["text"].strip()) for s in segs]
+
+    max_w = max_line_width or 1000
+    max_c = max_line_count or 1000
+    cues: list[tuple[float, float, str]] = []
+    # flatten to (word, start, end) keeping segment boundaries as cue breaks
+    for s in segs:
+        words = s.get("words") or []
+        if not words:  # a segment without words stays a plain cue
+            cues.append((s["start"], s["end"], s["text"].strip()))
+            continue
+        lines: list[list[dict]] = [[]]
+        width = 0
+        for wd in words:
+            token = wd["word"]
+            if lines[-1] and width + len(token) > max_w:
+                lines.append([])
+                width = 0
+            lines[-1].append(wd)
+            width += len(token)
+        # group lines into cues of max_c lines
+        for c0 in range(0, len(lines), max_c):
+            block = lines[c0:c0 + max_c]
+            flat = [wd for ln in block for wd in ln]
+            text = "\n".join("".join(w["word"] for w in ln).strip()
+                             for ln in block)
+            if highlight_words:
+                for wi, wd in enumerate(flat):
+                    marked = "\n".join(
+                        "".join(
+                            (f"<u>{w['word']}</u>" if w is wd else w["word"])
+                            for w in ln).strip()
+                        for ln in block)
+                    w_end = (flat[wi + 1]["start"] if wi + 1 < len(flat)
+                             else wd["end"])
+                    cues.append((wd["start"], max(w_end, wd["start"]), marked))
+            else:
+                cues.append((flat[0]["start"], flat[-1]["end"], text))
+    return cues
+
+
+def write_srt(result: dict, max_line_width: int | None = None,
+              max_line_count: int | None = None,
+              highlight_words: bool = False) -> str:
     out = []
-    for i, s in enumerate(_segments(result), start=1):
-        start = format_timestamp(s["start"], True, ",")
-        end = format_timestamp(s["end"], True, ",")
-        out.append(f"{i}\n{start} --> {end}\n{s['text'].strip()}\n")
+    cues = _subtitle_cues(result, max_line_width, max_line_count,
+                          highlight_words)
+    for i, (t0, t1, text) in enumerate(cues, start=1):
+        start = format_timestamp(t0, True, ",")
+        end = format_timestamp(t1, True, ",")
+        out.append(f"{i}\n{start} --> {end}\n{text}\n")
     return "\n".join(out)
 
 
-def write_vtt(result: dict) -> str:
+def write_vtt(result: dict, max_line_width: int | None = None,
+              max_line_count: int | None = None,
+              highlight_words: bool = False) -> str:
     out = ["WEBVTT\n"]
-    for s in _segments(result):
-        start = format_timestamp(s["start"])
-        end = format_timestamp(s["end"])
-        out.append(f"{start} --> {end}\n{s['text'].strip()}\n")
+    cues = _subtitle_cues(result, max_line_width, max_line_count,
+                          highlight_words)
+    for t0, t1, text in cues:
+        out.append(f"{format_timestamp(t0)} --> {format_timestamp(t1)}\n"
+                   f"{text}\n")
     return "\n".join(out)
 
 
@@ -109,11 +173,17 @@ def get_writer(output_format: str):
 
 
 def write_result(result: dict, audio_path: str, output_dir: str | Path,
-                 output_format: str) -> Path:
+                 output_format: str, **subtitle_options) -> Path:
     """Render ``result`` for ``audio_path`` into
-    ``output_dir/<stem>.<format>`` and return the written path."""
+    ``output_dir/<stem>.<format>`` and return the written path.
+    ``subtitle_options`` (max_line_width / max_line_count /
+    highlight_words — whisper's writer options) apply to srt/vtt only."""
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     target = out_dir / (Path(audio_path).stem + "." + output_format)
-    target.write_text(get_writer(output_format)(result), encoding="utf-8")
+    fn = get_writer(output_format)
+    opts = {k: v for k, v in subtitle_options.items() if v}
+    text = fn(result, **opts) if output_format in ("srt", "vtt") and opts \
+        else fn(result)
+    target.write_text(text, encoding="utf-8")
     return target

@@ -187,6 +187,14 @@ def main() -> None:
                          "srt/vtt/tsv need --long's timed segments)")
     ap.add_argument("--output_dir", default=".",
                     help="directory for --output_format files")
+    ap.add_argument("--max_line_width", type=int, default=None,
+                    help="srt/vtt: break subtitle lines at this many chars "
+                         "(word-boundary cues; needs --word_timestamps)")
+    ap.add_argument("--max_line_count", type=int, default=None,
+                    help="srt/vtt: max lines per subtitle cue")
+    ap.add_argument("--highlight_words", action="store_true",
+                    help="srt/vtt: one cue per word with the current word "
+                         "underlined (karaoke; needs --word_timestamps)")
     args = ap.parse_args()
 
     if args.output_format in ("srt", "vtt", "tsv") and not args.long:
@@ -216,7 +224,10 @@ def main() -> None:
         for path, res in result.items():
             if not isinstance(res, dict):  # batch mode / decode failures
                 res = {"text": res if isinstance(res, str) else str(res)}
-            write_result(res, path, args.output_dir, args.output_format)
+            write_result(res, path, args.output_dir, args.output_format,
+                         max_line_width=args.max_line_width,
+                         max_line_count=args.max_line_count,
+                         highlight_words=args.highlight_words)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

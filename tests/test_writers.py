@@ -79,3 +79,57 @@ def test_write_result_paths(tmp_path):
     p = write_result(RESULT, "/data/clip one.flac", tmp_path, "srt")
     assert p == tmp_path / "clip one.srt"
     assert p.read_text().startswith("1\n")
+
+
+WORD_RESULT = {
+    "text": " alpha beta gamma delta",
+    "segments": [{
+        "start": 0.0, "end": 4.0, "text": " alpha beta gamma delta",
+        "words": [
+            {"word": " alpha", "start": 0.0, "end": 1.0, "probability": 0.9},
+            {"word": " beta", "start": 1.0, "end": 2.0, "probability": 0.9},
+            {"word": " gamma", "start": 2.0, "end": 3.0, "probability": 0.9},
+            {"word": " delta", "start": 3.0, "end": 4.0, "probability": 0.9},
+        ],
+    }],
+}
+
+
+def test_srt_max_line_width_splits_on_words():
+    from freud_tpu.models.whisper.writers import write_srt
+
+    srt = write_srt(WORD_RESULT, max_line_width=12, max_line_count=1)
+    blocks = srt.strip().split("\n\n")
+    # " alpha beta" is 11 chars -> first cue; each cue spans its words' times
+    assert blocks[0].split("\n")[2] == "alpha beta"
+    assert "00:00:00,000 --> 00:00:02,000" in blocks[0]
+    assert blocks[1].split("\n")[2] == "gamma delta"
+    assert "00:00:02,000 --> 00:00:04,000" in blocks[1]
+
+
+def test_srt_max_line_count_groups_lines():
+    from freud_tpu.models.whisper.writers import write_srt
+
+    srt = write_srt(WORD_RESULT, max_line_width=12, max_line_count=2)
+    blocks = srt.strip().split("\n\n")
+    assert len(blocks) == 1  # both lines in one cue
+    assert blocks[0].split("\n")[2:] == ["alpha beta", "gamma delta"]
+
+
+def test_vtt_highlight_words_karaoke():
+    from freud_tpu.models.whisper.writers import write_vtt
+
+    vtt = write_vtt(WORD_RESULT, highlight_words=True)
+    cues = vtt.strip().split("\n\n")[1:]  # drop WEBVTT header
+    assert len(cues) == 4  # one cue per word
+    assert "<u> beta</u>" in cues[1]
+    assert "<u>" not in cues[1].replace("<u> beta</u>", "")
+    # each word's cue starts at the word and ends at the next word's start
+    assert cues[0].startswith("00:00.000 --> 00:01.000")
+
+
+def test_subtitle_options_ignored_without_words():
+    from freud_tpu.models.whisper.writers import write_srt
+
+    plain = write_srt(RESULT)
+    assert write_srt(RESULT, max_line_width=10) == plain
