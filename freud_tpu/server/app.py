@@ -411,7 +411,18 @@ def make_handler(state: GuiState):
                     mime = "text/vtt" if fmt == "vtt" else \
                         "text/tab-separated-values" if fmt == "tsv" else \
                         "text/plain"
-                    self._send_text(get_writer(fmt)(result), mime)
+                    # whisper's subtitle options ride query params on the
+                    # srt/vtt forms (word-boundary cues need
+                    # word_timestamps=1 to have words to split on)
+                    opts = {}
+                    if fmt in ("srt", "vtt"):
+                        if q.get("max_line_width"):
+                            opts["max_line_width"] = int(q["max_line_width"])
+                        if q.get("max_line_count"):
+                            opts["max_line_count"] = int(q["max_line_count"])
+                        if q.get("highlight_words", "0").lower() in truthy:
+                            opts["highlight_words"] = True
+                    self._send_text(get_writer(fmt)(result, **opts), mime)
             elif path == "/top_features":
                 top_n = int(q.get("top_n", 32))
                 with state.lock:

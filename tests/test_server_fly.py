@@ -270,3 +270,19 @@ def test_transcribe_endpoint_word_timestamps(served_fly):
     for s in d["segments"]:
         for wd in s.get("words", []):
             assert set(wd) == {"word", "start", "end", "probability"}
+
+
+def test_transcribe_endpoint_subtitle_options(served_fly):
+    """?format=vtt&long=1&word_timestamps=1&highlight_words=1 renders
+    word-boundary karaoke cues server-side."""
+    code, ctype, text = _post_multipart_raw(
+        served_fly + "/transcribe?format=vtt&long=1&word_timestamps=1"
+        "&highlight_words=1&max_line_width=30",
+        _wav_bytes(seconds=2.0)
+    )
+    assert code == 200 and ctype.startswith("text/vtt")
+    assert text.startswith("WEBVTT")
+    # noise decodes may yield zero segments; when words exist the karaoke
+    # underline must appear
+    if "-->" in text and "<tok:" in text:
+        assert "<u>" in text
