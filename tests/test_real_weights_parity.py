@@ -187,3 +187,56 @@ def test_timestamp_behavior_real_decode(example_flac):
     for s in out["segments"]:
         assert 0.0 <= s["start"] <= s["end"]
         assert isinstance(s["text"], str)
+
+
+@needs_weights
+@needs_ranks
+def test_word_timestamps_real_decode(example_flac):
+    """Word timing on a real decode: words reconstruct the segment text
+    exactly (whisper's leading-space invariant), times are monotone within
+    the clip, and probabilities of real speech words are mostly confident."""
+    from freud_tpu.audio.decode import load_audio
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime(MODEL, language="en")
+    out = rt.transcribe_long(load_audio(example_flac), word_timestamps=True)
+    assert out["segments"]
+    probs = []
+    for s in out["segments"]:
+        assert "".join(w["word"] for w in s["words"]) == s["text"]
+        starts = [w["start"] for w in s["words"]]
+        assert starts == sorted(starts)
+        probs += [w["probability"] for w in s["words"]]
+    assert probs and float(np.median(probs)) > 0.3, (
+        "median word probability suspiciously low on real speech — "
+        "alignment rows or probability gather likely misaligned"
+    )
+
+
+@needs_weights
+@needs_ranks
+@needs_openai
+def test_transcribe_long_matches_openai_whisper(example_flac):
+    """(d) the seek loop against whisper.transcribe itself on the bundled
+    clip: near-identical text (small WER budget absorbs sampling-free
+    differences in fp handling) and comparable segment counts."""
+    import whisper as openai_whisper
+
+    from freud_tpu.audio.decode import load_audio
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    ref_model = openai_whisper.load_model(MODEL, device="cpu")
+    ref = ref_model.transcribe(str(example_flac), language="en",
+                               temperature=0.0)
+
+    rt = WhisperRuntime(MODEL, language="en")
+    out = rt.transcribe_long(load_audio(example_flac))
+
+    assert out["language"] == ref["language"]
+    wer = word_error_rate(ref["text"], out["text"])
+    budget = float(os.environ.get("FREUD_PARITY_XWER_MAX", "0.1"))
+    assert wer <= budget, (
+        f"seek-loop text diverges from whisper.transcribe (WER {wer:.3f}):\n"
+        f"  whisper: {ref['text']}\n  freud:   {out['text']}"
+    )
+    assert abs(len(out["segments"]) - len(ref["segments"])) <= 2
