@@ -425,6 +425,12 @@ def make_handler(state: GuiState):
                     self._send_text(get_writer(fmt)(result, **opts), mime)
             elif path == "/top_features":
                 top_n = int(q.get("top_n", 32))
+                if not (1 <= top_n <= state.n_features):
+                    # lax.top_k with k > n_features would 500; answer 400
+                    self._send_json(
+                        {"error": f"top_n must be in [1, "
+                                  f"{state.n_features}], got {top_n}"}, 400)
+                    return
                 with state.lock:
                     idx, traces = state.analyzer.top_features_for_audio(audio, top_n)
                 self._send_json(

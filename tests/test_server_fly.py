@@ -286,3 +286,12 @@ def test_transcribe_endpoint_subtitle_options(served_fly):
     # underline must appear
     if "-->" in text and "<tok:" in text:
         assert "<u>" in text
+
+
+def test_top_features_rejects_bad_top_n(served_fly):
+    code, d = _post_multipart(
+        served_fly + "/top_features?top_n=999999", _wav_bytes())
+    assert code == 400 and "top_n" in d["error"]
+    code, d = _post_multipart(
+        served_fly + "/top_features?top_n=0", _wav_bytes())
+    assert code == 400
