@@ -575,96 +575,100 @@ def train(
             for b in _prefetch(iter(loader)):
                 yield np.asarray(b[0], np.float32)
 
-    for x in batch_stream():
-        with profiling.span("train_step"):
-            metrics = trainer.train_step(x)
+    try:
+        for x in batch_stream():
+            with profiling.span("train_step"):
+                metrics = trainer.train_step(x)
 
-        if trainer.step % log_tb_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            tb.add_scalar("train/loss", m["loss"], trainer.step)
-            if autoencoder_variant == "l1":
-                tb.add_scalar("train/loss_recon", m["loss_recon"], trainer.step)
-                tb.add_scalar("train/loss_l1", m["loss_l1"], trainer.step)
-            else:
-                tb.add_scalar("train/fvu", m["fvu"], trainer.step)
-                tb.add_scalar("train/auxk_loss", m["auxk_loss"], trainer.step)
-                tb.add_scalar("train/multi_topk_fvu", m["multi_topk_fvu"], trainer.step)
-                tb.add_scalar("train/dead_pct", m["dead_pct"], trainer.step)
-            tb.add_scalar("train/lr", trainer.current_lr(), trainer.step)
-            if verbose:
-                print(f"step {trainer.step}: loss {m['loss']:.4f}")
-
-        if trainer.step % save_every == 0:
-            trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
-
-        if trainer.step % val_every == 0:
-            if val_loader is None:
-                # built once and reused: a fly val loader re-loads Whisper
-                # and re-jits its encode program per construction
-                val_loader, _, _ = init_dataloader(
-                    from_disk, val_folder, whisper_model, None,
-                    layer_name, batch_size=8, shuffle=False,
-                )
-            (
-                losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
-            ) = validate(
-                trainer, val_folder, layer_name, whisper_model, from_disk,
-                not logged_base_transcripts, transcriber=transcriber,
-                loader=val_loader,
-            )
-            logged_base_transcripts = True
-            # an EMPTY validation set leaves every loss None — warn and skip
-            # the scalar logging instead of crashing the run on
-            # add_scalar(None) at the first val step
-            if autoencoder_variant == "l1":
-                val_keys = ("recon", "l1")
-            else:
-                val_keys = ("fvu", "auxk_loss", "multi_topk_fvu")
-            if any(losses_dict.get(k) is None for k in val_keys):
-                print(f"{trainer.step}: validation set empty — skipping "
-                      "val logging")
-            else:
+            if trainer.step % log_tb_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                tb.add_scalar("train/loss", m["loss"], trainer.step)
                 if autoencoder_variant == "l1":
-                    tb.add_scalar("val/loss_recon", losses_dict["recon"], trainer.step)
-                    tb.add_scalar("val/loss_l1", losses_dict["l1"], trainer.step)
+                    tb.add_scalar("train/loss_recon", m["loss_recon"], trainer.step)
+                    tb.add_scalar("train/loss_l1", m["loss_l1"], trainer.step)
                 else:
-                    tb.add_scalar("val/fvu", losses_dict["fvu"], trainer.step)
-                    tb.add_scalar("val/auxk_loss", losses_dict["auxk_loss"], trainer.step)
-                    tb.add_scalar("val/multi_topk_fvu", losses_dict["multi_topk_fvu"], trainer.step)
-                tb.add_scalar("val/mse", losses_dict["mse"], trainer.step)
-            tb.add_histogram("val/encoded/magnitude_maxes", mag_maxes, trainer.step)
-            tb.add_histogram("val/encoded/magnitude_stds", mag_stds, trainer.step)
-            num_dead = int(np.count_nonzero(mag_maxes <= 0))
-            tb.add_scalar("val/encoded/num_dead", num_dead, trainer.step)
-            tb.add_scalar(
-                "val/encoded/percent_dead", num_dead / mag_maxes.shape[-1],
-                trainer.step,
-            )
-            for i, t in enumerate(subbed):
-                tb.add_text(f"val/transcripts/reconstructed_{i}", t, trainer.step)
-            for i, t in enumerate(base_ts):
-                tb.add_text(f"val/transcripts/base_{i}", t, trainer.step)
-            for i, fname in enumerate(base_files):
-                audio = load_audio(fname)
-                tb.add_audio(
-                    f"val/transcripts/audio_{i}",
-                    audio.reshape(1, -1), trainer.step, sample_rate=16000,
+                    tb.add_scalar("train/fvu", m["fvu"], trainer.step)
+                    tb.add_scalar("train/auxk_loss", m["auxk_loss"], trainer.step)
+                    tb.add_scalar("train/multi_topk_fvu", m["multi_topk_fvu"], trainer.step)
+                    tb.add_scalar("train/dead_pct", m["dead_pct"], trainer.step)
+                tb.add_scalar("train/lr", trainer.current_lr(), trainer.step)
+                if verbose:
+                    print(f"step {trainer.step}: loss {m['loss']:.4f}")
+
+            if trainer.step % save_every == 0:
+                trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
+
+            if trainer.step % val_every == 0:
+                if val_loader is None:
+                    # built once and reused: a fly val loader re-loads Whisper
+                    # and re-jits its encode program per construction
+                    val_loader, _, _ = init_dataloader(
+                        from_disk, val_folder, whisper_model, None,
+                        layer_name, batch_size=8, shuffle=False,
+                    )
+                (
+                    losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
+                ) = validate(
+                    trainer, val_folder, layer_name, whisper_model, from_disk,
+                    not logged_base_transcripts, transcriber=transcriber,
+                    loader=val_loader,
                 )
-            save_loss = (
-                losses_dict["recon"] if autoencoder_variant == "l1"
-                else losses_dict["fvu"]
-            )
-            if verbose:
-                print(f"{trainer.step} validation: {losses_dict}")
-            if save_loss is not None and save_loss < trainer.best_val_loss:
-                trainer.best_val_loss = float(save_loss)
-                trainer.save(str(ckpt_dir / "bestval.pth"), hparam_dict)
+                logged_base_transcripts = True
+                # an EMPTY validation set leaves every loss None — warn and skip
+                # the scalar logging instead of crashing the run on
+                # add_scalar(None) at the first val step
+                if autoencoder_variant == "l1":
+                    val_keys = ("recon", "l1")
+                else:
+                    val_keys = ("fvu", "auxk_loss", "multi_topk_fvu")
+                if any(losses_dict.get(k) is None for k in val_keys):
+                    print(f"{trainer.step}: validation set empty — skipping "
+                          "val logging")
+                else:
+                    if autoencoder_variant == "l1":
+                        tb.add_scalar("val/loss_recon", losses_dict["recon"], trainer.step)
+                        tb.add_scalar("val/loss_l1", losses_dict["l1"], trainer.step)
+                    else:
+                        tb.add_scalar("val/fvu", losses_dict["fvu"], trainer.step)
+                        tb.add_scalar("val/auxk_loss", losses_dict["auxk_loss"], trainer.step)
+                        tb.add_scalar("val/multi_topk_fvu", losses_dict["multi_topk_fvu"], trainer.step)
+                    tb.add_scalar("val/mse", losses_dict["mse"], trainer.step)
+                tb.add_histogram("val/encoded/magnitude_maxes", mag_maxes, trainer.step)
+                tb.add_histogram("val/encoded/magnitude_stds", mag_stds, trainer.step)
+                num_dead = int(np.count_nonzero(mag_maxes <= 0))
+                tb.add_scalar("val/encoded/num_dead", num_dead, trainer.step)
+                tb.add_scalar(
+                    "val/encoded/percent_dead", num_dead / mag_maxes.shape[-1],
+                    trainer.step,
+                )
+                for i, t in enumerate(subbed):
+                    tb.add_text(f"val/transcripts/reconstructed_{i}", t, trainer.step)
+                for i, t in enumerate(base_ts):
+                    tb.add_text(f"val/transcripts/base_{i}", t, trainer.step)
+                for i, fname in enumerate(base_files):
+                    audio = load_audio(fname)
+                    tb.add_audio(
+                        f"val/transcripts/audio_{i}",
+                        audio.reshape(1, -1), trainer.step, sample_rate=16000,
+                    )
+                save_loss = (
+                    losses_dict["recon"] if autoencoder_variant == "l1"
+                    else losses_dict["fvu"]
+                )
+                if verbose:
+                    print(f"{trainer.step} validation: {losses_dict}")
+                if save_loss is not None and save_loss < trainer.best_val_loss:
+                    trainer.best_val_loss = float(save_loss)
+                    trainer.save(str(ckpt_dir / "bestval.pth"), hparam_dict)
 
-        if trainer.step >= steps:
-            break
+            if trainer.step >= steps:
+                break
 
-    if cache is not None:
-        cache.close()
+    finally:
+        # exception-safe: a failed run must not leak the refresh
+        # thread (it would keep reading the store until process exit)
+        if cache is not None:
+            cache.close()
     trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
     elapsed = time.perf_counter() - t_start
     done = trainer.step - steps_done_at_start
