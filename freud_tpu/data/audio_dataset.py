@@ -28,6 +28,11 @@ from ..audio.mel import batched_log_mel
 
 
 def list_audio_files(folder: str) -> list[str]:
+    """Sorted audio files under ``folder`` — or ``[folder]`` itself when it
+    IS a single audio file (so every data_path-taking CLI accepts one file
+    the way whisper's CLI does, instead of silently matching nothing)."""
+    if os.path.isfile(folder):
+        return [os.path.abspath(folder)] if is_audio_file(folder) else []
     files = []
     for root, _dirs, names in os.walk(folder):
         root = os.path.abspath(root)

@@ -121,3 +121,18 @@ def test_transcribe_cli_txt_output_batch_mode(tmp_path, monkeypatch):
     files = sorted(p.name for p in out_dir.glob("*.txt"))
     assert files == ["clip0.txt", "clip1.txt"]
     assert (out_dir / "clip0.txt").read_text().endswith("\n")
+
+
+def test_single_file_data_path(tmp_path):
+    """--data_path pointing at one audio FILE transcribes it (whisper-CLI
+    ergonomics) instead of silently matching nothing."""
+    from freud_tpu.data.audio_dataset import list_audio_files
+    from freud_tpu.scripts.transcribe import transcribe_folder
+
+    paths = _write_wavs(tmp_path / "audio", n=1)
+    assert list_audio_files(paths[0]) == paths
+    assert list_audio_files(str(tmp_path / "audio" / "nope.txt")) == []
+
+    out = transcribe_folder(paths[0], model="test:tiny", batch_size=1,
+                            language="en", max_new_tokens=3, verbose=False)
+    assert list(out) == paths and isinstance(out[paths[0]], str)
