@@ -54,6 +54,14 @@ def merge_shards(out_folder: str, layer_name: str, chunk: int = 0,
     # preserve the shards' on-disk value dtype (a float16 collection must
     # not silently double in size through an f32 merge)
     value_dtype = readers[0].mmaps[0].dtype
+    for i, r in enumerate(readers[1:], start=1):
+        if r.mmaps[0].dtype != value_dtype:
+            # mixed-precision shards mean the hosts ran different configs —
+            # a silent cast would corrupt one side's precision
+            raise ValueError(
+                f"shard{i} stores {r.mmaps[0].dtype} but shard0 stores "
+                f"{value_dtype} — re-collect with one store_dtype"
+            )
     writer = ActivationStoreWriter(
         out_folder, layer_name,
         tensor_shape=readers[0].tensor_shape,

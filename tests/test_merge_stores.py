@@ -90,3 +90,23 @@ def test_merge_preserves_float16(tmp_path):
     for i in range(n):
         np.testing.assert_array_equal(
             np.asarray(r[i][0]), data[i].reshape(3, 2))
+
+
+def test_merge_rejects_mixed_dtype_shards(tmp_path):
+    """Hosts that collected with different store_dtype configs must fail the
+    merge loudly — a silent cast would corrupt one side's precision."""
+    import numpy as np
+    import pytest
+
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.scripts.merge_stores import merge_shards
+
+    layer = "encoder.blocks.1"
+    rng = np.random.default_rng(0)
+    for i, dt in enumerate([np.float32, np.float16]):
+        d = tmp_path / f"shard{i}"
+        w = ActivationStoreWriter(d, layer, (4, 3), (4, 3), store_dtype=dt)
+        w.append_batch([f"f{i}.wav"], rng.standard_normal((1, 4, 3)))
+        w.close()
+    with pytest.raises(ValueError, match="store_dtype"):
+        merge_shards(str(tmp_path), layer, verbose=False)
