@@ -139,6 +139,38 @@ def check_transcript(model: str, audio_path: str) -> bool | None:
     return wer <= budget
 
 
+def check_words(model: str, audio_path: str) -> bool | None:
+    from ..models.whisper.load import find_checkpoint
+    from ..models.whisper.tokenizer import _rank_file_candidates
+
+    if find_checkpoint(model) is None or not any(
+            p.exists() for p in _rank_file_candidates(True)):
+        print("[words]       skipped: needs weights + tokenizer ranks")
+        return None
+    from ..audio.decode import load_audio
+    from ..models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime(model, language="en")
+    out = rt.transcribe_long(load_audio(audio_path), word_timestamps=True)
+    if not out["segments"]:
+        print("[words]       FAIL: no segments")
+        return False
+    probs = []
+    ok = True
+    for s in out["segments"]:
+        if "".join(w["word"] for w in s["words"]) != s["text"]:
+            ok = False
+        starts = [w["start"] for w in s["words"]]
+        if starts != sorted(starts):
+            ok = False
+        probs += [w["probability"] for w in s["words"]]
+    med = float(np.median(probs)) if probs else 0.0
+    ok = ok and med > 0.3
+    print(f"[words]       text-reconstruction + monotone times, median "
+          f"word prob {med:.2f} ({'OK' if ok else 'FAIL'})")
+    return ok
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default=os.environ.get("FREUD_PARITY_MODEL",
@@ -151,6 +183,7 @@ def main(argv=None) -> int:
         check_encoder(args.model, args.audio),
         check_suppression(),
         check_transcript(args.model, args.audio),
+        check_words(args.model, args.audio),
     ]
     ran = [r for r in results if r is not None]
     print(f"\n{sum(ran)}/{len(ran)} checks passed "
