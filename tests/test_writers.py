@@ -133,3 +133,22 @@ def test_subtitle_options_ignored_without_words():
 
     plain = write_srt(RESULT)
     assert write_srt(RESULT, max_line_width=10) == plain
+
+
+def test_format_timestamp_roundtrip_property():
+    """Any non-negative time formats to a string that parses back to its
+    exact millisecond rounding, in both srt and vtt layouts."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(st.floats(min_value=0.0, max_value=1e5, allow_nan=False))
+    def check(seconds):
+        for hours, marker in ((True, ","), (False, ".")):
+            s = format_timestamp(seconds, hours, marker)
+            *time_parts, msec = s.replace(marker, ":").split(":")
+            total = 0
+            for p in time_parts:
+                total = total * 60 + int(p)
+            assert total * 1000 + int(msec) == round(seconds * 1000)
+
+    check()
