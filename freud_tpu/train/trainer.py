@@ -392,10 +392,20 @@ def validate(
         n_valid = x.shape[0]
         if n_valid < bucket:
             x = np.pad(x, ((0, bucket - n_valid), (0, 0), (0, 0)))
-        # ONE device→host transfer for the whole output dict: per-key device
-        # slices/sums would each compile a fresh program remotely
-        # (CLAUDE.md's ad-hoc-indexing rule) — all post-processing is numpy
-        out = jax.device_get(trainer.validate_files(x))
+        # ONE device→host transfer for the stats: per-key device slices/sums
+        # would each compile a fresh program remotely (CLAUDE.md's ad-hoc-
+        # indexing rule) — all post-processing is numpy. ``sae_out`` (the
+        # full (B, T, d) reconstruction, ~18 MB/batch) is EXCLUDED unless
+        # this batch actually feeds transcripts: fetching it for every batch
+        # dominated validation wall-clock on the tunneled link (measured
+        # ~35-45 s per 200-file validation; the reference cadence is
+        # val_every=100, so per-call cost is the whole ballgame)
+        out_dev = trainer.validate_files(x)
+        need_sae_out = (transcriber is not None
+                        and n_transcribed < N_TRANSCRIPTS)
+        out = jax.device_get(
+            {k: v for k, v in out_dev.items()
+             if k != "sae_out" or need_sae_out})
         out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
         for key in ("recon", "l1", "fvu", "auxk_loss", "multi_topk_fvu", "mse"):
             if key in out:

@@ -338,3 +338,59 @@ def test_train_fly_mode_end_to_end(tmp_path):
     )
     # fly activations carry whisper-tiny's encoder width
     assert v == "l1" and act_size == 384
+
+
+def test_validate_transcripts_and_selective_fetch(tmp_path):
+    """validate() with a transcriber: substituted (and base) transcripts for
+    the first files, fed by the per-file sae_out reconstructions — which are
+    only FETCHED while transcript slots remain (the transfer fix) — and the
+    loss stats must be identical with and without the transcriber."""
+    import wave
+
+    from freud_tpu.train.trainer import SAETrainer, validate
+
+    rng = np.random.default_rng(0)
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    names = []
+    for i in range(4):
+        p = audio_dir / f"clip{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(8000) * 2000)
+                          .astype(np.int16).tobytes())
+        names.append(str(p))
+
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    T, d = 16, 8
+    acts = rng.standard_normal((4, T, d)).astype(np.float32)
+    store = tmp_path / "acts"
+    w = ActivationStoreWriter(store, "encoder.blocks.1", (T, d), (T, d))
+    w.append_batch(names, acts, n_frames=[T] * 4)
+    w.close()
+
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 100.0}, d,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0)
+
+    calls = []
+
+    def transcriber(mel, substitute_value=None):
+        calls.append(substitute_value is not None)
+        if substitute_value is not None:
+            assert np.asarray(substitute_value).shape == (1, T, d)
+        return "text"
+
+    plain = validate(tr, str(store), "encoder.blocks.1", "test:tiny",
+                     True, False)
+    with_t = validate(tr, str(store), "encoder.blocks.1", "test:tiny",
+                      True, True, transcriber=transcriber)
+    assert with_t[1], "no substituted transcripts produced"
+    assert with_t[2] and with_t[3], "base transcripts/filenames missing"
+    assert any(calls) and not all(calls)  # both subbed and base calls ran
+    for a, b in zip(plain[0].values(), with_t[0].values()):
+        if a is not None:
+            np.testing.assert_allclose(a, b, rtol=1e-6)
