@@ -225,10 +225,12 @@ def train_sweep(
             # metric fetch only on the log interval — an unconditional
             # device→host conversion would sync every step (RTT-bound on
             # tunneled backends)
-            last = {k: np.asarray(v).tolist() for k, v in metrics.items()}
+            last = {k: np.asarray(v).tolist()
+                    for k, v in jax.device_get(metrics).items()}
             print(f"sweep step {trainer.step}: loss {last['loss']}")
     if metrics:
-        last = {k: np.asarray(v).tolist() for k, v in metrics.items()}
+        last = {k: np.asarray(v).tolist()
+                for k, v in jax.device_get(metrics).items()}
     hparams = {
         "autoencoder_variant": variant,
         "autoencoder_config": autoencoder_config,

@@ -591,7 +591,12 @@ def train(
                 metrics = trainer.train_step(x)
 
             if trainer.step % log_tb_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                # ONE batched fetch (device_get issues every copy async
+                # before blocking) — a float(v) loop is one serial RTT
+                # per metric, which compounds at the reference's
+                # log_tb_every=10 cadence on tunneled backends
+                m = {k: float(v)
+                     for k, v in jax.device_get(metrics).items()}
                 tb.add_scalar("train/loss", m["loss"], trainer.step)
                 if autoencoder_variant == "l1":
                     tb.add_scalar("train/loss_recon", m["loss_recon"], trainer.step)
