@@ -19,8 +19,23 @@ import optax
 
 
 def make_schedule(scheduler: str, lr: float, steps: int, scheduler_params: dict):
+    """The returned callable is the optax schedule (device math, consumed by
+    the optimizer chain); its ``.host`` attribute evaluates the SAME formula
+    in pure Python for logging callers — fetching the device scalar costs
+    one link round-trip per call, which compounds at the reference's
+    log_tb_every=10 cadence on tunneled backends."""
+    import math
+
     if scheduler == "cosine":
-        return optax.cosine_decay_schedule(init_value=lr, decay_steps=steps, alpha=0.0)
+        sched = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=steps, alpha=0.0)
+
+        def host(count: int) -> float:
+            c = min(max(float(count), 0.0), float(steps))
+            return lr * 0.5 * (1.0 + math.cos(math.pi * c / steps))
+
+        sched.host = host
+        return sched
     if scheduler == "linear":
         # reference configs always carry num_warmup_steps; default to 0
         # (plain linear decay) so callers without params get a sane schedule
@@ -33,6 +48,13 @@ def make_schedule(scheduler: str, lr: float, steps: int, scheduler_params: dict)
             decay = (steps - count) / jnp.maximum(steps - warmup, 1)
             return lr * jnp.where(count < warmup, warm, jnp.maximum(decay, 0.0))
 
+        def host_linear(count: int) -> float:
+            c = float(count)
+            if c < warmup:
+                return lr * c / max(warmup, 1)
+            return lr * max((steps - c) / max(steps - warmup, 1), 0.0)
+
+        schedule.host = host_linear
         return schedule
     raise ValueError(f"Invalid scheduler: {scheduler!r}, must be 'cosine' or 'linear'")
 

@@ -291,7 +291,16 @@ class SAETrainer:
         return metrics
 
     def current_lr(self) -> float:
-        return float(self.schedule(max(self.step - 1, 0)))
+        # pure-Python evaluation (make_schedule's .host mirror of the same
+        # formula): the eager optax call dispatched its ops one by one
+        # (~0.3 s per call on tunneled backends), taxing every 10th step at
+        # the reference's log_tb_every=10 cadence; even one jitted device
+        # call still pays a fetch round-trip per log
+        count = max(self.step - 1, 0)
+        host = getattr(self.schedule, "host", None)
+        if host is not None:
+            return float(host(count))
+        return float(self.schedule(count))
 
     def validate_files(self, batch: np.ndarray) -> dict:
         return self._val_step(self.params, jnp.asarray(batch))

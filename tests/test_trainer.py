@@ -394,3 +394,14 @@ def test_validate_transcripts_and_selective_fetch(tmp_path):
     for a, b in zip(plain[0].values(), with_t[0].values()):
         if a is not None:
             np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_schedule_host_mirror_matches_device():
+    """make_schedule's .host (pure-Python logging evaluator) must equal the
+    optax schedule at every step for both recipes."""
+    for sched, params in (("cosine", {}), ("linear", {"num_warmup_steps": 7})):
+        s = make_schedule(sched, 4e-4, 100, params)
+        for step in [0, 1, 3, 7, 8, 50, 99, 100, 150]:
+            np.testing.assert_allclose(
+                float(s(step)), s.host(step), rtol=1e-6, atol=1e-10,
+                err_msg=f"{sched} step {step}")
