@@ -29,9 +29,14 @@ from .loaders import MemoryMappedActivationLoader
 
 
 @partial(jax.jit, static_argnames=("batch",), donate_argnums=())
-def _sample(cache: jnp.ndarray, key, batch: int) -> jnp.ndarray:
-    idx = jax.random.randint(key, (batch,), 0, cache.shape[0])
-    return jnp.take(cache, idx, axis=0)
+def _sample(cache: jnp.ndarray, key, batch: int):
+    """(batch rows, advanced key) — the key advances INSIDE the program:
+    a host-side jax.random.split would be a second device dispatch per
+    train step (dispatch round-trips are the per-step floor on tunneled
+    backends; the compute itself is microseconds)."""
+    key, sub = jax.random.split(key)
+    idx = jax.random.randint(sub, (batch,), 0, cache.shape[0])
+    return jnp.take(cache, idx, axis=0), key
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -134,8 +139,8 @@ class DeviceShuffleCache:
                 )
             except queue.Empty:
                 pass
-        self._key, sub = jax.random.split(self._key)
-        return _sample(self.cache, sub, batch_size)
+        out, self._key = _sample(self.cache, self._key, batch_size)
+        return out
 
     def close(self):
         self._stop.set()
