@@ -397,3 +397,55 @@ def test_all_options_compose():
                 "avg_logprob", "compression_ratio", "no_speech_prob"} <= set(s)
         for wd in s.get("words", []):
             assert set(wd) == {"word", "start", "end", "probability"}
+
+
+def test_hallucination_leading_gap_skip(monkeypatch):
+    """The leading-anomaly rule: when the window's first (anomalous) segment
+    starts more than the threshold past the window origin, the whole
+    window's output is dropped and the seek jumps over the silent gap."""
+    import freud_tpu.models.whisper.long_audio as la
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=8, language="en")
+    st = rt._st
+    ts0 = st.timestamp_begin
+    audio = np.zeros(int(16000 * 35), np.float32)
+    seeks = []
+
+    def fake_decode(runtime, encoded, prompt, n_prompt, start, *a, **k):
+        import numpy as _np
+        base = _np.asarray(prompt)[0].tolist()
+        # one closed segment starting 10 s into the window
+        gen = [ts0 + 500, 100, ts0 + 650, ts0 + 650]
+        row = base + gen + [st.eot] * (n_prompt + 8 - len(base) - len(gen))
+        return (_np.asarray([row], _np.int32), -1.0, 2.0, 0.0, 0.0, 1.0)
+
+    def fake_align(encoded, text_tokens, lang_idx=0, num_frames=None):
+        n = len(text_tokens)
+        return (np.full(n, 10.0), np.full(n, 13.0),
+                [f"<tok:{t}>" for t in text_tokens], np.full(n, 0.01))
+
+    real_parse = la._parse_segments
+
+    def spy_parse(gen, st_, seek_time, window_s):
+        seeks.append(round(seek_time * 100))
+        return real_parse(gen, st_, seek_time, window_s)
+
+    monkeypatch.setattr(la, "_decode_window_with_fallback", fake_decode)
+    monkeypatch.setattr(la, "_parse_segments", spy_parse)
+    monkeypatch.setattr(rt, "align_words", fake_align)
+
+    out = rt.transcribe_long(audio, word_timestamps=True,
+                             condition_on_previous_text=False,
+                             hallucination_silence_threshold=2.0)
+    # every window's leading segment is anomalous after a >2 s gap: all
+    # output dropped, and each seek jumped by the 10-s gap (1000 frames),
+    # not by the parse advance
+    assert out["segments"] == []
+    assert seeks[:3] == [0, 1000, 2000]
+
+    # control: without the threshold the segments survive
+    seeks.clear()
+    out_c = rt.transcribe_long(audio, word_timestamps=True,
+                               condition_on_previous_text=False)
+    assert out_c["segments"]
