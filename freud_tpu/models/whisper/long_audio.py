@@ -298,6 +298,14 @@ def transcribe_long(
     the same compiled program regardless of history length."""
     from .tokenizer import decode_text
 
+    if hallucination_silence_threshold is not None and not word_timestamps:
+        # the heuristic runs on word alignments; without them it is a no-op
+        # (whisper transcribe.py warns in the same combination)
+        import warnings
+        warnings.warn(
+            "hallucination_silence_threshold requires word_timestamps=True; "
+            "the option has no effect without it", stacklevel=2)
+
     dims = runtime.dims
     st = special_tokens(dims.n_vocab)
     orig_len = int(np.asarray(audio).reshape(-1).shape[0])
@@ -525,7 +533,12 @@ def transcribe_long(
                                 advance = content_frames - seek
                             del segs[si:]
                             break
-                    hal_last_end = segment["words"][-1]["end"]
+                    # whisper transcribe.py advances hal_last_end with the
+                    # SEGMENT end (timestamp-token derived), not the last
+                    # word's DTW end — they diverge when alignment disagrees
+                    # with the timestamp tokens, and the silence_before gap
+                    # test must see the same value whisper would
+                    hal_last_end = segment["end"]
             lwe = _get_end(segs)
             if lwe is not None:
                 last_speech_timestamp = lwe

@@ -383,7 +383,10 @@ class WhisperRuntime:
                         **kw) -> dict:
         """Arbitrary-length transcription: whisper.transcribe's 30-s seek
         loop with no-speech gating (see models/whisper/long_audio.py).
-        → {"text", "segments"}."""
+        → {"text", "segments", "language"} — segments carry whisper's
+        ten-key record (id/seek/start/end/text/tokens/temperature/
+        avg_logprob/compression_ratio/no_speech_prob, plus "words" when
+        word_timestamps=True)."""
         from .long_audio import transcribe_long
 
         return transcribe_long(self, audio, verbose=verbose, **kw)

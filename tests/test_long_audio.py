@@ -238,6 +238,19 @@ def test_transcribe_long_empty_audio_returns_empty():
     assert out == {"text": "", "segments": [], "language": "en"}
 
 
+def test_hallucination_threshold_without_word_timestamps_warns():
+    """hallucination_silence_threshold is a no-op without word_timestamps
+    (the heuristic runs on word alignments); whisper warns here, so do we."""
+    import pytest
+
+    from freud_tpu.models.whisper.runtime import WhisperRuntime
+
+    rt = WhisperRuntime("test:tiny", max_new_tokens=4, language="en")
+    with pytest.warns(UserWarning, match="word_timestamps"):
+        rt.transcribe_long(np.zeros(100, np.float32),
+                           hallucination_silence_threshold=2.0)
+
+
 def test_clip_timestamps_restricts_decoding():
     """whisper's clip_timestamps: only the given ranges are transcribed —
     segments stay inside their clips, and the string/list forms agree."""
