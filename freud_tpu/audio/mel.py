@@ -153,6 +153,17 @@ def batched_log_mel(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
     return log_mel_spectrogram(audio, n_mels)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_mels",))
+def batched_log_mel_jit(audio, n_mels: int):
+    """Module-level jitted ``batched_log_mel`` — one compiled executable
+    shared by every pipeline instance (per-instance ``jax.jit(lambda …)``
+    closures each reload the program, seconds apiece on remote backends)."""
+    return batched_log_mel(audio, n_mels)
+
+
 @jax.jit
 def _mels_jit_80(audio):
     return log_mel_spectrogram(audio, 80)

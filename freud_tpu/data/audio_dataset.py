@@ -24,7 +24,7 @@ import numpy as np
 from ..constants import N_SAMPLES, is_audio_file
 from .. import profiling
 from ..audio.decode import load_audio_batch
-from ..audio.mel import batched_log_mel
+from ..audio.mel import batched_log_mel_jit
 
 
 def list_audio_files(folder: str) -> list[str]:
@@ -82,7 +82,9 @@ class AudioBatchPipeline:
         self.drop_last = drop_last
         self.compute_mels = compute_mels
         self.decode_threads = decode_threads
-        self._mel_fn = jax.jit(lambda a: batched_log_mel(a, n_mels))
+        # shared module-level jit (one loaded executable per n_mels/shape
+        # across ALL pipeline instances in the process)
+        self._mel_fn = lambda a: batched_log_mel_jit(a, n_mels)
 
     def __len__(self) -> int:
         n = len(self.files)

@@ -54,6 +54,55 @@ def load_sae(checkpoint: str):
     return sae_serialize.sae_from_checkpoint(checkpoint)
 
 
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("dims", "layer_name", "variant",
+                                   "cfg_key", "from_audio", "compute_dtype",
+                                   "fetch_dtype"))
+def _fly_encode_impl(params, sae_params, mels, *, dims, layer_name, variant,
+                     cfg_key, from_audio, compute_dtype, fetch_dtype):
+    """Module-level collection encode: mel (mesh mode) → encoder capture →
+    optional SAE encode → optional fetch-dtype cast. Keyed on hashable
+    statics so EVERY FlyActivationLoader with the same geometry shares one
+    compiled executable (a per-instance closure reloads the program per
+    loader — seconds apiece on remote backends, and it defeated warmup-run
+    caching in bench.py)."""
+    if from_audio:  # mesh mode: mel computed inside the sharded jit
+        from ..audio.mel import batched_log_mel
+
+        mels = batched_log_mel(mels, dims.n_mels)
+    _, caps = encoder_forward_capture(params, dims, mels, layer_name,
+                                      compute_dtype)
+    acts = caps[layer_name]
+    if variant is None:
+        outs = (acts,)
+    elif variant == "l1":
+        outs = (l1_mod.encode(sae_params, acts).latent,)
+    else:
+        cfg = sae_config.config_for_variant("topk", dict(cfg_key))
+        enc = topk_mod.encode(sae_params, acts, cfg)
+        outs = (enc.top_acts, enc.top_indices)
+    if fetch_dtype is not None:
+        # cast float outputs ON DEVICE before the host fetch: for float16
+        # stores this halves device→host bytes (the e2e-dominant stage on
+        # link-bound hosts) — the store would down-cast host-side anyway,
+        # and both casts are IEEE round-to-nearest-even
+        outs = tuple(
+            o.astype(fetch_dtype)
+            if jnp.issubdtype(o.dtype, jnp.floating) else o
+            for o in outs
+        )
+    return outs
+
+
+def encoder_forward_capture(params, dims, mels, layer_name, compute_dtype):
+    from ..models.whisper.model import encoder_forward
+
+    return encoder_forward(params, dims, mels, capture=(layer_name,),
+                           compute_dtype=compute_dtype)
+
+
 class FlyActivationLoader:
     """Compute Whisper (and optionally SAE) activations on the fly."""
 
@@ -72,6 +121,7 @@ class FlyActivationLoader:
         mesh=None,
         shard: tuple[int, int] | None = None,
         exclude: set | None = None,
+        fetch_dtype=None,
     ):
         """``mesh``: a freud_tpu data×model Mesh shards collection over the
         ``data`` axis — the batch is device_put with the file dim partitioned,
@@ -128,31 +178,17 @@ class FlyActivationLoader:
             if self.sae is not None:
                 variant, cfg, params = self.sae
                 self.sae = (variant, cfg, jax.device_put(params, rep))
-        self._encode_jit = self._build_encode()
+        variant = self.sae[0] if self.sae else None
+        cfg_key = (tuple(sorted(self.sae[1].to_dict().items()))
+                   if self.sae and variant == "topk" else ())
+        self._encode_jit = partial(
+            _fly_encode_impl,
+            dims=self.runtime.dims, layer_name=layer_name, variant=variant,
+            cfg_key=cfg_key, from_audio=mesh is not None,
+            compute_dtype=compute_dtype,
+            fetch_dtype=None if fetch_dtype is None else jnp.dtype(fetch_dtype).type,
+        )
         self.activation_shape = self._probe_shape()
-
-    def _build_encode(self):
-        runtime = self.runtime
-        sae = self.sae
-        from_audio = self.mesh is not None
-
-        @jax.jit
-        def fn(params, sae_params, mels):
-            if from_audio:  # mesh mode: mel computed inside the sharded jit
-                from ..audio.mel import batched_log_mel
-
-                mels = batched_log_mel(mels, runtime.dims.n_mels)
-            _, caps = runtime._encode(params, mels)
-            acts = caps[runtime.layer_name]
-            if sae is None:
-                return (acts,)
-            variant, cfg, _ = sae
-            if variant == "l1":
-                return (l1_mod.encode(sae_params, acts).latent,)
-            enc = topk_mod.encode(sae_params, acts, cfg)
-            return (enc.top_acts, enc.top_indices)
-
-        return fn
 
     def _device_batch(self, buf):
         """Mesh mode: pad a host batch to full batch_size and device_put it
@@ -216,20 +252,35 @@ class FlyActivationLoader:
 
         Files the decoder could not read (length < 0) are dropped from the
         batch — the reference would abort the whole run on its first ffmpeg
-        failure (audio_utils.py:55-56); collection here degrades per-file."""
+        failure (audio_utils.py:55-56); collection here degrades per-file.
+
+        The loop is software-pipelined one batch deep: batch k+1's encode is
+        DISPATCHED (JAX async dispatch — the call returns futures) before
+        batch k is yielded, so the device computes k+1 while the consumer
+        blocks on k's device→host fetch and store write. Combined with the
+        decode prefetch thread, all three stages (host decode / device
+        compute / host fetch+write) overlap; yield order is unchanged."""
+        pending = None
         for mels, filenames, lengths in self.pipeline:
             outs = self._compute(mels, len(filenames))
-            ok = decodable_mask(lengths, filenames)
-            if not ok.all():
-                outs = tuple(np.asarray(o)[ok] for o in outs)
-                filenames = [f for f, good in zip(filenames, ok) if good]
-                lengths = lengths[ok]
-            from ..analysis.features import activation_length_from_samples
+            if pending is not None:
+                yield self._finalize(*pending)
+            pending = (outs, filenames, lengths)
+        if pending is not None:
+            yield self._finalize(*pending)
 
-            n_frames = np.asarray(
-                [activation_length_from_samples(int(n)) for n in lengths],
-                np.int64)
-            yield (*outs, filenames, n_frames)
+    def _finalize(self, outs, filenames, lengths):
+        ok = decodable_mask(lengths, filenames)
+        if not ok.all():
+            outs = tuple(np.asarray(o)[ok] for o in outs)
+            filenames = [f for f, good in zip(filenames, ok) if good]
+            lengths = lengths[ok]
+        from ..analysis.features import activation_length_from_samples
+
+        n_frames = np.asarray(
+            [activation_length_from_samples(int(n)) for n in lengths],
+            np.int64)
+        return (*outs, filenames, n_frames)
 
 
 class MemoryMappedActivationLoader:

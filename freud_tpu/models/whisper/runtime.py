@@ -61,6 +61,17 @@ def fallback_accepts(text, sum_lp, n_text, no_speech_prob,
     return accept, ratio, avg_lp
 
 
+@partial(jax.jit, static_argnames=("dims", "capture", "compute_dtype",
+                                   "sub_layer"))
+def _encode_impl(params, mels, sub_value=None, *, dims, capture,
+                 compute_dtype, sub_layer=None):
+    substitute = {sub_layer: sub_value} if sub_layer else None
+    return encoder_forward(
+        params, dims, mels, capture=capture, substitute=substitute,
+        compute_dtype=compute_dtype,
+    )
+
+
 class WhisperRuntime:
     """Jit-cached Whisper forward passes for one model + capture layer."""
 
@@ -97,17 +108,16 @@ class WhisperRuntime:
             )
 
         capture = (layer_name,) if layer_name else ()
-
-        @partial(jax.jit, static_argnames=("sub_layer",))
-        def _encode(params, mels, sub_layer=None, sub_value=None):
-            substitute = {sub_layer: sub_value} if sub_layer else None
-            encoded, caps = encoder_forward(
-                params, self.dims, mels, capture=capture, substitute=substitute,
-                compute_dtype=compute_dtype,
-            )
-            return encoded, caps
-
-        self._encode = _encode
+        # module-level jit keyed on (dims, capture, compute_dtype): every
+        # runtime with the same geometry SHARES the compiled executable.
+        # Per-instance closures would reload/recompile per object — on
+        # remote backends an executable load costs seconds, and repeated
+        # collections in one process (bench warmup → timed run, server
+        # restarts of a runtime) paid it every time.
+        self._encode = partial(
+            _encode_impl, dims=self.dims, capture=capture,
+            compute_dtype=compute_dtype,
+        )
 
     # -- capture ------------------------------------------------------------
 

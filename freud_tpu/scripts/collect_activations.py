@@ -111,6 +111,10 @@ def get_activations(
         mesh=mesh,
         shard=shard,
         exclude=exclude,
+        # float16 stores: cast on device so the D2H fetch moves half the
+        # bytes (the dominant e2e stage on link-bound hosts; the store
+        # would down-cast host-side anyway)
+        fetch_dtype=np.float16 if store_dtype == "float16" else None,
     )
 
     writer: Optional[ActivationStoreWriter] = None
@@ -119,7 +123,12 @@ def get_activations(
     last_flush = t0
     for batch in loader.iter_with_lengths():
         *arrays, filenames, n_frames = batch
-        arrays = [np.asarray(a) for a in arrays]
+        # device→host fetch: on remote/tunneled backends this is the
+        # dominant e2e stage (bench.py collection_e2e decomposition); the
+        # loader has already dispatched the NEXT batch's encode, so the
+        # device stays busy underneath this blocking copy
+        with profiling.span("d2h_fetch"):
+            arrays = [np.asarray(a) for a in arrays]
         if writer is None:
             writer = ActivationStoreWriter(
                 out_folder,
