@@ -1,10 +1,23 @@
-"""Benchmark: the two headline metrics (BASELINE.json).
+"""Benchmark: the headline metrics (BASELINE.json), with MFU accounting.
 
 1. Whisper-tiny block-2 activation-collection throughput, as RTFx (audio
    seconds processed per wall second) of the on-device pipeline
    (mel → encoder → capture). North-star target: ≥100× realtime per chip.
-2. tiny_l1 SAE training steps/sec/chip (batch 100 × 1500 × 384, n_dict 200,
-   RAdam + cosine — the configs/train/tiny_l1.json recipe).
+2. END-TO-END collection RTFx: disk → native decode → H2D → mel → encoder →
+   D2H → store write, measured steady-state over a synthetic on-disk WAV
+   corpus (compile excluded via a warmup run), with a stage decomposition
+   (profiling spans) so the gap to the device-only number is explained.
+3. tiny_l1 SAE training steps/sec/chip (batch 100 × 1500 × 384, n_dict 200,
+   RAdam + cosine — the configs/train/tiny_l1.json recipe) + the other three
+   recipe rows.
+4. Serving: batched greedy transcription, calibrated — generated-token
+   counts recorded, tokens/sec reported, and a fixed-budget
+   (early-exit-disabled) row for cross-round comparability.
+
+Every row carries ``mfu_pct``: analytic matmul FLOPs (freud_tpu/flops.py —
+the machine-checkable form of the tools/ floor decompositions) against the
+chip's MXU peak. Rows whose floor is VPU- or HBM-bound (tiny_topk bisection,
+serving decode) read low by construction; that gap IS the documented floor.
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", ...extra}
@@ -19,13 +32,26 @@ TPU.
 from __future__ import annotations
 
 import json
+import math
+import os
+import shutil
+import tempfile
 import time
+import wave
+from pathlib import Path
 
 import numpy as np
 
 import freud_tpu  # noqa: F401  (platform/compile-cache setup)
+from freud_tpu import flops as flops_mod
+from freud_tpu import profiling
 import jax
 import jax.numpy as jnp
+
+
+def _mfu(total_flops: float, elapsed_s: float):
+    v = flops_mod.mfu_pct(total_flops, elapsed_s)
+    return None if v is None else round(v, 1)
 
 
 def bench_collection(
@@ -67,6 +93,83 @@ def bench_collection(
         "files_per_sec": batch * iters / elapsed,
         "elapsed_s": elapsed,
         "batch": batch,
+        "mfu_pct": _mfu(
+            batch * iters * flops_mod.encoder_flops(dims), elapsed),
+    }
+
+
+# -- end-to-end collection (disk → store) ------------------------------------
+
+def _ensure_corpus(n_files: int, seed: int = 0) -> str:
+    """One-time synthetic on-disk WAV corpus (16 kHz mono int16, durations
+    cycling 5–15 s, LibriSpeech-like mean ≈ 10 s). Cached under
+    ~/.cache/freud_tpu; rebuilt only if the file count changes."""
+    root = Path.home() / ".cache" / "freud_tpu" / "bench_corpus_v1"
+    marker = root / ".complete"
+    if marker.exists() and marker.read_text().strip() == str(n_files):
+        return str(root)
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(seed)
+    sr = 16_000
+    for i in range(n_files):
+        dur = 5.0 + 10.0 * ((i * 37) % 101) / 100.0  # 5..15 s, scattered
+        n = int(sr * dur)
+        # band-limited-ish noise: cheap to generate, non-trivial to decode
+        x = rng.standard_normal(n).astype(np.float32)
+        x = np.clip(x * 0.15, -1.0, 1.0)
+        pcm = (x * 32767.0).astype("<i2")
+        with wave.open(str(root / f"clip_{i:05d}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+    marker.write_text(str(n_files))
+    return str(root)
+
+
+def bench_collection_e2e(batch: int = 64, n_files: int = 1024,
+                         store_dtype: str = "float32") -> dict:
+    """Steady-state disk→store collection RTFx over the synthetic corpus
+    (the reference hot loop: src/scripts/collect_activations.py:118-127).
+    A warmup run over one batch excludes compile; the stage decomposition
+    comes from the profiling spans. Span semantics under the pipelined
+    loader (data/loaders.py iter_with_lengths): ``encoder_capture`` is
+    DISPATCH time only (JAX async dispatch); device compute hides under
+    ``d2h_fetch``, which blocks on the previous batch's result — on
+    tunneled/remote backends that stage is dominated by link bandwidth,
+    on directly-attached hosts by the device itself."""
+    from freud_tpu.scripts.collect_activations import get_activations
+
+    corpus = _ensure_corpus(n_files)
+    layer = "encoder.blocks.2"
+    tmp = tempfile.mkdtemp(prefix="freud_bench_e2e_")
+    try:
+        # warmup: compiles the full-batch encode + mel programs (the timed
+        # run re-traces but hits the persistent compile cache)
+        get_activations(corpus, layer, "random:tiny", None, batch,
+                        os.path.join(tmp, "warm"), collect_max=batch,
+                        verbose=False, store_dtype=store_dtype)
+        profiling.reset()
+        stats = get_activations(corpus, layer, "random:tiny", None, batch,
+                                os.path.join(tmp, "run"), verbose=False,
+                                store_dtype=store_dtype)
+        spans = profiling.stats()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    from freud_tpu.models.whisper import dims_for
+
+    stage = {k: round(v["total_s"], 2) for k, v in spans.items()}
+    return {
+        "rtfx": stats["rtfx"],
+        "files_per_sec": stats["n_files"] / stats["elapsed_s"],
+        "elapsed_s": stats["elapsed_s"],
+        "n_files": stats["n_files"],
+        "batch": batch,
+        "stages_s": stage,
+        "mfu_pct": _mfu(
+            stats["n_files"] * flops_mod.encoder_flops(dims_for("tiny")),
+            stats["elapsed_s"]),
     }
 
 
@@ -78,6 +181,7 @@ def _bench_train(variant: str, cfg: dict, d_in: int, batch: int,
     helper so the axon-backend discipline (force a scalar computed IN the
     jit — block_until_ready is a no-op on tunneled backends) lives in one
     place."""
+    from freud_tpu.models.sae.config import get_n_dict_components
     from freud_tpu.train.trainer import SAETrainer
 
     trainer = SAETrainer(
@@ -97,11 +201,19 @@ def _bench_train(variant: str, cfg: dict, d_in: int, batch: int,
         *state, m = trainer._train_step(*state, x)
     float(m["loss"])
     elapsed = time.perf_counter() - t0
+    rows = batch * 1500
+    n_dict = get_n_dict_components(
+        d_in, cfg.get("expansion_factor"), cfg.get("n_dict_components"))
+    if variant == "l1":
+        step_flops = flops_mod.sae_l1_step_flops(rows, d_in, n_dict)
+    else:
+        step_flops = flops_mod.sae_topk_step_flops(rows, d_in, n_dict)
     return {
         "steps_per_sec": iters / elapsed,
         "elapsed_s": elapsed,
         "batch": batch,
         "final_loss": float(m["loss"]),
+        "mfu_pct": _mfu(iters * step_flops, elapsed),
     }
 
 
@@ -148,10 +260,13 @@ def bench_large_l1_train(batch: int = 16, iters: int = 30, warmup: int = 3) -> d
 
 
 def bench_serving(batch: int = 8, max_new: int = 224, iters: int = 5,
-                  warmup: int = 2) -> dict:
+                  warmup: int = 2, early_exit: bool = True) -> dict:
     """Batched greedy transcription serving RTFx (tiny, bf16 decode, the
-    tools/bench_transcribe.py headline configuration: EOT early exit live,
-    full token budget)."""
+    tools/bench_transcribe.py headline configuration). Calibrated: the
+    generated-token counts are recorded (the decode's own n_text statistic),
+    tokens/sec is reported, and ``early_exit=False`` gives the fixed-budget
+    row — decode cost there is budget-determined, so the number is
+    comparable across rounds and against real-weights runs later."""
     from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
     from freud_tpu.models.whisper.decoding import sample_decode
     from freud_tpu.models.whisper.tokenizer import special_tokens
@@ -169,19 +284,36 @@ def bench_serving(batch: int = 8, max_new: int = 224, iters: int = 5,
             params, dims, mels, compute_dtype=jnp.bfloat16)
         seq = st.sot_sequence(lang_index=0, timestamps=True)
         prompt = jnp.tile(jnp.asarray(seq, jnp.int32)[None], (batch, 1))
-        tokens, sum_lp, _, _ = sample_decode(
+        tokens, sum_lp, n_text, _ = sample_decode(
             params, dims, encoded, prompt, len(seq), max_new=max_new,
-            compute_dtype=jnp.bfloat16)
-        return jnp.sum(tokens[:, -1].astype(jnp.float32)) + jnp.sum(sum_lp)
+            compute_dtype=jnp.bfloat16, early_exit=early_exit)
+        checksum = jnp.sum(tokens[:, -1].astype(jnp.float32)) + jnp.sum(sum_lp)
+        return checksum, jnp.sum(n_text), jnp.max(n_text)
 
     for _ in range(warmup):
-        float(pipeline(params, mels))
+        float(pipeline(params, mels)[0])
+    # token counts are deterministic (greedy): fetch once, outside the loop
+    _, total_text, max_text = pipeline(params, mels)
+    total_text, max_text = int(total_text), int(max_text)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pipeline(params, mels)
+        out, _, _ = pipeline(params, mels)
     float(out)
     dt = (time.perf_counter() - t0) / iters
-    return {"rtfx": batch * 30.0 / dt, "clips_per_sec": batch / dt}
+    # steps actually executed by the while_loop: every sequence computes
+    # every step until the LAST one finishes (or the budget, fixed mode)
+    steps_executed = max_new if not early_exit else min(max_text + 1, max_new)
+    exec_flops = flops_mod.decode_flops(
+        dims, n_clips=batch, tokens_per_clip=steps_executed,
+        mean_pos=steps_executed / 2.0 + 3)
+    return {
+        "rtfx": batch * 30.0 / dt,
+        "clips_per_sec": batch / dt,
+        "tokens_per_sec": (total_text + batch) / dt,  # text + EOT per clip
+        "mean_tokens": total_text / batch,
+        "steps_executed": steps_executed,
+        "mfu_pct": _mfu(exec_flops, dt),
+    }
 
 
 def main():
@@ -192,10 +324,28 @@ def main():
     topk = bench_topk_train()
     large_topk = bench_large_topk_train()
     large_l1 = bench_large_l1_train()
+    extras: dict = {}
     try:
         serving = bench_serving()
-    except Exception:  # the headline metrics must never die on the extra row
-        serving = None
+        extras["serving_transcribe_rtfx_bf16"] = round(serving["rtfx"], 1)
+        extras["serving_tokens_per_sec"] = round(serving["tokens_per_sec"], 1)
+        extras["serving_mean_tokens"] = round(serving["mean_tokens"], 1)
+        extras["serving_mfu_pct"] = serving["mfu_pct"]
+        fixed = bench_serving(early_exit=False)
+        extras["serving_fixed_budget_rtfx"] = round(fixed["rtfx"], 1)
+        extras["serving_fixed_budget_tokens_per_sec"] = round(
+            fixed["tokens_per_sec"], 1)
+    except Exception:  # the headline metrics must never die on the extra rows
+        pass
+    try:
+        e2e = bench_collection_e2e()
+        extras["collection_rtfx_e2e"] = round(e2e["rtfx"], 1)
+        extras["collection_e2e_files_per_sec"] = round(e2e["files_per_sec"], 2)
+        extras["collection_e2e_mfu_pct"] = e2e["mfu_pct"]
+        extras["collection_e2e_stages_s"] = e2e["stages_s"]
+        extras["collection_e2e_wall_s"] = round(e2e["elapsed_s"], 2)
+    except Exception:
+        pass
     result = {
         "metric": "whisper_tiny_block2_collection_rtfx",
         "value": round(coll["rtfx"], 1),
@@ -207,10 +357,15 @@ def main():
         "large_v3_l1_steps_per_sec": round(large_l1["steps_per_sec"], 2),
         "collection_files_per_sec": round(coll["files_per_sec"], 2),
         "collection_rtfx_bf16": round(coll_bf16["rtfx"], 1),
+        "collection_mfu_pct": coll["mfu_pct"],
+        "collection_bf16_mfu_pct": coll_bf16["mfu_pct"],
+        "tiny_l1_mfu_pct": sae["mfu_pct"],
+        "tiny_topk_mfu_pct": topk["mfu_pct"],
+        "large_v1_topk_mfu_pct": large_topk["mfu_pct"],
+        "large_v3_l1_mfu_pct": large_l1["mfu_pct"],
         "backend": backend,
+        **extras,
     }
-    if serving is not None:
-        result["serving_transcribe_rtfx_bf16"] = round(serving["rtfx"], 1)
     print(json.dumps(result))
 
 

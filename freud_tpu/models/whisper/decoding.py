@@ -329,6 +329,7 @@ def sample_decode(
     start: jnp.ndarray | None = None,
     compute_dtype=jnp.float32,
     kv_dtype: str | None = None,
+    early_exit: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode token ids with optional temperature sampling.
 
@@ -349,7 +350,12 @@ def sample_decode(
     (see ``_decode_step``). ``kv_dtype="int8"`` stores the precomputed
     cross-attention K/V planes int8-quantized and dequantizes at the
     attention dot — exact token agreement, but a measured end-to-end LOSER
-    in this loop; experimental/probe-only, see ``_cross_kv_stacks``."""
+    in this loop; experimental/probe-only, see ``_cross_kv_stacks``.
+    ``early_exit=False`` disables the all-finished while_loop exit and runs
+    the full ``max_new`` budget — the output contract is IDENTICAL (post-EOT
+    positions emit EOT with frozen statistics either way); it exists so
+    benchmarks can report a budget-calibrated serving number alongside the
+    early-exit one (bench.py serving rows)."""
     # Greedy-only fast path: with no key and a STATICALLY-zero temperature
     # the per-step Gumbel draw over the full (b, vocab) block (fold_in +
     # uniform + log + divide) is provably dead — drop it at trace time.
@@ -364,16 +370,17 @@ def sample_decode(
         params, encoded, prompt, temperature, key, start,
         dims=dims, n_prompt=n_prompt, max_new=max_new,
         compute_dtype=compute_dtype, greedy_only=greedy_only,
-        kv_dtype=kv_dtype,
+        kv_dtype=kv_dtype, early_exit=early_exit,
     )
 
 
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new",
                                    "compute_dtype", "greedy_only",
-                                   "kv_dtype"))
+                                   "kv_dtype", "early_exit"))
 def _sample_decode_impl(
     params, encoded, prompt, temperature, key, start,
     *, dims, n_prompt, max_new, compute_dtype, greedy_only, kv_dtype,
+    early_exit=True,
 ):
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
@@ -466,6 +473,8 @@ def _sample_decode_impl(
 
     def cond(state):
         pos, carry, _ = state
+        if not early_exit:  # fixed-budget mode: run every step
+            return pos < ctx - 1
         finished = carry[5]
         return (pos < ctx - 1) & ~jnp.all(finished)
 

@@ -94,3 +94,25 @@ def test_early_exit_prefix_matches_small_budget(scripted_decode_step):
     for i in (1, 2, 3):
         np.testing.assert_allclose(np.asarray(big[i]), np.asarray(small[i]),
                                    rtol=1e-6)
+
+
+def test_fixed_budget_equals_early_exit(scripted_decode_step):
+    """early_exit=False (the benchmark's budget-calibrated serving mode)
+    runs every step but must return bit-identical outputs: post-EOT steps
+    write EOT and every statistic is masked frozen."""
+    dims, st = scripted_decode_step
+    params = init_params(dims, seed=0)
+    rng = np.random.default_rng(2)
+    encoded = jnp.asarray(
+        rng.standard_normal((2, 1500, dims.n_audio_state)).astype(np.float32)
+    )
+    seq = st.sot_sequence(lang_index=0, timestamps=True)
+    prompt = jnp.tile(jnp.asarray(seq, jnp.int32)[None], (2, 1))
+
+    fast = decoding.sample_decode(params, dims, encoded, prompt, len(seq),
+                                  max_new=32)
+    full = decoding.sample_decode(params, dims, encoded, prompt, len(seq),
+                                  max_new=32, early_exit=False)
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(fast[i]),
+                                      np.asarray(full[i]))
