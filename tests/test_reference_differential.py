@@ -523,6 +523,87 @@ def test_topk_trainer_tracks_reference_loop(ref):
         rtol=5e-4, atol=5e-5)
 
 
+def _l1_convergence_curves(ref, steps, rows=(2, 64), d_act=384, n_dict=200,
+                           recon_alpha=1e4, lr=4e-4):
+    """The tiny_l1 recipe's hyperparameters at CPU-affordable batch shapes:
+    run the reference torch loop (train_sae.py:417-451 semantics) and
+    SAETrainer over the SAME synthetic-speech-like data stream (sparse
+    positive codes over a ground-truth dictionary) from the SAME init.
+    → (our losses, ref losses) per step."""
+    import jax.numpy as jnp
+
+    from freud_tpu.train.trainer import SAETrainer
+
+    torch.manual_seed(0)
+    cfg = ref.l1.L1AutoEncoderConfig(
+        n_dict_components=n_dict, recon_alpha=recon_alpha)
+    model = ref.l1.L1AutoEncoder(d_act, cfg)
+    t_opt = torch.optim.RAdam(
+        model.parameters(), eps=1e-5, lr=lr, weight_decay=0.0)
+    t_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        t_opt, T_max=steps, eta_min=0)
+
+    trainer = SAETrainer(
+        "l1", {"n_dict_components": n_dict, "recon_alpha": recon_alpha},
+        d_act, optimizer="radam", scheduler="cosine", lr=lr, steps=steps,
+        clip_thresh=1.0, amp=False,
+    )
+    trainer.params = _l1_params_from_ref(model)
+
+    gt_rng = np.random.default_rng(42)
+    gt = gt_rng.standard_normal((32, d_act)).astype(np.float32)
+    gt /= np.linalg.norm(gt, axis=1, keepdims=True)
+
+    def batch(step):
+        r = np.random.default_rng((42, step))
+        codes = r.exponential(1.0, (*rows, 32)).astype(np.float32)
+        codes[r.random((*rows, 32)) < 0.85] = 0.0
+        x = codes @ gt + 0.01 * r.standard_normal(
+            (*rows, d_act)).astype(np.float32)
+        return x.astype(np.float32)
+
+    losses, ref_losses = [], []
+    for s in range(steps):
+        x = batch(s)
+        t_opt.zero_grad()
+        out = model(torch.from_numpy(x))
+        t_loss = out.reconstruction_loss + out.l1_loss
+        t_loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        t_opt.step()
+        t_sched.step()
+        ref_losses.append(t_loss.item())
+        losses.append(float(trainer.train_step(x)["loss"]))
+    return np.asarray(losses), np.asarray(ref_losses)
+
+
+def test_l1_convergence_parity_recipe_scale(ref):
+    """Recipe-scale convergence parity (VERDICT r3 item 3): 1000 steps of
+    the tiny_l1 hyperparameters (recon_alpha 1e4, RAdam eps 1e-5 + cosine,
+    clip 1.0, lr 4e-4) — the loss CURVE must track the reference loop, not
+    just 5 parameter-exact steps. Measured divergence is ≲0.6% per step and
+    ≲0.3% on the final window (tools/convergence_parity.py records the
+    curve artifact); the bounds below are 3× that."""
+    losses, ref_losses = _l1_convergence_curves(ref, steps=1000)
+    # real convergence must have happened (the curve is meaningful)
+    assert ref_losses[-100:].mean() < 0.25 * ref_losses[0]
+    rel = np.abs(losses - ref_losses) / np.abs(ref_losses)
+    assert rel.max() < 0.02, f"per-step divergence {rel.max():.4f}"
+    final = abs(losses[-100:].mean() - ref_losses[-100:].mean())
+    assert final / ref_losses[-100:].mean() < 0.01
+
+
+@pytest.mark.skipif(not os.environ.get("FREUD_SLOW"),
+                    reason="set FREUD_SLOW=1 for the 2k-step full check")
+def test_l1_convergence_parity_full(ref):
+    """Slow full-tolerance variant: 2000 steps, final dictionary loss within
+    0.5% — the ≥5×-A100 north star's 'same loss' leg, CPU-verifiable."""
+    losses, ref_losses = _l1_convergence_curves(ref, steps=2000)
+    final = abs(losses[-100:].mean() - ref_losses[-100:].mean())
+    assert final / ref_losses[-100:].mean() < 0.005
+    assert np.abs(losses - ref_losses).max() / ref_losses[0] < 0.02
+
+
 # ------------------------------------------------- artifact interchange
 
 
