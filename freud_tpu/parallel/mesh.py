@@ -72,23 +72,43 @@ def pad_and_shard(mesh: Mesh, buf, batch_size: int):
     return jax.device_put(buf, batch_sharding(mesh, buf.ndim))
 
 
-def put_batch(mesh: Mesh, *arrays):
+_warned_replicated = False
+
+
+def put_batch(mesh: Mesh, *arrays, expected_tail: bool = False):
     """Device-put host arrays with batch (axis 0) sharded over ``data``.
 
     Batches not divisible by the data axis fall back to replicated placement
     (correct, just unsharded) rather than failing — validation tails and tiny
-    smoke batches hit this.
-    """
+    smoke batches hit this. On a multi-device mesh the fallback warns ONCE
+    per process unless the caller marks it expected (``expected_tail=True``):
+    a misconfigured pod run (batch % n_data ≠ 0 on EVERY step) would
+    otherwise train fully replicated — n× memory, zero scaling — silently.
+    The trainer additionally rejects indivisible training batches outright
+    (train/trainer.py:train_step)."""
+    global _warned_replicated
     n_data = mesh.shape[DATA_AXIS]
-    out = tuple(
-        jax.device_put(
+    out = []
+    for a in arrays:
+        divisible = np.shape(a)[0] % n_data == 0
+        if not divisible and n_data > 1 and not expected_tail \
+                and not _warned_replicated:
+            import warnings
+
+            _warned_replicated = True
+            warnings.warn(
+                f"batch of {np.shape(a)[0]} is not divisible by the mesh's "
+                f"data axis ({n_data}); placing it REPLICATED — correct but "
+                "unsharded (no data-parallel speedup, n_data× memory). "
+                "Expected for ragged validation tails; a misconfigured "
+                "training batch should be made divisible.",
+                stacklevel=2)
+        out.append(jax.device_put(
             a,
-            batch_sharding(mesh, np.ndim(a))
-            if np.shape(a)[0] % n_data == 0
+            batch_sharding(mesh, np.ndim(a)) if divisible
             else replicated(mesh),
-        )
-        for a in arrays
-    )
+        ))
+    out = tuple(out)
     return out if len(out) > 1 else out[0]
 
 

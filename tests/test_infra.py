@@ -34,17 +34,49 @@ def test_mesh_shapes():
 
 
 def test_put_batch_sharding():
-    import jax
+    import warnings
 
     m = mesh_lib.make_mesh()
     x = np.ones((16, 4, 2), np.float32)
     arr = mesh_lib.put_batch(m, x)
     assert len(arr.sharding.device_set) == 8
-    # non-divisible batch falls back to replicated, not an error
-    arr2 = mesh_lib.put_batch(m, np.ones((3, 4), np.float32))
+    # non-divisible batch falls back to replicated, not an error — but it
+    # WARNS (once per process) on a multi-device mesh unless marked as an
+    # expected ragged tail
+    mesh_lib._warned_replicated = False
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        arr2 = mesh_lib.put_batch(m, np.ones((3, 4), np.float32))
     assert np.asarray(arr2).shape == (3, 4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second occurrence: silent
+        mesh_lib.put_batch(m, np.ones((3, 4), np.float32))
+    # expected tails stay silent even for the first occurrence
+    mesh_lib._warned_replicated = False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        mesh_lib.put_batch(m, np.ones((3, 4), np.float32),
+                           expected_tail=True)
+    assert mesh_lib._warned_replicated is False
     a, b = mesh_lib.put_batch(m, x, np.ones((16,), np.float32))
     assert len(b.sharding.device_set) == 8
+
+
+def test_trainer_rejects_indivisible_training_batch():
+    """A misconfigured pod batch must fail loudly at train_step, not run
+    the whole training replicated (VERDICT r3 item 7)."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    m = mesh_lib.make_mesh()
+    trainer = SAETrainer(
+        "l1", {"n_dict_components": 8, "recon_alpha": 1.0}, 6,
+        optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+        clip_thresh=1.0, mesh=m,
+    )
+    with pytest.raises(ValueError, match="not\\s+divisible"):
+        trainer.train_step(np.ones((3, 4, 6), np.float32))
+    # divisible batches train normally
+    metrics = trainer.train_step(np.ones((8, 4, 6), np.float32))
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_distributed_single_process_noop():
