@@ -283,16 +283,19 @@ class SAETrainer:
     def train_step(self, batch: np.ndarray) -> dict:
         if self.mesh is not None:
             n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
-            if n_data > 1 and np.shape(batch)[0] % n_data:
+            b = np.shape(batch)[0]
+            if n_data > 1 and b >= n_data and b % n_data:
                 # fail loudly: the put_batch replicated fallback is correct
                 # but a TRAINING step hitting it every step means the whole
                 # run silently loses data parallelism (n_data× memory, 1×
-                # speed) — a misconfigured pod batch, not a ragged tail
+                # speed) — a misconfigured pod batch. Batches SMALLER than
+                # the data axis cannot shard at all and stay allowed (smoke
+                # runs, tiny recipes) — put_batch still warns once there.
                 raise ValueError(
-                    f"training batch of {np.shape(batch)[0]} is not "
-                    f"divisible by the mesh's data axis ({n_data}); pick a "
-                    "divisible train batch size (validation tails may be "
-                    "ragged, training batches must not be)")
+                    f"training batch of {b} is not divisible by the mesh's "
+                    f"data axis ({n_data}); pick a divisible train batch "
+                    "size (validation tails may be ragged, training batches "
+                    "must not be)")
         batch = mesh_lib.put_batch(self.mesh, batch)
         self.params, self.opt_state, self.num_frames_since_fired, metrics = (
             self._train_step(
