@@ -295,7 +295,25 @@ class MemoryMappedActivationLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        host_bounds: Optional[tuple] = None,
     ):
+        """``host_bounds=(lo, hi)``: the pod input path — every process
+        computes the SAME (seed, epoch)-derived global shuffle order, but
+        this loader yields only rows [lo, hi) of each global batch (the
+        slice this host's chips own under the mesh's data sharding; see
+        parallel/mesh.py host_shard_bounds). Requires ``drop_last`` so every
+        batch is full-size. Epoch/step counting stays GLOBAL: len() and
+        batches_per_epoch count global batches, one per train step."""
+        if host_bounds is not None:
+            lo, hi = host_bounds
+            if not (0 <= lo < hi <= batch_size):
+                raise ValueError(f"host_bounds {host_bounds} outside the "
+                                 f"global batch of {batch_size}")
+            if not drop_last:
+                raise ValueError(
+                    "host_bounds requires drop_last=True (a ragged global "
+                    "tail would misalign the per-host slices)")
+        self.host_bounds = host_bounds
         self.reader = ActivationStoreReader(data_path, layer_name, subset_size)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -346,6 +364,8 @@ class MemoryMappedActivationLoader:
             # mid-epoch (the train loop breaking at `steps`), a later iter()
             # resumes at the next unseen batch instead of re-yielding this one
             self.cursor += 1
+            if self.host_bounds is not None:
+                idx = idx[self.host_bounds[0]:self.host_bounds[1]]
             with profiling.span("mmap_batch"):
                 yield self.reader.batch(idx)
         self.epoch += 1
@@ -363,17 +383,24 @@ def init_dataloader(
     shuffle: bool = False,
     drop_last: bool = False,
     seed: int = 0,
+    host_bounds: Optional[tuple] = None,
 ):
     """(loader, feat_dim, dataset_len) — reference init_dataloader shape
     (src/scripts/train_sae.py:32-67). ``seed`` drives the shuffle stream
-    (the reference gets this through its global torch/numpy seeding)."""
+    (the reference gets this through its global torch/numpy seeding).
+    ``host_bounds`` is the pod input slice (mmap loader only)."""
     if from_disk:
         loader = MemoryMappedActivationLoader(
             data_path, layer_name, batch_size,
             subset_size=subset_size, shuffle=shuffle, drop_last=drop_last,
-            seed=seed,
+            seed=seed, host_bounds=host_bounds,
         )
     else:
+        if host_bounds is not None:
+            raise ValueError(
+                "host_bounds is a disk-store input path; fly-mode training "
+                "has no per-host batch slicing (collect first, or train "
+                "single-host)")
         loader = FlyActivationLoader(
             data_path, whisper_model, sae_checkpoint, layer_name, batch_size,
             subset_size=subset_size, drop_last=drop_last,

@@ -114,3 +114,56 @@ def put_batch(mesh: Mesh, *arrays, expected_tail: bool = False):
 
 def divisible_batch(batch: int, mesh: Mesh) -> bool:
     return batch % mesh.shape[DATA_AXIS] == 0
+
+
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by more than one process —
+    the pod case, where host data must be assembled per-process."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_host_batch(mesh: Mesh, local_batch):
+    """Assemble a GLOBAL batch from this host's shard (axis 0 sharded over
+    ``data``). Every process passes only the rows its own devices will hold
+    (1/process_count of the global batch, contiguous, in process order);
+    nothing is transferred between hosts — each host's rows go straight to
+    its local chips. This is the pod training input path: the alternative
+    (every host materializing the FULL global batch for ``jax.device_put``)
+    multiplies host IO and memory by the process count.
+
+    On a single-process mesh this is exactly ``put_batch`` (the local shard
+    IS the global batch)."""
+    if not is_multiprocess(mesh):
+        return put_batch(mesh, local_batch)
+    local_batch = np.asarray(local_batch)
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh, local_batch.ndim), local_batch)
+
+
+def host_shard_bounds(global_batch: int, mesh: Mesh) -> tuple[int, int]:
+    """[lo, hi) rows of a global batch owned by THIS process under
+    ``batch_sharding`` — derived from the sharding's own device→index map
+    (no assumption about device enumeration order), so it is exactly the
+    slice ``put_host_batch`` will place on local chips. Raises if this
+    process's rows are not one contiguous range (an exotic hand-built mesh
+    interleaving processes along ``data`` — feed such meshes the full batch
+    via ``put_batch`` instead)."""
+    pc = jax.process_count()
+    if global_batch % pc:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count "
+            f"{pc}")
+    sharding = batch_sharding(mesh, 2)
+    idx = sharding.addressable_devices_indices_map((global_batch, 1))
+    starts = sorted((s[0].start or 0, s[0].stop) for s in idx.values())
+    lo, hi = starts[0][0], starts[-1][1]
+    covered = sorted({(a, b) for a, b in starts})
+    run = covered[0][0]
+    for a, b in covered:
+        if a > run:
+            raise ValueError(
+                "this process's batch rows are not contiguous under the "
+                "mesh's data axis; use put_batch with the full batch")
+        run = max(run, b)
+    return lo, hi if hi is not None else global_batch

@@ -1,9 +1,8 @@
-"""Per-layer SAE sweep CLI.
+"""SAE sweep CLI: per-layer or hyperparameter grid.
 
-Trains one SAE per layer simultaneously from a multi-layer activation
-collection (freud_tpu.train.sweep.train_sweep — the batched counterpart of
-running the reference's train_sae once per layer). Config JSON keys splat
-into ``train_sweep``; minimally::
+Per-layer (config has ``layer_names``): one SAE per layer store trained
+simultaneously (freud_tpu.train.sweep.train_sweep — the batched counterpart
+of running the reference's train_sae once per layer)::
 
     {
       "data_path": "activations/multilayer",
@@ -11,6 +10,19 @@ into ``train_sweep``; minimally::
       "variant": "l1",
       "autoencoder_config": {"n_dict_components": 64, "recon_alpha": 1e4},
       "steps": 1000, "batch_size": 8, "out_dir": "runs/sweep"
+    }
+
+Hyperparameter grid (config has ``grid`` + a single ``layer_name``): every
+combination trains as a model in one vmapped step over ONE store
+(train_hparam_sweep; ``k`` values compile one program per group)::
+
+    {
+      "data_path": "activations/tiny",
+      "layer_name": "encoder.blocks.2",
+      "variant": "topk",
+      "autoencoder_config": {"expansion_factor": 16},
+      "grid": {"lr": [1e-4, 4e-4], "k": [16, 32], "auxk_alpha": [0.03125]},
+      "steps": 1000, "batch_size": 8, "out_dir": "runs/grid"
     }
 
 Usage: python -m freud_tpu.scripts.sweep --config sweep.json
@@ -21,7 +33,7 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..train.sweep import train_sweep
+from ..train.sweep import train_hparam_sweep, train_sweep
 
 
 def main(argv=None):
@@ -31,7 +43,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = json.load(f)
-    stats = train_sweep(**config)
+    if "grid" in config:
+        if "layer_names" in config:
+            raise SystemExit(
+                "a grid sweep runs over ONE store: use layer_name (string), "
+                "not layer_names")
+        stats = train_hparam_sweep(**config)
+    else:
+        stats = train_sweep(**config)
     print(json.dumps(stats))
 
 

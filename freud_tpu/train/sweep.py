@@ -1,12 +1,22 @@
-"""Concurrent per-layer SAE sweep: K SAEs trained in ONE vmapped jit step.
+"""Concurrent SAE sweep: K SAEs trained in ONE vmapped jit step.
 
 New capability beyond the reference (BASELINE.json "per-layer SAE sweep
-(4 layers trained concurrently, data-parallel)"): the same SAE recipe applied
-to K different capture layers trains as a single device program — parameters,
-optimizer state and dead-feature counters carry a leading layer axis, the
-per-layer batches stack to (K, B, T, d), and ``jax.vmap`` of the train step
-runs all K updates concurrently (each still data-parallel over the mesh
-batch axis underneath).
+(4 layers trained concurrently, data-parallel)"): parameters, optimizer
+state and dead-feature counters carry a leading model axis, the per-model
+batches stack to (K, B, T, d), and ``jax.vmap`` of the train step runs all
+K updates concurrently (each still data-parallel over the mesh batch axis
+underneath). Two sweep shapes share the machinery:
+
+* **per-layer** (``train_sweep``): the same recipe over K capture-layer
+  streams — one model per activation store.
+* **hyperparameter grid** (``train_hparam_sweep`` / ``model_hparams=``):
+  K models with DISTINCT lr / recon_alpha / auxk_alpha over ONE stream.
+  These hparams enter the vmapped step as traced per-model scalars — the
+  alphas weight separately-returned loss terms (computed with unit alphas,
+  so the default path is bit-identical) and lr scales the optax updates
+  after the chain (updates are linear in the schedule's lr). ``k`` changes
+  the selection SHAPE and must stay static: the grid driver groups models
+  by k, one compiled vmapped program per k-group.
 """
 
 from __future__ import annotations
@@ -47,11 +57,40 @@ class SAESweepTrainer:
         seed: int = 0,
         amp: bool = True,
         mesh=None,
+        model_hparams: Optional[Sequence[dict]] = None,
     ):
+        """``model_hparams``: one dict per model with any of
+        {"lr", "recon_alpha"} (l1) / {"lr", "auxk_alpha", "k"} (topk);
+        missing keys inherit the trainer-level value. All models in ONE
+        trainer must share ``k`` (it is a selection shape); use
+        ``train_hparam_sweep`` to grid over k via k-groups."""
         assert variant in ("l1", "topk")
         self.variant = variant
         self.raw_config = dict(autoencoder_config)
         self.cfg = sae_config.config_for_variant(variant, autoencoder_config)
+        self.model_hparams = None
+        if model_hparams is not None:
+            if len(model_hparams) != n_models:
+                raise ValueError(
+                    f"{len(model_hparams)} hparam dicts for {n_models} models")
+            allowed = ({"lr", "recon_alpha"} if variant == "l1"
+                       else {"lr", "auxk_alpha", "k"})
+            for hp in model_hparams:
+                bad = set(hp) - allowed
+                if bad:
+                    raise ValueError(
+                        f"unsupported sweep hparam(s) {sorted(bad)}; "
+                        f"{variant} sweeps vary {sorted(allowed)}")
+            ks = {hp.get("k", self.cfg.k) for hp in model_hparams} \
+                if variant == "topk" else set()
+            if len(ks) > 1:
+                raise ValueError(
+                    f"models in one sweep trainer must share k (got {sorted(ks)});"
+                    " group by k (train_hparam_sweep does)")
+            if ks:
+                self.cfg.k = int(next(iter(ks)))
+                self.raw_config["k"] = self.cfg.k
+            self.model_hparams = [dict(hp) for hp in model_hparams]
         self.n_models = n_models
         self.activation_size = activation_size
         self.n_dict_components = sae_config.get_n_dict_components(
@@ -73,11 +112,29 @@ class SAESweepTrainer:
         # ``data`` in train_step — without explicit placement the whole sweep
         # silently ran on the default device only
         self.params = jax.device_put(self.params, mesh_lib.replicated(self.mesh))
+        # per-model lr rides OUTSIDE the optax chain (updates are linear in
+        # the schedule's lr: chain = clip → radam/adam → lr·shape(count)·u),
+        # so the chain is built at unit lr and each model's updates scale by
+        # its absolute lr in the vmapped step
         self.tx, self.schedule = make_optimizer(
-            optimizer, scheduler, lr, steps,
+            optimizer, scheduler,
+            1.0 if self.model_hparams is not None else lr, steps,
             weight_decay=weight_decay, clip_thresh=clip_thresh,
             scheduler_params=scheduler_params,
         )
+        self._hp = None
+        if self.model_hparams is not None:
+            hp = {"lr": jnp.asarray(
+                [h.get("lr", lr) for h in self.model_hparams], jnp.float32)}
+            if variant == "l1":
+                hp["recon_alpha"] = jnp.asarray(
+                    [h.get("recon_alpha", self.cfg.recon_alpha)
+                     for h in self.model_hparams], jnp.float32)
+            else:
+                hp["auxk_alpha"] = jnp.asarray(
+                    [h.get("auxk_alpha", self.cfg.auxk_alpha)
+                     for h in self.model_hparams], jnp.float32)
+            self._hp = hp
         self.opt_state = jax.device_put(
             jax.vmap(self.tx.init)(self.params), mesh_lib.replicated(self.mesh))
         self.counters = jax.device_put(
@@ -85,50 +142,78 @@ class SAESweepTrainer:
             mesh_lib.replicated(self.mesh))
         self.step = 0
         cfg, tx = self.cfg, self.tx
+        has_hp = self._hp is not None
+        if has_hp:
+            # unit-alpha config: loss TERMS come out unweighted and the
+            # traced per-model alphas weight them in the loss — multiplying
+            # by the default alpha afterwards is the same arithmetic the
+            # baked-in path performs, so defaults stay bit-identical
+            import dataclasses
+
+            cfg = (dataclasses.replace(cfg, recon_alpha=1.0)
+                   if variant == "l1"
+                   else dataclasses.replace(cfg, auxk_alpha=1.0))
+
+        def scaled_apply(params, grads, opt_state, hp):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            if has_hp:
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * hp["lr"], updates)
+            return optax.apply_updates(params, updates), opt_state
 
         if variant == "l1":
 
-            def one(params, opt_state, counter, batch):
+            def one(params, opt_state, counter, batch, hp):
                 params = l1_mod.normalize_columns(params)
 
                 def loss_fn(p):
                     out = l1_mod.forward(
                         p, batch, cfg, pre_normalized=True, matmul_dtype=mm_dtype
                     )
-                    return out.reconstruction_loss + out.l1_loss, out
+                    recon = out.reconstruction_loss
+                    if has_hp:
+                        recon = hp["recon_alpha"] * recon
+                    return recon + out.l1_loss, (out, recon)
 
-                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                ((loss, (out, recon)), grads) = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt_state = scaled_apply(params, grads, opt_state, hp)
                 return params, opt_state, counter, {
                     "loss": loss,
-                    "loss_recon": out.reconstruction_loss,
+                    "loss_recon": recon,
                     "loss_l1": out.l1_loss,
                 }
 
         else:
 
-            def one(params, opt_state, counter, batch):
+            def one(params, opt_state, counter, batch, hp):
                 dead_mask = counter > threshold
 
                 def loss_fn(p):
                     terms, fired = topk_mod.training_losses(
                         p, batch, cfg, dead_mask, matmul_dtype=mm_dtype
                     )
-                    loss = terms["fvu"] + terms["auxk_loss"] + terms["multi_topk_fvu"] / 8
+                    auxk = terms["auxk_loss"]
+                    if has_hp:
+                        auxk = hp["auxk_alpha"] * auxk
+                    loss = terms["fvu"] + auxk + terms["multi_topk_fvu"] / 8
                     return loss, (terms, fired)
 
                 (loss, (out, fired)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state = scaled_apply(params, grads, opt_state, hp)
                 counter = topk_mod.age_counters(
                     counter, fired, batch.shape[0] * batch.shape[1]
                 )
                 return params, opt_state, counter, {"loss": loss, "fvu": out["fvu"]}
 
         self._step = jax.jit(jax.vmap(one), donate_argnums=(0, 1, 2))
+        # hp placeholder so the vmapped arity is fixed; the no-hparam path
+        # never reads it
+        if self._hp is None:
+            self._hp = {"lr": jnp.ones((n_models,), jnp.float32)}
+        self._hp = jax.device_put(self._hp, mesh_lib.replicated(self.mesh))
 
     def train_step(self, batches: np.ndarray) -> dict:
         """``batches``: (K, B, T, activation_size) — the per-layer batch axis
@@ -144,7 +229,7 @@ class SAESweepTrainer:
                 if batches.shape[1] % n_data == 0 else P())
         dev = jax.device_put(batches, NamedSharding(self.mesh, spec))
         self.params, self.opt_state, self.counters, metrics = self._step(
-            self.params, self.opt_state, self.counters, dev
+            self.params, self.opt_state, self.counters, dev, self._hp
         )
         self.step += 1
         return metrics
@@ -166,6 +251,121 @@ class SAESweepTrainer:
                     "hparams": {**hparams, "layer_name": layer},
                 },
             )
+
+
+def expand_grid(grid: dict) -> list[dict]:
+    """{"lr": [a, b], "k": [2, 4]} → the 4 combination dicts (sorted keys,
+    row-major over the given value orders)."""
+    keys = sorted(grid)
+    combos = [{}]
+    for key in keys:
+        vals = grid[key]
+        if not isinstance(vals, (list, tuple)):
+            vals = [vals]
+        combos = [{**c, key: v} for c in combos for v in vals]
+    return combos
+
+
+def _hp_tag(hp: dict) -> str:
+    return "_".join(f"{k}{hp[k]:g}" if isinstance(hp[k], float)
+                    else f"{k}{hp[k]}" for k in sorted(hp)) or "base"
+
+
+def train_hparam_sweep(
+    data_path: str,
+    layer_name: str,
+    variant: str,
+    autoencoder_config: dict,
+    grid: dict,
+    steps: int,
+    batch_size: int,
+    out_dir: str,
+    lr: float = 1e-4,
+    optimizer: str = "adam",
+    scheduler: str = "linear",
+    scheduler_params: Optional[dict] = None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> dict:
+    """Hyperparameter-grid sweep over ONE layer store: every grid point is a
+    model in a vmapped trainer, all fed the SAME batch stream (one mmap read
+    per step regardless of K). ``k`` (topk) is a selection shape, so models
+    group by k — one compiled vmapped program per k value; lr / recon_alpha /
+    auxk_alpha vary as traced per-model scalars inside each program.
+    Checkpoints land at ``<out_dir>/<hparam-tag>.pth`` (reference format).
+    """
+    combos = expand_grid(grid)
+    groups: dict[object, list[dict]] = {}
+    for hp in combos:
+        groups.setdefault(hp.get("k"), []).append(hp)
+
+    loader = MemoryMappedActivationLoader(
+        data_path, layer_name, batch_size, shuffle=True, drop_last=True,
+        seed=seed)
+    if len(loader) == 0:
+        raise ValueError(
+            f"layer store yields no batches at batch_size={batch_size}")
+    act_size = loader.activation_shape[-1]
+
+    trainers = {
+        k: SAESweepTrainer(
+            variant, autoencoder_config, act_size, len(hps),
+            optimizer=optimizer, scheduler=scheduler,
+            scheduler_params=scheduler_params, lr=lr, steps=steps, seed=seed,
+            model_hparams=hps,
+        )
+        for k, hps in groups.items()
+    }
+
+    it = _prefetch(iter(loader))
+    last = {}
+    step = 0
+    while step < steps:
+        try:
+            arrays = next(it)
+        except StopIteration:
+            it = _prefetch(iter(loader))
+            arrays = next(it)
+        x = np.asarray(arrays[0], np.float32)
+        for k, tr in trainers.items():
+            stacked = np.broadcast_to(x, (tr.n_models, *x.shape))
+            m = tr.train_step(stacked)
+            if verbose and (step + 1) % 10 == 0:
+                last[str(k)] = np.asarray(
+                    jax.device_get(m["loss"])).tolist()
+        step += 1
+        if verbose and step % 10 == 0:
+            print(f"hparam sweep step {step}: loss {last}")
+    from ..models.sae.serialize import save_checkpoint
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    results = []
+    for k, tr in trainers.items():
+        for i, hp in enumerate(groups[k]):
+            tag = _hp_tag(hp)
+            single = jax.tree_util.tree_map(lambda leaf: leaf[i], tr.params)
+            # the stored config carries THIS model's grid values so a later
+            # sae_from_checkpoint reconstructs the exact recipe
+            cfg_out = {**tr.raw_config,
+                       **{kk: v for kk, v in hp.items() if kk != "lr"}}
+            save_checkpoint(
+                str(out / f"{tag}.pth"),
+                {
+                    "model": state_dict_from_params(variant, single),
+                    "step": tr.step,
+                    "best_val_loss": float("inf"),
+                    "hparams": {
+                        "autoencoder_variant": variant,
+                        "autoencoder_config": cfg_out,
+                        "activation_size": act_size,
+                        "layer_name": layer_name,
+                        "lr": hp.get("lr", lr),
+                    },
+                },
+            )
+            results.append({"tag": tag, **hp})
+    return {"steps": step, "models": results, "out_dir": out_dir}
 
 
 def train_sweep(

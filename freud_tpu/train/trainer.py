@@ -280,7 +280,20 @@ class SAETrainer:
 
     # -------------------------------------------------------------- public
 
-    def train_step(self, batch: np.ndarray) -> dict:
+    def train_step(self, batch: np.ndarray, host_local: bool = False) -> dict:
+        if host_local:
+            # pod input path: ``batch`` is THIS host's shard of the global
+            # batch (loader striding via mesh_lib.host_shard_bounds);
+            # assembly is zero-copy-per-host (parallel/mesh.py
+            # put_host_batch). Shape/divisibility is enforced by
+            # make_array_from_process_local_data itself.
+            batch = mesh_lib.put_host_batch(self.mesh, batch)
+            (self.params, self.opt_state, self.num_frames_since_fired,
+             metrics) = self._train_step(
+                self.params, self.opt_state, self.num_frames_since_fired,
+                batch)
+            self.step += 1
+            return metrics
         if self.mesh is not None:
             n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
             b = np.shape(batch)[0]
@@ -318,7 +331,17 @@ class SAETrainer:
         return float(self.schedule(count))
 
     def validate_files(self, batch: np.ndarray) -> dict:
-        return self._val_step(self.params, jnp.asarray(batch))
+        params = self.params
+        if mesh_lib.is_multiprocess(self.mesh):
+            # the val program is a LOCAL jit (validation runs on process 0
+            # only — train() gates it); a multi-process global array cannot
+            # feed it, so take the host copy of the replicated params once
+            # per step and let the jit re-put it on local devices
+            if getattr(self, "_local_params_step", None) != self.step:
+                self._local_params = jax.device_get(params)
+                self._local_params_step = self.step
+            params = self._local_params
+        return self._val_step(params, jnp.asarray(batch))
 
     def hparams(self, **extra) -> dict:
         hp = {
@@ -360,6 +383,17 @@ class SAETrainer:
     def param_count(self) -> int:
         mod = l1_mod if self.variant == "l1" else topk_mod
         return mod.param_count(self.params)
+
+
+class _NullTB:
+    """TensorBoard stand-in for non-main pod hosts: every host runs the
+    identical train() control flow (the SPMD steps must stay in lockstep)
+    but only process 0 writes host-side artifacts."""
+
+    def _noop(self, *a, **k):
+        return None
+
+    add_scalar = add_text = add_histogram = add_audio = close = _noop
 
 
 # ---------------------------------------------------------------------------
@@ -515,16 +549,40 @@ def train(
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
 
+    # Pod input path (jax.process_count() > 1 after
+    # parallel.distributed.initialize): every host computes the same
+    # (seed, epoch) shuffle order but loads ONLY its own contiguous slice of
+    # each global batch (host_shard_bounds), assembled shard-to-local-chip
+    # by put_host_batch — no host ever materializes the full global batch.
+    # Host-side artifacts (TensorBoard, checkpoints, validation,
+    # transcripts) run on process 0 only.
+    host_bounds = None
+    the_mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+    multihost = mesh_lib.is_multiprocess(the_mesh)
+    is_main = jax.process_index() == 0
+    if multihost:
+        if not from_disk:
+            raise SystemExit(
+                "multi-host training requires a collected store "
+                "(from_disk); fly-mode pod training is not supported — "
+                "collect with data_parallel + per-host shards first")
+        if device_cache_files:
+            raise SystemExit(
+                "device_cache_files is a single-host feature; the pod "
+                "input path streams per-host mmap slices instead")
+        host_bounds = mesh_lib.host_shard_bounds(batch_size, the_mesh)
+
     loader, feat_dim, dset_len = init_dataloader(
         from_disk, train_folder, whisper_model, None, layer_name,
         batch_size=batch_size, shuffle=True, drop_last=True, seed=seed,
+        host_bounds=host_bounds,
     )
 
     trainer = SAETrainer(
         autoencoder_variant, autoencoder_config, feat_dim,
         optimizer=optimizer, scheduler=scheduler, scheduler_params=scheduler_params,
         lr=lr, weight_decay=weight_decay, steps=steps, clip_thresh=clip_thresh,
-        seed=seed, mesh=mesh,
+        seed=seed, mesh=the_mesh,
     )
 
     hparam_dict = {
@@ -548,9 +606,13 @@ def train(
     ckpt_dir = Path(run_dir) / "checkpoints"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
-    from torch.utils.tensorboard import SummaryWriter
+    verbose = verbose and is_main
+    if is_main:
+        from torch.utils.tensorboard import SummaryWriter
 
-    tb = SummaryWriter(run_dir, flush_secs=10)
+        tb = SummaryWriter(run_dir, flush_secs=10)
+    else:
+        tb = _NullTB()  # non-main pod hosts write no host-side artifacts
     tb.add_text("hparams", json.dumps(hparam_dict, indent=4))
     if verbose:
         print("Model: %.2fM" % (trainer.param_count() / 1e6))
@@ -568,7 +630,7 @@ def train(
             loader.set_position(trainer.step)
 
     transcriber = None
-    if enable_transcripts:
+    if enable_transcripts and is_main:
         try:
             from ..models.whisper import WhisperRuntime
 
@@ -612,7 +674,7 @@ def train(
     try:
         for x in batch_stream():
             with profiling.span("train_step"):
-                metrics = trainer.train_step(x)
+                metrics = trainer.train_step(x, host_local=multihost)
 
             if trainer.step % log_tb_every == 0:
                 # ONE batched fetch (device_get issues every copy async
@@ -634,10 +696,10 @@ def train(
                 if verbose:
                     print(f"step {trainer.step}: loss {m['loss']:.4f}")
 
-            if trainer.step % save_every == 0:
+            if trainer.step % save_every == 0 and is_main:
                 trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
 
-            if trainer.step % val_every == 0:
+            if trainer.step % val_every == 0 and is_main:
                 if val_loader is None:
                     # built once and reused: a fly val loader re-loads Whisper
                     # and re-jits its encode program per construction
@@ -708,7 +770,8 @@ def train(
         # thread (it would keep reading the store until process exit)
         if cache is not None:
             cache.close()
-    trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
+    if is_main:
+        trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
     elapsed = time.perf_counter() - t_start
     done = trainer.step - steps_done_at_start
     tb.close()

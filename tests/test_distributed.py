@@ -62,6 +62,25 @@ get_activations(
     whisper_model="test:tiny", sae_model=None, batch_size=2,
     out_folder=out_dir, verbose=False, data_parallel=True,
 )
+"""Pod train() over a pre-collected store (argv[5]): per-host loader slices
+(host_shard_bounds) + put_host_batch assembly + process-0-only artifacts."""
+store_dir = sys.argv[5]
+run_dir = sys.argv[6] + f"/p{pid}"
+from freud_tpu.train.trainer import train
+stats = train(
+    seed=7, train_folder=store_dir, val_folder=store_dir, run_dir=run_dir,
+    lr=1e-3, weight_decay=0.0, steps=6, clip_thresh=1.0, batch_size=4,
+    log_tb_every=100, save_every=100, val_every=3,
+    whisper_config={"layer_name": "encoder.blocks.1", "model": "test:tiny"},
+    optimizer="radam", scheduler="cosine", scheduler_params=None,
+    autoencoder_variant="l1",
+    autoencoder_config={"expansion_factor": 2, "recon_alpha": 2.0},
+    from_disk=True, enable_transcripts=False, verbose=False, mesh=mesh,
+)
+import glob
+ckpts = sorted(os.path.basename(p)
+               for p in glob.glob(run_dir + "/checkpoints/*.pth"))
+
 print("DISTJSON " + json.dumps({
     "pid": pid,
     "param_sum": param_sum,
@@ -69,6 +88,8 @@ print("DISTJSON " + json.dumps({
     "act_sum": float(acts.sum()),
     "act_shape": list(acts.shape),
     "files": [str(f) for f in files],
+    "train_steps": stats["steps"],
+    "ckpts": ckpts,
 }), flush=True)
 '''
 
@@ -95,6 +116,16 @@ def test_two_process_distributed_matches_single(tmp_path):
         _write_wav(audio_dir / f"c{i}.wav",
                    (rng.standard_normal(8000) * 0.1).astype(np.float32))
 
+    # pre-collect the train store the workers' pod train() will stream from
+    from freud_tpu.scripts.collect_activations import get_activations
+
+    store_dir = tmp_path / "train_store"
+    get_activations(
+        data_path=str(audio_dir), layer_name="encoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(store_dir), verbose=False,
+    )
+
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     port = _free_port()
@@ -105,10 +136,11 @@ def test_two_process_distributed_matches_single(tmp_path):
     env.pop("XLA_FLAGS", None)
 
     out_dir = tmp_path / "acts"
+    run_root = tmp_path / "runs"
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(port), str(audio_dir),
-             str(out_dir)],
+             str(out_dir), str(store_dir), str(run_root)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -166,10 +198,41 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["files"] == [str(f) for f in files]
     assert results[0]["act_sum"] == pytest.approx(float(acts.sum()), rel=1e-4)
 
+    # pod train(): both hosts ran 6 steps; only process 0 wrote checkpoints
+    assert results[0]["train_steps"] == results[1]["train_steps"] == 6
+    assert "step6.pth" in results[0]["ckpts"]
+    assert results[1]["ckpts"] == []
+    # ...and the per-host-sliced pod run equals a single-process run of the
+    # SAME recipe over an identically-shaped (4-way data) mesh
+    from freud_tpu.train.trainer import train as train_fn
+
+    single_run = tmp_path / "single_run"
+    train_fn(
+        seed=7, train_folder=str(store_dir), val_folder=str(store_dir),
+        run_dir=str(single_run), lr=1e-3, weight_decay=0.0, steps=6,
+        clip_thresh=1.0, batch_size=4, log_tb_every=100, save_every=100,
+        val_every=3,
+        whisper_config={"layer_name": "encoder.blocks.1",
+                        "model": "test:tiny"},
+        optimizer="radam", scheduler="cosine", scheduler_params=None,
+        autoencoder_variant="l1",
+        autoencoder_config={"expansion_factor": 2, "recon_alpha": 2.0},
+        from_disk=True, enable_transcripts=False, verbose=False, mesh=mesh,
+    )
+    import torch
+
+    pod_ck = torch.load(run_root / "p0" / "checkpoints" / "step6.pth",
+                        weights_only=True)
+    single_ck = torch.load(single_run / "checkpoints" / "step6.pth",
+                           weights_only=True)
+    for k in pod_ck["model"]:
+        np.testing.assert_allclose(
+            pod_ck["model"][k].numpy(), single_ck["model"][k].numpy(),
+            rtol=1e-5, atol=1e-6)
+
     # multi-host collection: the workers wrote disjoint shard stores; the
     # merged store must equal a single-process collection of the same files
     from freud_tpu.data.store import ActivationStoreReader
-    from freud_tpu.scripts.collect_activations import get_activations
     from freud_tpu.scripts.merge_stores import merge_shards
 
     assert (out_dir / "shard0").exists() and (out_dir / "shard1").exists()

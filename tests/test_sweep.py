@@ -76,6 +76,120 @@ def test_sweep_trainer_matches_independent_training(tmp_path):
                                float(solo_m["loss"]), rtol=1e-5)
 
 
+def test_hparam_sweep_l1_matches_independent_trainers():
+    """One vmapped step, three models with DISTINCT lr / recon_alpha over
+    the same batches — each must track a solo SAETrainer built with those
+    exact hyperparameters (VERDICT r3 item 6)."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    rng = np.random.default_rng(3)
+    cfg = {"n_dict_components": 12, "recon_alpha": 10.0}
+    hps = [{"lr": 1e-3}, {"lr": 3e-3, "recon_alpha": 25.0},
+           {"recon_alpha": 2.0}]
+    batches = [rng.standard_normal((4, 6, 8)).astype(np.float32)
+               for _ in range(3)]
+
+    sweep = SAESweepTrainer("l1", cfg, 8, 3, optimizer="radam",
+                            scheduler="cosine", lr=1e-3, steps=5, amp=False,
+                            model_hparams=hps)
+    for x in batches:
+        m = sweep.train_step(np.broadcast_to(x, (3, *x.shape)))
+
+    for i, hp in enumerate(hps):
+        solo = SAETrainer(
+            "l1", {**cfg, "recon_alpha": hp.get("recon_alpha", 10.0)}, 8,
+            optimizer="radam", scheduler="cosine",
+            lr=hp.get("lr", 1e-3), steps=5, seed=i, amp=False)
+        for x in batches:
+            solo_m = solo.train_step(x)
+        np.testing.assert_allclose(
+            np.asarray(sweep.params.W[i]), np.asarray(solo.params.W),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            float(np.asarray(m["loss"])[i]), float(solo_m["loss"]),
+            rtol=1e-5)
+
+
+def test_hparam_sweep_topk_matches_independent_trainers():
+    """TopK grid members (distinct lr / auxk_alpha, shared k) track solo
+    trainers — dead-feature counters live so AuxK fires."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    rng = np.random.default_rng(4)
+    cfg = {"n_dict_components": 16, "k": 3, "auxk_alpha": 1 / 32,
+           "dead_feature_threshold": 0.0}
+    hps = [{"lr": 1e-3}, {"lr": 2e-3, "auxk_alpha": 0.25},
+           {"auxk_alpha": 0.0}]
+    batches = [rng.standard_normal((2, 5, 8)).astype(np.float32)
+               for _ in range(3)]
+
+    sweep = SAESweepTrainer("topk", cfg, 8, 3, optimizer="adam",
+                            scheduler="linear",
+                            scheduler_params={"num_warmup_steps": 1},
+                            lr=1e-3, steps=5, amp=False, model_hparams=hps)
+    for x in batches:
+        m = sweep.train_step(np.broadcast_to(x, (3, *x.shape)))
+
+    for i, hp in enumerate(hps):
+        solo = SAETrainer(
+            "topk", {**cfg, "auxk_alpha": hp.get("auxk_alpha", 1 / 32)}, 8,
+            optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1},
+            lr=hp.get("lr", 1e-3), steps=5, seed=i, amp=False)
+        for x in batches:
+            solo_m = solo.train_step(x)
+        np.testing.assert_allclose(
+            np.asarray(sweep.params.encoder_weight[i]),
+            np.asarray(solo.params.encoder_weight),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            float(np.asarray(m["loss"])[i]), float(solo_m["loss"]),
+            rtol=1e-5)
+
+
+def test_hparam_sweep_rejects_bad_keys_and_mixed_k():
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        SAESweepTrainer("l1", {"n_dict_components": 4}, 8, 1,
+                        model_hparams=[{"k": 2}])
+    with pytest.raises(ValueError, match="share k"):
+        SAESweepTrainer("topk", {"n_dict_components": 8, "k": 2}, 8, 2,
+                        model_hparams=[{"k": 2}, {"k": 4}])
+
+
+def test_train_hparam_sweep_grid_end_to_end(tmp_path):
+    """The grid CLI path: lr × k grid over one store → one checkpoint per
+    combination, k-groups compiled separately, stored configs carry each
+    model's own values."""
+    from freud_tpu.train.sweep import expand_grid, train_hparam_sweep
+
+    assert expand_grid({"lr": [1, 2], "k": [3]}) == [
+        {"k": 3, "lr": 1}, {"k": 3, "lr": 2}]
+
+    rng = np.random.default_rng(5)
+    layer = "encoder.blocks.0"
+    w = ActivationStoreWriter(tmp_path, layer, (6, 8), (6, 8))
+    w.append_batch([f"f{i}" for i in range(12)],
+                   rng.standard_normal((12, 6, 8)).astype(np.float32))
+    w.close()
+    stats = train_hparam_sweep(
+        str(tmp_path), layer, "topk",
+        {"expansion_factor": 2, "dead_feature_threshold": 100.0},
+        grid={"lr": [1e-3, 2e-3], "k": [2, 4]},
+        steps=3, batch_size=4, out_dir=str(tmp_path / "grid"),
+        scheduler_params={"num_warmup_steps": 1}, verbose=False,
+    )
+    assert stats["steps"] == 3 and len(stats["models"]) == 4
+    from freud_tpu.models.sae import sae_from_checkpoint
+
+    for m in stats["models"]:
+        v, cfg, act, params = sae_from_checkpoint(
+            str(tmp_path / "grid" / f"{m['tag']}.pth"))
+        assert v == "topk" and act == 8
+        assert cfg.k == m["k"]  # the model's OWN grid value
+
+
 def test_train_sweep_end_to_end(tmp_path):
     rng = np.random.default_rng(1)
     layers = ["encoder.blocks.0", "encoder.blocks.1"]
