@@ -116,16 +116,20 @@ def top_activations(
         )
 
     reader = getattr(loader, "reader", None)
-    if reader is not None and reader.activation_type == "tensor":
-        from ..data.feature_store import FeatureMajorReader
+    if reader is not None:
+        # dense stores use the transposed-plane index; indexed (TopK) stores
+        # the CSR-by-feature one — both serve the SAME one-plane fast path
+        from ..data import feature_store as fs
 
-        if FeatureMajorReader.exists(reader.data_path, reader.layer_name):
-            from ..data.feature_store import index_is_current
-
-            if index_is_current(reader.data_path, reader.layer_name,
-                                len(reader)):
-                fm = FeatureMajorReader(reader.data_path, reader.layer_name,
-                                        subset_size=len(reader))
+        if reader.activation_type == "tensor":
+            fm_cls, current = fs.FeatureMajorReader, fs.index_is_current
+        else:
+            fm_cls = fs.SparseFeatureMajorReader
+            current = fs.sparse_index_is_current
+        if fm_cls.exists(reader.data_path, reader.layer_name):
+            if current(reader.data_path, reader.layer_name, len(reader)):
+                fm = fm_cls(reader.data_path, reader.layer_name,
+                            subset_size=len(reader))
                 return _top_activations_indexed_plane(
                     loader, reader, feature_idx, n_files, max_val, min_val,
                     absolute_magnitude, return_max_per_file, mesh=mesh,

@@ -218,6 +218,248 @@ def extend_feature_major_index(
     return out_path
 
 
+# ---------------------------------------------------------------- indexed
+# TopK stores are (T, k) sparse rows; their feature-major index is sparse
+# too — a dense (n_dict, files, T) transpose would be k/n_dict times larger
+# than the store itself (hundreds of GB at production scale). CSR-by-feature
+# instead: offsets (n_dict+1,) into three parallel hit arrays (file, time,
+# act). A query slices ONE feature's hits and scatters them into the
+# (files, T) plane — O(hits of that feature), the sparse analogue of the
+# dense index's O(one plane) read. Growth uses the same segment scheme as
+# the dense index (one CSR group per contiguous file range).
+
+SPARSE_PARTS = ("offsets", "file", "time", "act")
+
+
+def _sparse_paths(data_path: str | Path, layer_name: str, k: int) -> dict:
+    return {p: Path(data_path) / f"{layer_name}_feature_major.sparse{k}.{p}.npy"
+            for p in SPARSE_PARTS}
+
+
+def sparse_segment_groups(data_path: str | Path, layer_name: str) -> list[dict]:
+    groups = []
+    k = 0
+    while True:
+        paths = _sparse_paths(data_path, layer_name, k)
+        if not all(v.exists() for v in paths.values()):
+            break
+        groups.append(paths)
+        k += 1
+    return groups
+
+
+def _build_sparse_segment(reader, start: int, stop: int, paths: dict,
+                          chunk_files: int, verbose: bool) -> int:
+    """CSR-by-feature over store files [start, stop) → ``paths``. Two
+    streaming passes (count, fill) so only chunk_files files are ever in
+    memory. Returns the number of files covered."""
+    n_dict = reader.activation_shape[-1]
+    counts = np.zeros(n_dict, np.int64)
+    for s in range(start, stop, chunk_files):
+        ids = np.arange(s, min(s + chunk_files, stop))
+        _, idx, _ = reader.batch(ids)
+        counts += np.bincount(idx.reshape(-1), minlength=n_dict)
+    offsets = np.zeros(n_dict + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    nnz = int(offsets[-1])
+    f_mm = np.lib.format.open_memmap(paths["file"], mode="w+",
+                                     dtype=np.int32, shape=(nnz,))
+    t_mm = np.lib.format.open_memmap(paths["time"], mode="w+",
+                                     dtype=np.int32, shape=(nnz,))
+    a_mm = np.lib.format.open_memmap(paths["act"], mode="w+",
+                                     dtype=np.float32, shape=(nnz,))
+    cursor = offsets[:-1].copy()
+    t_len, kk = reader.tensor_shape
+    for s in range(start, stop, chunk_files):
+        ids = np.arange(s, min(s + chunk_files, stop))
+        vals, idx, _ = reader.batch(ids)
+        flat_feat = idx.reshape(-1).astype(np.int64)
+        order = np.argsort(flat_feat, kind="stable")
+        sorted_feat = flat_feat[order]
+        # row positions of the sorted hits inside the chunk
+        file_of = np.repeat(ids - start, t_len * kk)[order].astype(np.int32)
+        time_of = np.tile(np.repeat(np.arange(t_len, dtype=np.int32), kk),
+                          len(ids))[order]
+        act_of = vals.reshape(-1).astype(np.float32)[order]
+        # contiguous runs per feature → one slice write per present feature
+        feats, run_starts = np.unique(sorted_feat, return_index=True)
+        run_ends = np.append(run_starts[1:], len(sorted_feat))
+        for feat, lo, hi in zip(feats, run_starts, run_ends):
+            c = cursor[feat]
+            f_mm[c:c + hi - lo] = file_of[lo:hi]
+            t_mm[c:c + hi - lo] = time_of[lo:hi]
+            a_mm[c:c + hi - lo] = act_of[lo:hi]
+            cursor[feat] = c + hi - lo
+        if verbose:
+            print(f"\rindexed {ids[-1] + 1}/{stop} files", end="", flush=True)
+    assert (cursor == offsets[1:]).all()
+    for mm in (f_mm, t_mm, a_mm):
+        mm.flush()
+    o_mm = np.lib.format.open_memmap(paths["offsets"], mode="w+",
+                                     dtype=np.int64, shape=(n_dict + 1,))
+    o_mm[:] = offsets
+    o_mm.flush()
+    if verbose:
+        print()
+    return stop - start
+
+
+def build_sparse_feature_major_index(
+    data_path: str | Path,
+    layer_name: str,
+    chunk_files: int = 256,
+    verbose: bool = True,
+) -> Path:
+    """Full (re)build of the sparse index for an indexed (TopK) store."""
+    reader = ActivationStoreReader(data_path, layer_name)
+    if reader.activation_type != "indexed":
+        raise ValueError("sparse feature-major index is for indexed stores")
+    for group in sparse_segment_groups(data_path, layer_name):
+        for p in group.values():
+            p.unlink()
+    mp = _meta_path(data_path, layer_name)
+    if mp.exists():
+        mp.unlink()
+    n = len(reader)
+    paths = _sparse_paths(data_path, layer_name, 0)
+    _build_sparse_segment(reader, 0, n, paths, chunk_files, verbose)
+    _write_nfiles_sidecar(paths, n)
+    _write_meta(data_path, layer_name, n,
+                _store_filenames(data_path, layer_name))
+    return paths["offsets"]
+
+
+def extend_sparse_feature_major_index(
+    data_path: str | Path,
+    layer_name: str,
+    chunk_files: int = 256,
+    verbose: bool = True,
+) -> Optional[Path]:
+    """Index only the files added since the last build as a new CSR segment
+    (same staleness rules as the dense extend: a fingerprint mismatch
+    rebuilds from scratch)."""
+    import json
+
+    reader = ActivationStoreReader(data_path, layer_name)
+    if reader.activation_type != "indexed":
+        raise ValueError("sparse feature-major index is for indexed stores")
+    groups = sparse_segment_groups(data_path, layer_name)
+    if not groups:
+        return build_sparse_feature_major_index(
+            data_path, layer_name, chunk_files, verbose)
+    covered = sum(_segment_n_files(g) for g in groups)
+    n = len(reader)
+    mp = _meta_path(data_path, layer_name)
+    verified = False
+    if mp.exists():
+        try:
+            meta = json.loads(mp.read_text())
+            filenames = _store_filenames(data_path, layer_name)
+            verified = (
+                meta.get("covered") == covered
+                and covered <= len(filenames)
+                and _fingerprint(filenames[:covered]) == meta.get("fingerprint")
+            )
+        except (OSError, ValueError, KeyError):
+            verified = False
+    if not verified or covered > n:
+        return build_sparse_feature_major_index(
+            data_path, layer_name, chunk_files, verbose)
+    if covered == n:
+        return None
+    paths = _sparse_paths(data_path, layer_name, len(groups))
+    _build_sparse_segment(reader, covered, n, paths, chunk_files, verbose)
+    _write_nfiles_sidecar(paths, n - covered)
+    _write_meta(data_path, layer_name, n,
+                _store_filenames(data_path, layer_name))
+    return paths["offsets"]
+
+
+def _nfiles_sidecar(paths: dict) -> Path:
+    return paths["offsets"].with_suffix(".nfiles")
+
+
+def _write_nfiles_sidecar(paths: dict, n_files: int) -> None:
+    _nfiles_sidecar(paths).write_text(str(n_files))
+
+
+def _segment_n_files(paths: dict) -> int:
+    """Files covered by a CSR segment — from the sidecar every build/extend
+    writes (the hit arrays can't record it: a trailing file with no hits
+    would leave no trace). Fallback for a hand-built index: max file id + 1."""
+    sc = _nfiles_sidecar(paths)
+    if sc.exists():
+        return int(sc.read_text())
+    f = np.load(paths["file"], mmap_mode="r")
+    return int(f[:].max()) + 1 if f.shape[0] else 0
+
+
+def sparse_index_is_current(data_path: str | Path, layer_name: str,
+                            n_query: int) -> bool:
+    """Sparse analogue of ``index_is_current`` (same sidecar fingerprint
+    rules): True iff the CSR segments verifiably cover the store's first
+    ``n_query`` files."""
+    import json
+
+    groups = sparse_segment_groups(data_path, layer_name)
+    mp = _meta_path(data_path, layer_name)
+    if not groups or not mp.exists():
+        return False
+    try:
+        meta = json.loads(mp.read_text())
+        covered = sum(_segment_n_files(g) for g in groups)
+        if covered != meta.get("covered") or covered < n_query:
+            return False
+        filenames = _store_filenames(data_path, layer_name)
+        if covered > len(filenames):
+            return False
+        return _fingerprint(filenames[:covered]) == meta.get("fingerprint")
+    except (OSError, ValueError, KeyError):
+        return False
+
+
+class SparseFeatureMajorReader:
+    """One feature's (files, time) plane reconstructed from the CSR index —
+    numerically identical to the scan path's ``_densify_indexed`` (duplicate
+    indices accumulate, everything else is 0)."""
+
+    def __init__(self, data_path: str | Path, layer_name: str,
+                 subset_size: Optional[int] = None):
+        self.groups = sparse_segment_groups(data_path, layer_name)
+        if not self.groups:
+            raise FileNotFoundError(
+                str(_sparse_paths(data_path, layer_name, 0)["offsets"]))
+        reader = ActivationStoreReader(data_path, layer_name)
+        self.t_len = reader.tensor_shape[0]
+        self.seg_files = [_segment_n_files(g) for g in self.groups]
+        self.n_files = sum(self.seg_files)
+        self.subset_size = subset_size
+        self._mm = [
+            {p: np.load(g[p], mmap_mode="r") for p in SPARSE_PARTS}
+            for g in self.groups
+        ]
+
+    @staticmethod
+    def exists(data_path: str | Path, layer_name: str) -> bool:
+        return bool(sparse_segment_groups(data_path, layer_name))
+
+    def feature(self, feature_idx: int) -> np.ndarray:
+        plane = np.zeros((self.n_files, self.t_len), np.float32)
+        base = 0
+        for mm, nf in zip(self._mm, self.seg_files):
+            off = mm["offsets"]
+            lo, hi = int(off[feature_idx]), int(off[feature_idx + 1])
+            if hi > lo:
+                np.add.at(plane,
+                          (np.asarray(mm["file"][lo:hi]) + base,
+                           np.asarray(mm["time"][lo:hi])),
+                          np.asarray(mm["act"][lo:hi], np.float32))
+            base += nf
+        if self.subset_size is not None:
+            plane = plane[: self.subset_size]
+        return plane
+
+
 class FeatureMajorReader:
     """mmap access to one feature's (files, time) activation plane, spliced
     across the base index and any growth segments."""

@@ -158,18 +158,25 @@ def get_activations(
             )
     if writer is not None:
         writer.close()
-    if writer is not None and not writer.indexed and shard is None:
+    if writer is not None and shard is None:
         # (per-host shard stores skip indexing — a shard index would be
         # orphaned by the merge; pass --build_index to merge_stores.py to
         # index the merged store instead)
-        from ..data.feature_store import (FeatureMajorReader,
-                                          extend_feature_major_index)
+        from ..data import feature_store as fs
 
         # keep an existing index current after every run (a grown store must
         # never silently degrade search to a full scan); build fresh only
-        # when asked
-        if build_index or FeatureMajorReader.exists(out_folder, layer_name):
-            extend_feature_major_index(out_folder, layer_name, verbose=verbose)
+        # when asked. Dense stores get the transposed-plane index, indexed
+        # (TopK) stores the CSR-by-feature one.
+        if writer.indexed:
+            if build_index or fs.SparseFeatureMajorReader.exists(
+                    out_folder, layer_name):
+                fs.extend_sparse_feature_major_index(
+                    out_folder, layer_name, verbose=verbose)
+        elif build_index or fs.FeatureMajorReader.exists(
+                out_folder, layer_name):
+            fs.extend_feature_major_index(out_folder, layer_name,
+                                          verbose=verbose)
     elapsed = time.perf_counter() - t0
     if verbose:
         print()

@@ -11,7 +11,9 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..data.feature_store import build_feature_major_index
+from ..data.feature_store import (build_feature_major_index,
+                                  build_sparse_feature_major_index)
+from ..data.store import ActivationStoreReader
 
 
 def main(argv=None):
@@ -21,7 +23,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = json.load(f)
-    path = build_feature_major_index(config["out_folder"], config["layer_name"])
+    folder, layer = config["out_folder"], config["layer_name"]
+    # dense stores get the transposed-plane index; indexed (TopK-SAE) stores
+    # the CSR-by-feature sparse index — same O(one-plane) query either way
+    reader = ActivationStoreReader(folder, layer)
+    if reader.activation_type == "indexed":
+        path = build_sparse_feature_major_index(folder, layer)
+    else:
+        path = build_feature_major_index(folder, layer)
     print(f"wrote {path}")
 
 
