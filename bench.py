@@ -181,7 +181,6 @@ def _bench_train(variant: str, cfg: dict, d_in: int, batch: int,
     helper so the axon-backend discipline (force a scalar computed IN the
     jit — block_until_ready is a no-op on tunneled backends) lives in one
     place."""
-    from freud_tpu.models.sae.config import get_n_dict_components
     from freud_tpu.train.trainer import SAETrainer
 
     trainer = SAETrainer(
@@ -202,8 +201,7 @@ def _bench_train(variant: str, cfg: dict, d_in: int, batch: int,
     float(m["loss"])
     elapsed = time.perf_counter() - t0
     rows = batch * 1500
-    n_dict = get_n_dict_components(
-        d_in, cfg.get("expansion_factor"), cfg.get("n_dict_components"))
+    n_dict = trainer.n_dict_components
     if variant == "l1":
         step_flops = flops_mod.sae_l1_step_flops(rows, d_in, n_dict)
     else:
