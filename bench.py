@@ -32,7 +32,6 @@ TPU.
 from __future__ import annotations
 
 import json
-import math
 import os
 import shutil
 import tempfile
@@ -342,6 +341,11 @@ def main():
         extras["collection_e2e_mfu_pct"] = e2e["mfu_pct"]
         extras["collection_e2e_stages_s"] = e2e["stages_s"]
         extras["collection_e2e_wall_s"] = round(e2e["elapsed_s"], 2)
+        # float16 stores halve the two link/disk-bound stages (device-side
+        # cast before the fetch + half the store bytes)
+        e2e16 = bench_collection_e2e(store_dtype="float16")
+        extras["collection_rtfx_e2e_f16"] = round(e2e16["rtfx"], 1)
+        extras["collection_e2e_f16_stages_s"] = e2e16["stages_s"]
     except Exception:
         pass
     result = {

@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 from typing import Iterator, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,6 +20,7 @@ L1 SAE → (latent, filenames); TopK SAE → (top_acts, top_indices, filenames).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterator, Optional
 
 import jax
@@ -52,9 +53,6 @@ def decodable_mask(lengths: np.ndarray, filenames: list[str]) -> np.ndarray:
 def load_sae(checkpoint: str):
     """(variant, cfg, activation_size, params) from a trainer checkpoint."""
     return sae_serialize.sae_from_checkpoint(checkpoint)
-
-
-from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("dims", "layer_name", "variant",

@@ -131,7 +131,9 @@ class AppendableNpy:
             raise ValueError(
                 f"tensor shape mismatch: expected {self.row_shape}, got {rows.shape[1:]}"
             )
-        self._f.write(rows.tobytes())
+        # zero-copy: write the array's buffer directly (tobytes() would
+        # duplicate the whole batch — measurable at multi-GB/run store sizes)
+        self._f.write(memoryview(rows).cast("B"))
         self.n_rows += rows.shape[0]
 
     def truncate_rows(self, n_rows: int) -> None:

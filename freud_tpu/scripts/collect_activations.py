@@ -117,45 +117,104 @@ def get_activations(
         fetch_dtype=np.float16 if store_dtype == "float16" else None,
     )
 
+    # Write-behind store thread: the e2e stage decomposition (bench.py
+    # collection_e2e) shows the consumer loop's two big host stages —
+    # device→host fetch and store write — are each a large fraction of the
+    # wall; serialized they ADD. A one-deep queue lets batch k write to
+    # disk while batch k+1 fetches (decode already overlaps in the prefetch
+    # thread, device compute under the fetch via the loader's one-ahead
+    # dispatch), so the wall tracks the slowest single stage instead of the
+    # sum. Crash consistency is unchanged: the writer thread owns ALL
+    # writer calls including the periodic flush points.
+    import queue
+    import threading
+
     writer: Optional[ActivationStoreWriter] = None
+    wq: queue.Queue = queue.Queue(maxsize=2)
+    werr: list[BaseException] = []
+
+    def _drain():
+        last_flush = time.perf_counter()
+        while True:
+            item = wq.get()
+            if item is None:
+                return
+            filenames, arrays, n_frames = item
+            try:
+                with profiling.span("store_append"):
+                    writer.append_batch(filenames, *arrays, n_frames=n_frames)
+                # periodic crash-consistency point (header + metadata) so
+                # ANY interrupted run is resumable with at most this window
+                # lost
+                if time.perf_counter() - last_flush >= flush_every_s:
+                    writer.flush()
+                    last_flush = time.perf_counter()
+            except BaseException as e:  # surface in the main loop
+                werr.append(e)
+                return
+            finally:
+                wq.task_done()
+
+    def _safe_put(item):
+        # never block forever against a dead writer thread: re-check the
+        # error slot while waiting for queue room
+        while True:
+            if werr:
+                raise werr[0]
+            try:
+                wq.put(item, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
+    wthread: Optional[threading.Thread] = None
     n_files = 0
     t0 = time.perf_counter()
-    last_flush = t0
-    for batch in loader.iter_with_lengths():
-        *arrays, filenames, n_frames = batch
-        # device→host fetch: on remote/tunneled backends this is the
-        # dominant e2e stage (bench.py collection_e2e decomposition); the
-        # loader has already dispatched the NEXT batch's encode, so the
-        # device stays busy underneath this blocking copy
-        with profiling.span("d2h_fetch"):
-            arrays = [np.asarray(a) for a in arrays]
-        if writer is None:
-            writer = ActivationStoreWriter(
-                out_folder,
-                layer_name,
-                tensor_shape=arrays[0].shape[1:],
-                activation_shape=loader.activation_shape,
-                indexed=loader.activation_type == "indexed",
-                overwrite=not resume,
-                store_dtype=np.dtype(store_dtype),
-            )
-        with profiling.span("store_append"):
-            writer.append_batch(filenames, *arrays, n_frames=n_frames)
-        # periodic crash-consistency point (header + metadata) so ANY
-        # interrupted run is resumable with at most this window lost
-        if time.perf_counter() - last_flush >= flush_every_s:
-            writer.flush()
-            last_flush = time.perf_counter()
-        n_files += len(filenames)
-        if verbose:
-            dt = time.perf_counter() - t0
-            rtfx = n_files * CHUNK_LENGTH / max(dt, 1e-9)
-            print(
-                f"\rcollected {n_files}/{loader.dataset_length} files "
-                f"({rtfx:.0f}x realtime)",
-                end="",
-                flush=True,
-            )
+    try:
+        for batch in loader.iter_with_lengths():
+            *arrays, filenames, n_frames = batch
+            # device→host fetch: on remote/tunneled backends this is the
+            # dominant e2e stage; the loader has already dispatched the NEXT
+            # batch's encode, so the device stays busy underneath this
+            # blocking copy
+            with profiling.span("d2h_fetch"):
+                arrays = [np.asarray(a) for a in arrays]
+            if writer is None:
+                writer = ActivationStoreWriter(
+                    out_folder,
+                    layer_name,
+                    tensor_shape=arrays[0].shape[1:],
+                    activation_shape=loader.activation_shape,
+                    indexed=loader.activation_type == "indexed",
+                    overwrite=not resume,
+                    store_dtype=np.dtype(store_dtype),
+                )
+                wthread = threading.Thread(target=_drain, daemon=True)
+                wthread.start()
+            _safe_put((filenames, arrays, n_frames))
+            n_files += len(filenames)
+            if verbose:
+                dt = time.perf_counter() - t0
+                rtfx = n_files * CHUNK_LENGTH / max(dt, 1e-9)
+                print(
+                    f"\rcollected {n_files}/{loader.dataset_length} files "
+                    f"({rtfx:.0f}x realtime)",
+                    end="",
+                    flush=True,
+                )
+    finally:
+        if wthread is not None:
+            try:
+                while wthread.is_alive():
+                    try:
+                        wq.put(None, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+            finally:
+                wthread.join()
+    if werr:
+        raise werr[0]
     if writer is not None:
         writer.close()
     if writer is not None and shard is None:
