@@ -45,6 +45,32 @@ def _save_ckpt(path, variant, cfg, act_size, params):
     )
 
 
+def test_collect_write_thread_error_propagates(tmp_path, monkeypatch):
+    """A failing store write (disk full, bad shape) in the write-behind
+    thread must raise in get_activations promptly — never hang the loop on
+    a full queue against a dead writer thread."""
+    import pytest
+
+    from freud_tpu.data import store as store_mod
+
+    _write_wavs(tmp_path / "audio", 4)
+
+    def boom(self, *a, **k):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(store_mod.ActivationStoreWriter, "append_batch", boom)
+    with pytest.raises(OSError, match="disk full"):
+        get_activations(
+            data_path=str(tmp_path / "audio"),
+            layer_name="encoder.blocks.1",
+            whisper_model="test:tiny",
+            sae_model=None,
+            batch_size=2,
+            out_folder=str(tmp_path / "out"),
+            verbose=False,
+        )
+
+
 def test_collect_l1_sae_latents(tmp_path):
     audio = tmp_path / "audio"
     _write_wavs(audio, 3)
