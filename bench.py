@@ -257,13 +257,19 @@ def bench_large_l1_train(batch: int = 16, iters: int = 30, warmup: int = 3) -> d
 
 
 def bench_serving(batch: int = 8, max_new: int = 224, iters: int = 5,
-                  warmup: int = 2, early_exit: bool = True) -> dict:
+                  warmup: int = 2, early_exit: bool = True,
+                  eot_steer: bool = False) -> dict:
     """Batched greedy transcription serving RTFx (tiny, bf16 decode, the
     tools/bench_transcribe.py headline configuration). Calibrated: the
     generated-token counts are recorded (the decode's own n_text statistic),
     tokens/sec is reported, and ``early_exit=False`` gives the fixed-budget
     row — decode cost there is budget-determined, so the number is
-    comparable across rounds and against real-weights runs later."""
+    comparable across rounds and against real-weights runs later.
+    ``eot_steer`` biases the final-LN toward the EOT embedding so every
+    decode terminates after ~2 real-compute steps — the machine-checkable
+    proof that the while_loop early exit fires on-chip (random weights never
+    emit EOT, so the default rows run the full budget; real speech exits
+    early like the steered row)."""
     from freud_tpu.models.whisper import dims_for, encoder_forward, init_params
     from freud_tpu.models.whisper.decoding import sample_decode
     from freud_tpu.models.whisper.tokenizer import special_tokens
@@ -271,6 +277,13 @@ def bench_serving(batch: int = 8, max_new: int = 224, iters: int = 5,
     dims = dims_for("tiny")
     params = init_params(dims, seed=0)
     st = special_tokens(dims.n_vocab)
+    if eot_steer:
+        emb = np.asarray(params["decoder"]["tok_emb"])
+        eot_dir = emb[st.eot] / (np.linalg.norm(emb[st.eot]) + 1e-9)
+        dec = dict(params["decoder"])
+        dec["ln"] = dict(dec["ln"], b=jnp.asarray(
+            np.asarray(dec["ln"]["b"]) + 40.0 * eot_dir))
+        params = {**params, "decoder": dec}
     rng = np.random.default_rng(0)
     mels = jnp.asarray(
         rng.standard_normal((batch, dims.n_mels, 3000)).astype(np.float32) * 0.3)
@@ -332,6 +345,12 @@ def main():
         extras["serving_fixed_budget_rtfx"] = round(fixed["rtfx"], 1)
         extras["serving_fixed_budget_tokens_per_sec"] = round(
             fixed["tokens_per_sec"], 1)
+        # steered-EOT demo: proves the while_loop exit fires on-chip
+        # (mean_tokens collapses to ~1, rtfx jumps orders of magnitude)
+        demo = bench_serving(eot_steer=True)
+        extras["serving_early_exit_demo_rtfx"] = round(demo["rtfx"], 1)
+        extras["serving_early_exit_demo_mean_tokens"] = round(
+            demo["mean_tokens"], 1)
     except Exception:  # the headline metrics must never die on the extra rows
         pass
     try:

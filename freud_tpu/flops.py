@@ -41,17 +41,22 @@ _PEAK_BF16: dict[str, float] = {
 }
 
 
+def peak_for_kind(kind: str) -> float | None:
+    """bf16 MXU peak for a device_kind string (longest prefix wins:
+    "TPU v5p" must not fall into the "TPU v5" entry)."""
+    for name in sorted(_PEAK_BF16, key=len, reverse=True):
+        if kind.startswith(name):
+            return _PEAK_BF16[name]
+    return 197e12 if kind else None
+
+
 def device_peak_flops() -> float | None:
     """MXU bf16 peak of the attached accelerator, or None off-TPU (MFU is
     meaningless against a host CPU)."""
     dev = jax.devices()[0]
     if dev.platform not in ("tpu",):
         return None
-    kind = getattr(dev, "device_kind", "")
-    for name, peak in _PEAK_BF16.items():
-        if kind.startswith(name):
-            return peak
-    return 197e12 if kind else None
+    return peak_for_kind(getattr(dev, "device_kind", ""))
 
 
 def mfu_pct(total_flops: float, elapsed_s: float) -> float | None:

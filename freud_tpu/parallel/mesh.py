@@ -156,7 +156,12 @@ def host_shard_bounds(global_batch: int, mesh: Mesh) -> tuple[int, int]:
             f"{pc}")
     sharding = batch_sharding(mesh, 2)
     idx = sharding.addressable_devices_indices_map((global_batch, 1))
-    starts = sorted((s[0].start or 0, s[0].stop) for s in idx.values())
+    # a size-1 (or replicated) data axis yields slice(None) per device:
+    # normalize Nones so the contiguity math below never compares them
+    starts = sorted(
+        (s[0].start or 0,
+         global_batch if s[0].stop is None else s[0].stop)
+        for s in idx.values())
     lo, hi = starts[0][0], starts[-1][1]
     covered = sorted({(a, b) for a, b in starts})
     run = covered[0][0]
@@ -166,4 +171,4 @@ def host_shard_bounds(global_batch: int, mesh: Mesh) -> tuple[int, int]:
                 "this process's batch rows are not contiguous under the "
                 "mesh's data axis; use put_batch with the full batch")
         run = max(run, b)
-    return lo, hi if hi is not None else global_batch
+    return lo, hi

@@ -209,6 +209,12 @@ class SAESweepTrainer:
                 return params, opt_state, counter, {"loss": loss, "fvu": out["fvu"]}
 
         self._step = jax.jit(jax.vmap(one), donate_argnums=(0, 1, 2))
+        # shared-batch variant: ONE (B, T, d) batch feeds every model
+        # (batch in_axes=None — no K× host copy, no K× transfer; the
+        # hyperparameter grid's whole point is K recipes over one stream)
+        self._step_shared = jax.jit(
+            jax.vmap(one, in_axes=(0, 0, 0, None, 0)),
+            donate_argnums=(0, 1, 2))
         # hp placeholder so the vmapped arity is fixed; the no-hparam path
         # never reads it
         if self._hp is None:
@@ -231,6 +237,26 @@ class SAESweepTrainer:
         self.params, self.opt_state, self.counters, metrics = self._step(
             self.params, self.opt_state, self.counters, dev, self._hp
         )
+        self.step += 1
+        return metrics
+
+    def train_step_shared(self, batch: np.ndarray) -> dict:
+        """One (B, T, activation_size) batch trains ALL K models (the
+        hyperparameter-grid stream): the batch is device_put ONCE (sharded
+        over ``data`` when divisible) and broadcast to the model axis inside
+        the vmapped step — no K× host copy or transfer."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh as mesh_lib
+
+        batch = np.asarray(batch)
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        spec = (P(mesh_lib.DATA_AXIS, None, None)
+                if batch.shape[0] % n_data == 0 else P())
+        dev = jax.device_put(batch, NamedSharding(self.mesh, spec))
+        self.params, self.opt_state, self.counters, metrics = (
+            self._step_shared(
+                self.params, self.opt_state, self.counters, dev, self._hp))
         self.step += 1
         return metrics
 
@@ -328,8 +354,7 @@ def train_hparam_sweep(
             arrays = next(it)
         x = np.asarray(arrays[0], np.float32)
         for k, tr in trainers.items():
-            stacked = np.broadcast_to(x, (tr.n_models, *x.shape))
-            m = tr.train_step(stacked)
+            m = tr.train_step_shared(x)
             if verbose and (step + 1) % 10 == 0:
                 last[str(k)] = np.asarray(
                     jax.device_get(m["loss"])).tolist()

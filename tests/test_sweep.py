@@ -93,7 +93,8 @@ def test_hparam_sweep_l1_matches_independent_trainers():
                             scheduler="cosine", lr=1e-3, steps=5, amp=False,
                             model_hparams=hps)
     for x in batches:
-        m = sweep.train_step(np.broadcast_to(x, (3, *x.shape)))
+        # the grid path: ONE batch feeds all K models (in_axes=None)
+        m = sweep.train_step_shared(x)
 
     for i, hp in enumerate(hps):
         solo = SAETrainer(
