@@ -57,24 +57,46 @@ class DeviceShuffleCache:
         seed: int = 0,
         subset_size: Optional[int] = None,
         start_step: int = 0,
+        process_shard: Optional[tuple] = None,
     ):
         """``start_step``: fold the resume position into the sampling PRNGs.
         The cache is a uniform sampler with timing-dependent background
         refresh — exact stream replay is impossible by construction — but a
         resumed run must at least not RE-ISSUE the start-of-run sample
         sequence it already trained on (the mmap loader path keeps exact
-        data-order determinism; this path trades it for device residency)."""
+        data-order determinism; this path trades it for device residency).
+
+        ``process_shard=(i, n)``: the pod mode — this host caches and
+        samples only its strided file stratum (every n-th store row starting
+        at i), with per-host-decorrelated PRNGs; the global batch is the
+        union of per-host stratum samples (assembled by the trainer's
+        host_local path). Each host's HBM, disk reads, and refresh traffic
+        stay constant as the pod grows."""
         self.loader = MemoryMappedActivationLoader(
             data_path, layer_name, batch_size=max(refresh_files, 1),
             subset_size=subset_size, shuffle=True, drop_last=False, seed=seed,
         )
         if self.loader.activation_type != "tensor":
             raise ValueError("device cache supports dense activation stores")
-        n = self.loader.dataset_length
+        n_store = self.loader.dataset_length
+        if process_shard is not None:
+            pi, pc = process_shard
+            if not (0 <= pi < pc):
+                raise ValueError(f"bad process_shard {process_shard}")
+            self._files = np.arange(n_store)[pi::pc]
+            seed_tuple = (seed, start_step, pi)
+            key_base = jax.random.fold_in(jax.random.PRNGKey(seed), pi)
+        else:
+            self._files = np.arange(n_store)
+            seed_tuple = (seed, start_step)
+            key_base = jax.random.PRNGKey(seed)
+        n = len(self._files)
+        if n == 0:
+            raise ValueError("device cache shard holds no files")
         self.capacity = min(capacity_files, n)
         self.refresh_files = refresh_files if n > self.capacity else 0
-        self._rng = np.random.default_rng((seed, start_step))
-        self._key = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
+        self._rng = np.random.default_rng(seed_tuple)
+        self._key = jax.random.fold_in(key_base, start_step)
 
         reader = self.loader.reader
         # fill from the head of the SHUFFLE ORDER, not store order: a
@@ -83,7 +105,8 @@ class DeviceShuffleCache:
         # capacity into this order) would skip a random non-resident subset
         # for a whole epoch
         self._order0 = self._rng.permutation(n)
-        first = reader.batch(np.sort(self._order0[: self.capacity]))[0]
+        first = reader.batch(
+            np.sort(self._files[self._order0[: self.capacity]]))[0]
         self.cache = jax.device_put(np.asarray(first, np.float32))
 
         self._q: queue.Queue = queue.Queue(maxsize=2)
@@ -98,7 +121,7 @@ class DeviceShuffleCache:
     def _producer(self):
         try:
             reader = self.loader.reader
-            n = self.loader.dataset_length
+            n = len(self._files)
             # continue the SAME permutation the initial fill consumed —
             # cursor starts right after the resident files
             cursor = self.capacity
@@ -111,7 +134,7 @@ class DeviceShuffleCache:
                         cursor = 0
                     take.append(order[cursor])
                     cursor += 1
-                rows = reader.batch(np.asarray(take))[0]
+                rows = reader.batch(self._files[np.asarray(take)])[0]
                 slots = self._rng.integers(0, self.capacity, self.refresh_files)
                 item = (np.asarray(rows, np.float32), slots)
                 while not self._stop.is_set():

@@ -133,10 +133,12 @@ def put_host_batch(mesh: Mesh, local_batch):
     multiplies host IO and memory by the process count.
 
     On a single-process mesh this is exactly ``put_batch`` (the local shard
-    IS the global batch)."""
+    IS the global batch). Device-resident local batches (the pod device
+    cache's samples) pass through WITHOUT a host round-trip."""
     if not is_multiprocess(mesh):
         return put_batch(mesh, local_batch)
-    local_batch = np.asarray(local_batch)
+    if not isinstance(local_batch, jax.Array):
+        local_batch = np.asarray(local_batch)
     return jax.make_array_from_process_local_data(
         batch_sharding(mesh, local_batch.ndim), local_batch)
 

@@ -566,10 +566,6 @@ def train(
                 "multi-host training requires a collected store "
                 "(from_disk); fly-mode pod training is not supported — "
                 "collect with data_parallel + per-host shards first")
-        if device_cache_files:
-            raise SystemExit(
-                "device_cache_files is a single-host feature; the pod "
-                "input path streams per-host mmap slices instead")
         host_bounds = mesh_lib.host_shard_bounds(batch_size, the_mesh)
 
     loader, feat_dim, dset_len = init_dataloader(
@@ -658,15 +654,30 @@ def train(
     if device_cache_files and from_disk:
         from ..data.device_cache import DeviceShuffleCache
 
+        # pod mode: each host caches + samples its own strided file
+        # stratum; the per-host samples assemble into the global batch via
+        # the host_local path (device arrays pass through put_host_batch
+        # without a host round-trip)
         cache = DeviceShuffleCache(
             train_folder, layer_name, device_cache_files, seed=seed,
             start_step=trainer.step,
+            process_shard=((jax.process_index(), jax.process_count())
+                           if multihost else None),
         )
+
+    cache_batch = batch_size
+    if multihost and cache is not None:
+        pc = jax.process_count()
+        if batch_size % pc:
+            raise SystemExit(
+                f"batch_size {batch_size} must divide by the process "
+                f"count {pc} for pod device-cache training")
+        cache_batch = batch_size // pc
 
     def batch_stream():
         if cache is not None:
             while True:
-                yield cache.next_batch(batch_size)
+                yield cache.next_batch(cache_batch)
         while True:
             for b in _prefetch(iter(loader)):
                 yield np.asarray(b[0], np.float32)

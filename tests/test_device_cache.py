@@ -38,6 +38,33 @@ def test_sample_shapes_and_provenance(store):
         cache.close()
 
 
+def test_process_shard_strata_are_disjoint(store):
+    """Pod mode: each host's cache holds only its strided file stratum —
+    samples carry only that stratum's tags, and the two hosts' strata
+    partition the store."""
+    path, data = store
+    caches = [DeviceShuffleCache(str(path), "L", capacity_files=10,
+                                 refresh_files=2, process_shard=(i, 2))
+              for i in range(2)]
+    try:
+        seen = []
+        for i, cache in enumerate(caches):
+            np.testing.assert_array_equal(cache._files,
+                                          np.arange(20)[i::2])
+            tags = {int(t) for _ in range(6)
+                    for t in np.asarray(cache.next_batch(4))[:, 0, 0]}
+            assert tags <= set(range(i, 20, 2)), (i, tags)
+            seen.append(tags)
+        # decorrelated PRNGs: the two hosts draw different index sequences
+        assert seen[0].isdisjoint(seen[1])
+    finally:
+        for c in caches:
+            c.close()
+    with pytest.raises(ValueError, match="bad process_shard"):
+        DeviceShuffleCache(str(path), "L", capacity_files=4,
+                           process_shard=(2, 2))
+
+
 def test_refresh_brings_new_files(store):
     path, data = store
     cache = DeviceShuffleCache(str(path), "L", capacity_files=4, refresh_files=4)

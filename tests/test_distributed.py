@@ -81,6 +81,25 @@ import glob
 ckpts = sorted(os.path.basename(p)
                for p in glob.glob(run_dir + "/checkpoints/*.pth"))
 
+# pod device-cache mode: per-host strided stratum caches, device-resident
+# samples assembled host-locally; stream is stochastic by construction, so
+# this pins "runs + finite + process-0-only artifacts", not equality
+stats_c = train(
+    seed=7, train_folder=store_dir, val_folder=store_dir,
+    run_dir=run_dir + "_cache", lr=1e-3, weight_decay=0.0, steps=4,
+    clip_thresh=1.0, batch_size=4, log_tb_every=100, save_every=100,
+    val_every=100,
+    whisper_config={"layer_name": "encoder.blocks.1", "model": "test:tiny"},
+    optimizer="adam", scheduler="linear",
+    scheduler_params={"num_warmup_steps": 1},
+    autoencoder_variant="l1",
+    autoencoder_config={"expansion_factor": 2, "recon_alpha": 2.0},
+    from_disk=True, enable_transcripts=False, verbose=False, mesh=mesh,
+    device_cache_files=2,
+)
+cache_ckpts = sorted(os.path.basename(p) for p in
+                     glob.glob(run_dir + "_cache/checkpoints/*.pth"))
+
 print("DISTJSON " + json.dumps({
     "pid": pid,
     "param_sum": param_sum,
@@ -90,6 +109,8 @@ print("DISTJSON " + json.dumps({
     "files": [str(f) for f in files],
     "train_steps": stats["steps"],
     "ckpts": ckpts,
+    "cache_steps": stats_c["steps"],
+    "cache_ckpts": cache_ckpts,
 }), flush=True)
 '''
 
@@ -202,6 +223,10 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["train_steps"] == results[1]["train_steps"] == 6
     assert "step6.pth" in results[0]["ckpts"]
     assert results[1]["ckpts"] == []
+    # pod device-cache mode ran its 4 steps with process-0-only artifacts
+    assert results[0]["cache_steps"] == results[1]["cache_steps"] == 4
+    assert "step4.pth" in results[0]["cache_ckpts"]
+    assert results[1]["cache_ckpts"] == []
     # ...and the per-host-sliced pod run equals a single-process run of the
     # SAME recipe over an identically-shaped (4-way data) mesh
     from freud_tpu.train.trainer import train as train_fn
