@@ -222,6 +222,70 @@ def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict
     )
 
 
+def bench_sae_train_cached(batch: int = 100, chunks: int = 20,
+                           fused: int = 10, warmup: int = 2,
+                           n_files: int = 128, capacity: int = 64) -> dict:
+    """tiny_l1 recipe through the PRODUCTION input path: a device shuffle
+    cache over a real on-disk store, sampled + stepped inside the fused
+    multi-step program (SAETrainer.train_chunk — one dispatch per ``fused``
+    steps, background refresh live). The per-step through-cache rate is
+    reported alongside: the delta is pure host-dispatch overhead, which the
+    fused program amortizes ``fused``× (ROADMAP round-3: 148 steps/s
+    through-cache vs ~505 pure-step on the tunneled chip)."""
+    from freud_tpu.data.device_cache import DeviceShuffleCache
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.train.trainer import SAETrainer
+
+    d_in, T = 384, 1500
+    tmp = tempfile.mkdtemp(prefix="freud_bench_cache_")
+    try:
+        rng = np.random.default_rng(0)
+        w = ActivationStoreWriter(tmp, "encoder.blocks.2", (T, d_in), (T, d_in))
+        for i in range(0, n_files, 16):
+            n = min(16, n_files - i)
+            w.append_batch(
+                [f"f{i + j}.wav" for j in range(n)],
+                rng.standard_normal((n, T, d_in)).astype(np.float32))
+        w.close()
+
+        trainer = SAETrainer(
+            "l1", {"n_dict_components": 200, "recon_alpha": 1e4}, d_in,
+            optimizer="radam", scheduler="cosine", lr=4e-4, steps=100_000,
+            clip_thresh=1.0,
+        )
+        cache = DeviceShuffleCache(tmp, "encoder.blocks.2", capacity)
+        try:
+            for _ in range(warmup):
+                m = trainer.train_chunk(cache, batch, fused)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(chunks):
+                m = trainer.train_chunk(cache, batch, fused)
+            float(m["loss"])
+            fused_elapsed = time.perf_counter() - t0
+            # per-step comparison over the same number of steps
+            for _ in range(fused):  # warm the sample+step dispatch pair
+                trainer.train_step(cache.next_batch(batch))
+            t0 = time.perf_counter()
+            for _ in range(chunks * fused):
+                m = trainer.train_step(cache.next_batch(batch))
+            float(m["loss"])
+            step_elapsed = time.perf_counter() - t0
+        finally:
+            cache.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_steps = chunks * fused
+    step_flops = flops_mod.sae_l1_step_flops(batch * T, d_in,
+                                             trainer.n_dict_components)
+    return {
+        "steps_per_sec_fused": n_steps / fused_elapsed,
+        "steps_per_sec_per_step": n_steps / step_elapsed,
+        "fused": fused,
+        "mfu_pct": _mfu(n_steps * step_flops, fused_elapsed),
+    }
+
+
 def bench_topk_train(batch: int = 50, iters: int = 60, warmup: int = 3) -> dict:
     """tiny_topk recipe: expansion 16 (dict 6144), k 32, AuxK live."""
     return _bench_train(
@@ -352,6 +416,16 @@ def main():
         extras["serving_early_exit_demo_mean_tokens"] = round(
             demo["mean_tokens"], 1)
     except Exception:  # the headline metrics must never die on the extra rows
+        pass
+    try:
+        cached = bench_sae_train_cached()
+        extras["tiny_l1_cached_fused_steps_per_sec"] = round(
+            cached["steps_per_sec_fused"], 2)
+        extras["tiny_l1_cached_per_step_steps_per_sec"] = round(
+            cached["steps_per_sec_per_step"], 2)
+        extras["tiny_l1_cached_fused_chunk"] = cached["fused"]
+        extras["tiny_l1_cached_mfu_pct"] = cached["mfu_pct"]
+    except Exception:
         pass
     try:
         e2e = bench_collection_e2e()

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .loaders import MemoryMappedActivationLoader
+from ..parallel import mesh as mesh_lib
 
 
 @partial(jax.jit, static_argnames=("batch",), donate_argnums=())
@@ -58,6 +59,7 @@ class DeviceShuffleCache:
         subset_size: Optional[int] = None,
         start_step: int = 0,
         process_shard: Optional[tuple] = None,
+        mesh=None,
     ):
         """``start_step``: fold the resume position into the sampling PRNGs.
         The cache is a uniform sampler with timing-dependent background
@@ -71,7 +73,17 @@ class DeviceShuffleCache:
         at i), with per-host-decorrelated PRNGs; the global batch is the
         union of per-host stratum samples (assembled by the trainer's
         host_local path). Each host's HBM, disk reads, and refresh traffic
-        stay constant as the pod grows."""
+        stay constant as the pod grows.
+
+        ``mesh``: a multi-device mesh places the cache (and refresh rows /
+        PRNG key) REPLICATED over it so the trainer's fused multi-step
+        program can consume the cache directly — a single-device placement
+        would mix shardings inside that jit. Single-device meshes keep the
+        plain placement."""
+        self._put = jnp.asarray
+        if mesh is not None and mesh.size > 1 and not mesh_lib.is_multiprocess(mesh):
+            sharding = mesh_lib.replicated(mesh)
+            self._put = lambda a: jax.device_put(a, sharding)
         self.loader = MemoryMappedActivationLoader(
             data_path, layer_name, batch_size=max(refresh_files, 1),
             subset_size=subset_size, shuffle=True, drop_last=False, seed=seed,
@@ -107,7 +119,8 @@ class DeviceShuffleCache:
         self._order0 = self._rng.permutation(n)
         first = reader.batch(
             np.sort(self._files[self._order0[: self.capacity]]))[0]
-        self.cache = jax.device_put(np.asarray(first, np.float32))
+        self.cache = self._put(np.asarray(first, np.float32))
+        self._key = self._put(self._key)
 
         self._q: queue.Queue = queue.Queue(maxsize=2)
         self._stop = threading.Event()
@@ -136,7 +149,14 @@ class DeviceShuffleCache:
                     cursor += 1
                 rows = reader.batch(self._files[np.asarray(take)])[0]
                 slots = self._rng.integers(0, self.capacity, self.refresh_files)
-                item = (np.asarray(rows, np.float32), slots)
+                # device_put HERE, on the producer thread: the H2D upload
+                # (tens of MB per refresh) overlaps training instead of
+                # blocking the consumer's next sample — on slow links a
+                # consumer-side upload was ~1 s per application, collapsing
+                # the through-cache step rate to the link rate. The queue
+                # bound (2) caps in-flight device-side staging buffers.
+                item = (self._put(np.asarray(rows, np.float32)),
+                        self._put(slots))
                 while not self._stop.is_set():
                     # retry the SAME item: dropping it on a full queue would
                     # busy-loop on wasted disk reads and skip these files'
@@ -150,20 +170,35 @@ class DeviceShuffleCache:
             self._error = e         # a silently dead refresher would freeze
             return                  # the shuffle window for the whole run
 
-    def next_batch(self, batch_size: int) -> jnp.ndarray:
-        """On-device (batch, T, d) sample; applies any pending refresh first."""
+    def _apply_pending_refresh(self) -> None:
         if self._error is not None:
             raise RuntimeError("device-cache refresh thread died") from self._error
         if self._thread is not None:
             try:
-                rows, slots = self._q.get_nowait()
-                self.cache = _refresh(
-                    self.cache, jnp.asarray(rows), jnp.asarray(slots)
-                )
+                rows, slots = self._q.get_nowait()  # already device-resident
+                self.cache = _refresh(self.cache, rows, slots)
             except queue.Empty:
                 pass
+
+    def next_batch(self, batch_size: int) -> jnp.ndarray:
+        """On-device (batch, T, d) sample; applies any pending refresh first."""
+        self._apply_pending_refresh()
         out, self._key = _sample(self.cache, self._key, batch_size)
         return out
+
+    def sample_state(self):
+        """(cache, key) for an externally-jitted sampler — the trainer's
+        fused multi-step program draws batches INSIDE its scan with the
+        same split/randint/take sequence as ``next_batch``. Applies any
+        pending refresh first (refresh lands at chunk boundaries instead of
+        step boundaries — the refresh stream is timing-dependent either
+        way). The caller owns key advancement and must hand the advanced
+        key back via ``set_key``."""
+        self._apply_pending_refresh()
+        return self.cache, self._key
+
+    def set_key(self, key) -> None:
+        self._key = key
 
     def close(self):
         self._stop.set()

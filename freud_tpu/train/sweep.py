@@ -208,6 +208,8 @@ class SAESweepTrainer:
                 )
                 return params, opt_state, counter, {"loss": loss, "fvu": out["fvu"]}
 
+        self._one = one
+        self._chunk_fns: dict = {}
         self._step = jax.jit(jax.vmap(one), donate_argnums=(0, 1, 2))
         # shared-batch variant: ONE (B, T, d) batch feeds every model
         # (batch in_axes=None — no K× host copy, no K× transfer; the
@@ -259,6 +261,57 @@ class SAESweepTrainer:
                 self.params, self.opt_state, self.counters, dev, self._hp))
         self.step += 1
         return metrics
+
+    def _build_chunk_shared(self, n_steps: int, batch_size: int):
+        from ..parallel import mesh as mesh_lib
+
+        one, mesh = self._one, self.mesh
+        constrain = (
+            mesh is not None and mesh.size > 1
+            and batch_size % mesh.shape[mesh_lib.DATA_AXIS] == 0
+        )
+        vstep = jax.vmap(one, in_axes=(0, 0, 0, None, 0))
+
+        def chunk_fn(params, opt_state, counters, cache, key, hp):
+            def body(carry, _):
+                params, opt_state, counters, key = carry
+                key, sub = jax.random.split(key)
+                idx = jax.random.randint(sub, (batch_size,), 0, cache.shape[0])
+                x = jnp.take(cache, idx, axis=0)
+                if constrain:
+                    x = jax.lax.with_sharding_constraint(
+                        x, mesh_lib.batch_sharding(mesh, x.ndim))
+                params, opt_state, counters, metrics = vstep(
+                    params, opt_state, counters, x, hp)
+                return (params, opt_state, counters, key), metrics
+
+            (params, opt_state, counters, key), ms = jax.lax.scan(
+                body, (params, opt_state, counters, key), xs=None,
+                length=n_steps)
+            last = jax.tree_util.tree_map(lambda m: m[-1], ms)
+            return params, opt_state, counters, key, last
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
+
+    def train_chunk_shared(self, cache_state, batch_size: int,
+                           n_steps: int) -> tuple:
+        """``n_steps`` fused shared-batch steps sampling from a device
+        shuffle cache INSIDE one scanned program (the same split/randint/
+        take stream as ``DeviceShuffleCache.next_batch``). ``cache_state``
+        is the ``(cache, key)`` pair from ``cache.sample_state()`` — the
+        grid driver snapshots it ONCE per chunk so every k-group trains on
+        the identical stream, then hands the returned key back via
+        ``cache.set_key``. Returns ``(last-step metrics, advanced key)``."""
+        fn = self._chunk_fns.get((n_steps, batch_size))
+        if fn is None:
+            fn = self._chunk_fns[(n_steps, batch_size)] = (
+                self._build_chunk_shared(n_steps, batch_size))
+        cache_arr, key = cache_state
+        (self.params, self.opt_state, self.counters, key, metrics) = fn(
+            self.params, self.opt_state, self.counters, cache_arr, key,
+            self._hp)
+        self.step += n_steps
+        return metrics, key
 
     def save_all(self, out_dir: str, layer_names: Sequence[str], hparams: dict) -> None:
         """One reference-format checkpoint per layer."""
@@ -312,6 +365,8 @@ def train_hparam_sweep(
     scheduler_params: Optional[dict] = None,
     seed: int = 0,
     verbose: bool = True,
+    device_cache_files: int = 0,
+    fused_steps: int = 10,
 ) -> dict:
     """Hyperparameter-grid sweep over ONE layer store: every grid point is a
     model in a vmapped trainer, all fed the SAME batch stream (one mmap read
@@ -319,6 +374,11 @@ def train_hparam_sweep(
     group by k — one compiled vmapped program per k value; lr / recon_alpha /
     auxk_alpha vary as traced per-model scalars inside each program.
     Checkpoints land at ``<out_dir>/<hparam-tag>.pth`` (reference format).
+
+    ``device_cache_files > 0`` feeds the sweep from a device shuffle cache
+    with ``fused_steps`` steps fused per dispatch (train_chunk_shared);
+    every k-group consumes the identical sampled stream (the cache key is
+    snapshotted per chunk and advanced once).
     """
     combos = expand_grid(grid)
     groups: dict[object, list[dict]] = {}
@@ -343,24 +403,57 @@ def train_hparam_sweep(
         for k, hps in groups.items()
     }
 
-    it = _prefetch(iter(loader))
     last = {}
     step = 0
-    while step < steps:
+    if device_cache_files:
+        from ..data.device_cache import DeviceShuffleCache
+
+        fused = max(int(fused_steps), 1)
+        cache = DeviceShuffleCache(
+            data_path, layer_name, device_cache_files, seed=seed)
         try:
-            arrays = next(it)
-        except StopIteration:
-            it = _prefetch(iter(loader))
-            arrays = next(it)
-        x = np.asarray(arrays[0], np.float32)
-        for k, tr in trainers.items():
-            m = tr.train_step_shared(x)
-            if verbose and (step + 1) % 10 == 0:
-                last[str(k)] = np.asarray(
-                    jax.device_get(m["loss"])).tolist()
-        step += 1
-        if verbose and step % 10 == 0:
-            print(f"hparam sweep step {step}: loss {last}")
+            while step < steps:
+                if steps - step >= fused and fused > 1:
+                    state = cache.sample_state()
+                    for k, tr in trainers.items():
+                        m, new_key = tr.train_chunk_shared(
+                            state, batch_size, fused)
+                        if verbose:
+                            last[str(k)] = np.asarray(
+                                jax.device_get(m["loss"])).tolist()
+                    cache.set_key(new_key)
+                    step += fused
+                else:
+                    # tail shorter than a chunk: per-step (a tail-sized
+                    # chunk would compile a fresh program per k-group)
+                    x = cache.next_batch(batch_size)
+                    for k, tr in trainers.items():
+                        m = tr.train_step_shared(np.asarray(x))
+                        if verbose:
+                            last[str(k)] = np.asarray(
+                                jax.device_get(m["loss"])).tolist()
+                    step += 1
+                if verbose:
+                    print(f"hparam sweep step {step}: loss {last}")
+        finally:
+            cache.close()
+    else:
+        it = _prefetch(iter(loader))
+        while step < steps:
+            try:
+                arrays = next(it)
+            except StopIteration:
+                it = _prefetch(iter(loader))
+                arrays = next(it)
+            x = np.asarray(arrays[0], np.float32)
+            for k, tr in trainers.items():
+                m = tr.train_step_shared(x)
+                if verbose and (step + 1) % 10 == 0:
+                    last[str(k)] = np.asarray(
+                        jax.device_get(m["loss"])).tolist()
+            step += 1
+            if verbose and step % 10 == 0:
+                print(f"hparam sweep step {step}: loss {last}")
     from ..models.sae.serialize import save_checkpoint
 
     out = Path(out_dir)

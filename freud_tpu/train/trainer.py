@@ -163,12 +163,14 @@ class SAETrainer:
             ),
         )
 
-        self._train_step = self._build_train_step()
+        self._step_fn = self._build_step_fn()
+        self._train_step = jax.jit(self._step_fn, donate_argnums=(0, 1, 2))
+        self._chunk_fns: dict = {}
         self._val_step = self._build_val_step()
 
     # ------------------------------------------------------------- compile
 
-    def _build_train_step(self):
+    def _build_step_fn(self):
         cfg, tx, variant = self.cfg, self.tx, self.variant
         threshold = self.dead_feature_threshold
         # bf16 matmuls in the train step — the analogue of the reference's
@@ -228,7 +230,50 @@ class SAETrainer:
                 }
                 return params, opt_state, counter, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        return step_fn
+
+    def _build_train_chunk(self, n_steps: int, batch_size: int):
+        """ONE compiled program running ``n_steps`` train steps with the
+        batch sampled from a device-resident cache INSIDE a ``lax.scan`` —
+        the per-step host dispatch (the floor of the through-cache rate on
+        slow-dispatch backends; ROADMAP round-3 cadence fixes) is paid once
+        per chunk. The sample is the same split/randint/take sequence as
+        ``device_cache._sample``, chained through the scan carry, so the
+        fused path draws the identical batch stream as per-step training."""
+        step_fn = self._step_fn
+        mesh = self.mesh
+        constrain = (
+            mesh is not None and mesh.size > 1
+            and batch_size % mesh.shape[mesh_lib.DATA_AXIS] == 0
+        )
+
+        def chunk_fn(params, opt_state, counter, cache, key):
+            def body(carry, _):
+                params, opt_state, counter, key = carry
+                key, sub = jax.random.split(key)
+                idx = jax.random.randint(sub, (batch_size,), 0, cache.shape[0])
+                x = jnp.take(cache, idx, axis=0)
+                if constrain:
+                    # keep the step data-parallel: the gather from the
+                    # replicated cache is local-per-device, the constraint
+                    # splits the batch over the data axis exactly as
+                    # put_batch does on the per-step path
+                    x = jax.lax.with_sharding_constraint(
+                        x, mesh_lib.batch_sharding(mesh, x.ndim))
+                params, opt_state, counter, metrics = step_fn(
+                    params, opt_state, counter, x)
+                return (params, opt_state, counter, key), metrics
+
+            (params, opt_state, counter, key), ms = jax.lax.scan(
+                body, (params, opt_state, counter, key), xs=None,
+                length=n_steps)
+            # only the LAST step's metrics can feed a log event (events
+            # land on chunk boundaries by construction); returning the
+            # full (n_steps,) stack would D2H n× the bytes for nothing
+            last = jax.tree_util.tree_map(lambda m: m[-1], ms)
+            return params, opt_state, counter, key, last
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
 
     def _build_val_step(self):
         cfg, variant = self.cfg, self.variant
@@ -316,6 +361,24 @@ class SAETrainer:
             )
         )
         self.step += 1
+        return metrics
+
+    def train_chunk(self, cache, batch_size: int, n_steps: int) -> dict:
+        """Run ``n_steps`` fused train steps sampling from a
+        ``DeviceShuffleCache`` in ONE device dispatch (see
+        ``_build_train_chunk``). Background cache refresh applies at chunk
+        boundaries. Returns the last step's metrics."""
+        fn = self._chunk_fns.get((n_steps, batch_size))
+        if fn is None:
+            fn = self._chunk_fns[(n_steps, batch_size)] = (
+                self._build_train_chunk(n_steps, batch_size))
+        cache_arr, rng = cache.sample_state()
+        (self.params, self.opt_state, self.num_frames_since_fired, rng,
+         metrics) = fn(
+            self.params, self.opt_state, self.num_frames_since_fired,
+            cache_arr, rng)
+        cache.set_key(rng)
+        self.step += n_steps
         return metrics
 
     def current_lr(self) -> float:
@@ -540,11 +603,20 @@ def train(
     max_transcript_tokens: int = 224,
     verbose: bool = True,
     device_cache_files: int = 0,
+    fused_steps: Optional[int] = None,
 ) -> dict:
     """``device_cache_files > 0`` (with ``from_disk``) trains from a
     device-resident shuffle cache of that many files — batches become
     on-device gathers with background refresh instead of per-step H2D
-    transfers (freud_tpu.data.device_cache)."""
+    transfers (freud_tpu.data.device_cache).
+
+    ``fused_steps``: chunk size of the fused multi-step program (cache
+    sampling + train step scanned on device, one dispatch per chunk —
+    SAETrainer.train_chunk). ``None`` auto-picks the gcd of the logging /
+    checkpoint / validation cadences so every event still lands on a chunk
+    boundary; ``0``/``1`` disables fusion; an explicit value must divide
+    all three cadences. Only active on the single-process device-cache
+    path."""
     set_seeds(seed)
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
@@ -663,7 +735,25 @@ def train(
             start_step=trainer.step,
             process_shard=((jax.process_index(), jax.process_count())
                            if multihost else None),
+            mesh=the_mesh,
         )
+
+    fused = 0
+    if cache is not None and not multihost:
+        import math
+
+        auto = math.gcd(math.gcd(log_tb_every, save_every), val_every)
+        if fused_steps is None:
+            fused = auto if auto > 1 else 0
+        elif fused_steps and fused_steps > 1:
+            for name, cadence in (("log_tb_every", log_tb_every),
+                                  ("save_every", save_every),
+                                  ("val_every", val_every)):
+                if cadence % fused_steps:
+                    raise ValueError(
+                        f"fused_steps={fused_steps} must divide {name}="
+                        f"{cadence} (events must land on chunk boundaries)")
+            fused = fused_steps
 
     cache_batch = batch_size
     if multihost and cache is not None:
@@ -682,10 +772,21 @@ def train(
             for b in _prefetch(iter(loader)):
                 yield np.asarray(b[0], np.float32)
 
+    stream = batch_stream()
     try:
-        for x in batch_stream():
-            with profiling.span("train_step"):
-                metrics = trainer.train_step(x, host_local=multihost)
+        while trainer.step < steps:
+            if (fused and trainer.step % fused == 0
+                    and steps - trainer.step >= fused):
+                # fused path: sampling + `fused` steps in one dispatch;
+                # resume from a non-aligned checkpoint step runs per-step
+                # until a chunk boundary, the tail (< fused steps) runs
+                # per-step too
+                with profiling.span("train_chunk"):
+                    metrics = trainer.train_chunk(cache, cache_batch, fused)
+            else:
+                x = next(stream)
+                with profiling.span("train_step"):
+                    metrics = trainer.train_step(x, host_local=multihost)
 
             if trainer.step % log_tb_every == 0:
                 # ONE batched fetch (device_get issues every copy async
@@ -772,9 +873,6 @@ def train(
                 if save_loss is not None and save_loss < trainer.best_val_loss:
                     trainer.best_val_loss = float(save_loss)
                     trainer.save(str(ckpt_dir / "bestval.pth"), hparam_dict)
-
-            if trainer.step >= steps:
-                break
 
     finally:
         # exception-safe: a failed run must not leak the refresh

@@ -80,6 +80,79 @@ def test_refresh_brings_new_files(store):
         cache.close()
 
 
+@pytest.mark.parametrize("variant,cfg", [
+    ("l1", {"n_dict_components": 8, "recon_alpha": 1.0}),
+    ("topk", {"expansion_factor": 2, "k": 2}),
+])
+def test_fused_chunk_matches_per_step(store, variant, cfg):
+    """The fused multi-step program (lax.scan over sample+step) draws the
+    SAME batch stream as per-step next_batch/train_step and lands on the
+    same parameters: the chunk body chains the identical split/randint/take
+    sequence through the scan carry."""
+    import jax
+    from freud_tpu.train.trainer import SAETrainer
+
+    path, _ = store
+
+    def run(chunked):
+        trainer = SAETrainer(
+            variant, cfg, 6, optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1}, lr=1e-3, steps=12,
+            seed=3,
+        )
+        cache = DeviceShuffleCache(str(path), "L", capacity_files=20,
+                                   refresh_files=0, seed=7)
+        try:
+            if chunked:
+                for _ in range(2):
+                    metrics = trainer.train_chunk(cache, 8, 3)
+            else:
+                for _ in range(6):
+                    metrics = trainer.train_step(
+                        np.asarray(cache.next_batch(8)))
+            assert trainer.step == 6
+            return (jax.device_get(trainer.params),
+                    np.asarray(cache._key),
+                    jax.device_get(metrics))
+        finally:
+            cache.close()
+
+    params_a, key_a, metrics_a = run(chunked=False)
+    params_b, key_b, metrics_b = run(chunked=True)
+    # identical PRNG stream consumed
+    np.testing.assert_array_equal(key_a, key_b)
+    for pa, pb in zip(jax.tree_util.tree_leaves(params_a),
+                      jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(pa, pb, rtol=2e-5, atol=2e-6)
+    for k in metrics_a:
+        np.testing.assert_allclose(metrics_a[k], metrics_b[k],
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_train_fused_steps_validation(tmp_path, store):
+    src, _ = store
+    from freud_tpu.train.trainer import train
+
+    kwargs = dict(
+        seed=0, train_folder=str(src), val_folder=str(src),
+        run_dir=str(tmp_path / "runf"), lr=1e-3, weight_decay=0.0, steps=6,
+        clip_thresh=1.0, batch_size=4, log_tb_every=2, save_every=6,
+        val_every=6,
+        whisper_config={"model": "test:tiny", "layer_name": "L"},
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": 1},
+        autoencoder_variant="l1",
+        autoencoder_config={"n_dict_components": 8, "recon_alpha": 1.0},
+        from_disk=True, enable_transcripts=False, verbose=False,
+        device_cache_files=8,
+    )
+    # explicit fused_steps must divide every cadence
+    with pytest.raises(ValueError, match="must divide"):
+        train(**{**kwargs, "fused_steps": 4})
+    stats = train(**{**kwargs, "fused_steps": 2})
+    assert stats["steps"] == 6
+
+
 def test_train_with_device_cache(tmp_path, store):
     src, _ = store
     from freud_tpu.train.trainer import train

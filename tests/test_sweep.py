@@ -191,6 +191,75 @@ def test_train_hparam_sweep_grid_end_to_end(tmp_path):
         assert cfg.k == m["k"]  # the model's OWN grid value
 
 
+def test_sweep_fused_chunk_matches_per_step(tmp_path):
+    """train_chunk_shared (cache sampling + K steps scanned in one program)
+    lands on the same parameters as per-step next_batch + train_step_shared
+    over the identical cache stream."""
+    import jax
+    from freud_tpu.data.device_cache import DeviceShuffleCache
+
+    rng = np.random.default_rng(4)
+    layer = "encoder.blocks.0"
+    w = ActivationStoreWriter(tmp_path, layer, (6, 8), (6, 8))
+    w.append_batch([f"f{i}" for i in range(12)],
+                   rng.standard_normal((12, 6, 8)).astype(np.float32))
+    w.close()
+    hps = [{"lr": 1e-3}, {"lr": 2e-3, "recon_alpha": 25.0}]
+
+    def run(chunked):
+        sweep = SAESweepTrainer(
+            "l1", {"n_dict_components": 12, "recon_alpha": 10.0}, 8, 2,
+            optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1}, lr=1e-3, steps=12,
+            amp=False, model_hparams=hps)
+        cache = DeviceShuffleCache(str(tmp_path), layer, capacity_files=12,
+                                   refresh_files=0, seed=9)
+        try:
+            if chunked:
+                for _ in range(2):
+                    m, key = sweep.train_chunk_shared(
+                        cache.sample_state(), 4, 3)
+                    cache.set_key(key)
+            else:
+                for _ in range(6):
+                    m = sweep.train_step_shared(
+                        np.asarray(cache.next_batch(4)))
+            assert sweep.step == 6
+            return jax.device_get(sweep.params), np.asarray(cache._key)
+        finally:
+            cache.close()
+
+    params_a, key_a = run(chunked=False)
+    params_b, key_b = run(chunked=True)
+    np.testing.assert_array_equal(key_a, key_b)
+    for pa, pb in zip(jax.tree_util.tree_leaves(params_a),
+                      jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(pa, pb, rtol=2e-5, atol=2e-6)
+
+
+def test_train_hparam_sweep_cached_end_to_end(tmp_path):
+    """The grid driver's device-cache path: fused chunks + per-step tail,
+    every k-group fed the identical snapshotted stream."""
+    from freud_tpu.train.sweep import train_hparam_sweep
+
+    rng = np.random.default_rng(6)
+    layer = "encoder.blocks.0"
+    w = ActivationStoreWriter(tmp_path, layer, (6, 8), (6, 8))
+    w.append_batch([f"f{i}" for i in range(12)],
+                   rng.standard_normal((12, 6, 8)).astype(np.float32))
+    w.close()
+    stats = train_hparam_sweep(
+        str(tmp_path), layer, "topk",
+        {"expansion_factor": 2, "dead_feature_threshold": 100.0},
+        grid={"lr": [1e-3, 2e-3], "k": [2, 4]},
+        steps=5, batch_size=4, out_dir=str(tmp_path / "grid"),
+        scheduler_params={"num_warmup_steps": 1}, verbose=False,
+        device_cache_files=12, fused_steps=2,
+    )
+    # 2 chunks of 2 + a per-step tail of 1
+    assert stats["steps"] == 5 and len(stats["models"]) == 4
+
+
 def test_train_sweep_end_to_end(tmp_path):
     rng = np.random.default_rng(1)
     layers = ["encoder.blocks.0", "encoder.blocks.1"]
