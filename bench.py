@@ -222,16 +222,19 @@ def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict
     )
 
 
-def bench_sae_train_cached(batch: int = 100, chunks: int = 20,
-                           fused: int = 10, warmup: int = 2,
+def bench_sae_train_cached(batch: int = 100, chunks: int = 5,
+                           fused: int = 100, warmup: int = 2,
                            n_files: int = 128, capacity: int = 64) -> dict:
     """tiny_l1 recipe through the PRODUCTION input path: a device shuffle
     cache over a real on-disk store, sampled + stepped inside the fused
     multi-step program (SAETrainer.train_chunk — one dispatch per ``fused``
-    steps, background refresh live). The per-step through-cache rate is
-    reported alongside: the delta is pure host-dispatch overhead, which the
-    fused program amortizes ``fused``× (ROADMAP round-3: 148 steps/s
-    through-cache vs ~505 pure-step on the tunneled chip)."""
+    steps, background refresh live; ``fused=100`` is what the tiny_l1
+    recipe's auto chunk picks: gcd(save_every, val_every)). The per-step
+    through-cache rate is reported alongside: the delta is host-dispatch
+    overhead, which the fused program amortizes away (measured round 4:
+    fused≥25 plateaus at the device floor ≈3.6 ms/step — the 2 ms sample-
+    free step plus the in-scan 230 MB batch gather; per-step through-cache
+    was 148-210 steps/s across backend-drift states)."""
     from freud_tpu.data.device_cache import DeviceShuffleCache
     from freud_tpu.data.store import ActivationStoreWriter
     from freud_tpu.train.trainer import SAETrainer
@@ -257,11 +260,11 @@ def bench_sae_train_cached(batch: int = 100, chunks: int = 20,
         try:
             for _ in range(warmup):
                 m = trainer.train_chunk(cache, batch, fused)
-            float(m["loss"])
+            float(np.asarray(m["loss"])[-1])
             t0 = time.perf_counter()
             for _ in range(chunks):
                 m = trainer.train_chunk(cache, batch, fused)
-            float(m["loss"])
+            float(np.asarray(m["loss"])[-1])
             fused_elapsed = time.perf_counter() - t0
             # per-step comparison over the same number of steps
             for _ in range(fused):  # warm the sample+step dispatch pair

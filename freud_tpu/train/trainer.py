@@ -267,11 +267,11 @@ class SAETrainer:
             (params, opt_state, counter, key), ms = jax.lax.scan(
                 body, (params, opt_state, counter, key), xs=None,
                 length=n_steps)
-            # only the LAST step's metrics can feed a log event (events
-            # land on chunk boundaries by construction); returning the
-            # full (n_steps,) stack would D2H n× the bytes for nothing
-            last = jax.tree_util.tree_map(lambda m: m[-1], ms)
-            return params, opt_state, counter, key, last
+            # the FULL (n_steps,) metric stack comes back (a few scalars per
+            # step — trivial D2H): TB log events at log_tb_every need not
+            # align with chunk boundaries, the host logs interior steps from
+            # the stack, so the chunk can grow to gcd(save, val) cadences
+            return params, opt_state, counter, key, ms
 
         return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
 
@@ -367,7 +367,9 @@ class SAETrainer:
         """Run ``n_steps`` fused train steps sampling from a
         ``DeviceShuffleCache`` in ONE device dispatch (see
         ``_build_train_chunk``). Background cache refresh applies at chunk
-        boundaries. Returns the last step's metrics."""
+        boundaries. Returns the stacked per-step metrics — each value is an
+        ``(n_steps,)`` device array (row i = step ``self.step - n_steps +
+        1 + i``)."""
         fn = self._chunk_fns.get((n_steps, batch_size))
         if fn is None:
             fn = self._chunk_fns[(n_steps, batch_size)] = (
@@ -381,13 +383,14 @@ class SAETrainer:
         self.step += n_steps
         return metrics
 
-    def current_lr(self) -> float:
+    def current_lr(self, step: Optional[int] = None) -> float:
         # pure-Python evaluation (make_schedule's .host mirror of the same
         # formula): the eager optax call dispatched its ops one by one
         # (~0.3 s per call on tunneled backends), taxing every 10th step at
         # the reference's log_tb_every=10 cadence; even one jitted device
-        # call still pays a fetch round-trip per log
-        count = max(self.step - 1, 0)
+        # call still pays a fetch round-trip per log. ``step`` overrides the
+        # trainer's position (fused chunks log interior steps post hoc).
+        count = max((self.step if step is None else step) - 1, 0)
         host = getattr(self.schedule, "host", None)
         if host is not None:
             return float(host(count))
@@ -612,11 +615,12 @@ def train(
 
     ``fused_steps``: chunk size of the fused multi-step program (cache
     sampling + train step scanned on device, one dispatch per chunk —
-    SAETrainer.train_chunk). ``None`` auto-picks the gcd of the logging /
-    checkpoint / validation cadences so every event still lands on a chunk
-    boundary; ``0``/``1`` disables fusion; an explicit value must divide
-    all three cadences. Only active on the single-process device-cache
-    path."""
+    SAETrainer.train_chunk). ``None`` auto-picks gcd(save_every, val_every)
+    capped at 100 — checkpoint/validation events must land on chunk
+    boundaries; TB logging needs no alignment (interior steps log from the
+    chunk's per-step metric stack). ``0``/``1`` disables fusion; an
+    explicit value must divide save_every and val_every. Only active on
+    the single-process device-cache path."""
     set_seeds(seed)
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
@@ -742,17 +746,22 @@ def train(
     if cache is not None and not multihost:
         import math
 
-        auto = math.gcd(math.gcd(log_tb_every, save_every), val_every)
+        # log events need no chunk alignment (the chunk returns the full
+        # per-step metric stack and interior steps are logged from it);
+        # save/val DO — they run host code against the trainer state. The
+        # auto chunk is capped: scan length directly scales program size /
+        # compile time, and past ~100 the dispatch is fully amortized.
+        auto = min(math.gcd(save_every, val_every), 100)
         if fused_steps is None:
             fused = auto if auto > 1 else 0
         elif fused_steps and fused_steps > 1:
-            for name, cadence in (("log_tb_every", log_tb_every),
-                                  ("save_every", save_every),
+            for name, cadence in (("save_every", save_every),
                                   ("val_every", val_every)):
                 if cadence % fused_steps:
                     raise ValueError(
                         f"fused_steps={fused_steps} must divide {name}="
-                        f"{cadence} (events must land on chunk boundaries)")
+                        f"{cadence} (checkpoint/validation events must land "
+                        "on chunk boundaries)")
             fused = fused_steps
 
     cache_batch = batch_size
@@ -772,6 +781,20 @@ def train(
             for b in _prefetch(iter(loader)):
                 yield np.asarray(b[0], np.float32)
 
+    def log_train(m: dict, step: int) -> None:
+        tb.add_scalar("train/loss", m["loss"], step)
+        if autoencoder_variant == "l1":
+            tb.add_scalar("train/loss_recon", m["loss_recon"], step)
+            tb.add_scalar("train/loss_l1", m["loss_l1"], step)
+        else:
+            tb.add_scalar("train/fvu", m["fvu"], step)
+            tb.add_scalar("train/auxk_loss", m["auxk_loss"], step)
+            tb.add_scalar("train/multi_topk_fvu", m["multi_topk_fvu"], step)
+            tb.add_scalar("train/dead_pct", m["dead_pct"], step)
+        tb.add_scalar("train/lr", trainer.current_lr(step), step)
+        if verbose:
+            print(f"step {step}: loss {m['loss']:.4f}")
+
     stream = batch_stream()
     try:
         while trainer.step < steps:
@@ -781,32 +804,29 @@ def train(
                 # resume from a non-aligned checkpoint step runs per-step
                 # until a chunk boundary, the tail (< fused steps) runs
                 # per-step too
+                first = trainer.step + 1
                 with profiling.span("train_chunk"):
                     metrics = trainer.train_chunk(cache, cache_batch, fused)
+                log_steps = [s for s in range(first, trainer.step + 1)
+                             if s % log_tb_every == 0]
+                if log_steps:
+                    # ONE fetch of the whole (fused,) stack per chunk
+                    stack = jax.device_get(metrics)
+                    for s in log_steps:
+                        log_train({k: float(v[s - first])
+                                   for k, v in stack.items()}, s)
             else:
                 x = next(stream)
                 with profiling.span("train_step"):
                     metrics = trainer.train_step(x, host_local=multihost)
-
-            if trainer.step % log_tb_every == 0:
-                # ONE batched fetch (device_get issues every copy async
-                # before blocking) — a float(v) loop is one serial RTT
-                # per metric, which compounds at the reference's
-                # log_tb_every=10 cadence on tunneled backends
-                m = {k: float(v)
-                     for k, v in jax.device_get(metrics).items()}
-                tb.add_scalar("train/loss", m["loss"], trainer.step)
-                if autoencoder_variant == "l1":
-                    tb.add_scalar("train/loss_recon", m["loss_recon"], trainer.step)
-                    tb.add_scalar("train/loss_l1", m["loss_l1"], trainer.step)
-                else:
-                    tb.add_scalar("train/fvu", m["fvu"], trainer.step)
-                    tb.add_scalar("train/auxk_loss", m["auxk_loss"], trainer.step)
-                    tb.add_scalar("train/multi_topk_fvu", m["multi_topk_fvu"], trainer.step)
-                    tb.add_scalar("train/dead_pct", m["dead_pct"], trainer.step)
-                tb.add_scalar("train/lr", trainer.current_lr(), trainer.step)
-                if verbose:
-                    print(f"step {trainer.step}: loss {m['loss']:.4f}")
+                if trainer.step % log_tb_every == 0:
+                    # ONE batched fetch (device_get issues every copy async
+                    # before blocking) — a float(v) loop is one serial RTT
+                    # per metric, which compounds at the reference's
+                    # log_tb_every=10 cadence on tunneled backends
+                    log_train({k: float(v)
+                               for k, v in jax.device_get(metrics).items()},
+                              trainer.step)
 
             if trainer.step % save_every == 0 and is_main:
                 trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)

@@ -105,7 +105,10 @@ def test_fused_chunk_matches_per_step(store, variant, cfg):
         try:
             if chunked:
                 for _ in range(2):
-                    metrics = trainer.train_chunk(cache, 8, 3)
+                    stacked = trainer.train_chunk(cache, 8, 3)
+                # the chunk returns the per-step metric stack; the final
+                # step's row is the per-step path's final metrics
+                metrics = jax.tree_util.tree_map(lambda v: v[-1], stacked)
             else:
                 for _ in range(6):
                     metrics = trainer.train_step(
