@@ -31,13 +31,14 @@ from ..parallel import mesh as mesh_lib
 
 @partial(jax.jit, static_argnames=("batch",), donate_argnums=())
 def _sample(cache: jnp.ndarray, key, batch: int):
-    """(batch rows, advanced key) — the key advances INSIDE the program:
-    a host-side jax.random.split would be a second device dispatch per
-    train step (dispatch round-trips are the per-step floor on tunneled
-    backends; the compute itself is microseconds)."""
+    """(batch rows as f32, advanced key) — the key advances INSIDE the
+    program: a host-side jax.random.split would be a second device dispatch
+    per train step (dispatch round-trips are the per-step floor on tunneled
+    backends; the compute itself is microseconds). A reduced-precision
+    cache (cache_dtype) upcasts here — storage dtype is internal."""
     key, sub = jax.random.split(key)
     idx = jax.random.randint(sub, (batch,), 0, cache.shape[0])
-    return jnp.take(cache, idx, axis=0), key
+    return jnp.take(cache, idx, axis=0).astype(jnp.float32), key
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -60,6 +61,7 @@ class DeviceShuffleCache:
         start_step: int = 0,
         process_shard: Optional[tuple] = None,
         mesh=None,
+        cache_dtype: str = "float32",
     ):
         """``start_step``: fold the resume position into the sampling PRNGs.
         The cache is a uniform sampler with timing-dependent background
@@ -79,7 +81,19 @@ class DeviceShuffleCache:
         PRNG key) REPLICATED over it so the trainer's fused multi-step
         program can consume the cache directly — a single-device placement
         would mix shardings inside that jit. Single-device meshes keep the
-        plain placement."""
+        plain placement.
+
+        ``cache_dtype="bfloat16"`` stores the resident window in bf16:
+        2× the file capacity per byte of HBM, half the refresh upload and
+        half the per-step gather traffic (the measured fused-chunk floor is
+        step + gather). Samples upcast to f32 on the way out; with amp
+        training (the default) the matmuls round inputs to bf16 anyway, so
+        only the f32 loss targets see the rounding."""
+        if cache_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"cache_dtype must be float32 or bfloat16, got {cache_dtype}")
+        self._host_dtype = np.dtype(
+            np.float32 if cache_dtype == "float32" else jnp.bfloat16)
         self._put = jnp.asarray
         if mesh is not None and mesh.size > 1 and not mesh_lib.is_multiprocess(mesh):
             sharding = mesh_lib.replicated(mesh)
@@ -119,7 +133,8 @@ class DeviceShuffleCache:
         self._order0 = self._rng.permutation(n)
         first = reader.batch(
             np.sort(self._files[self._order0[: self.capacity]]))[0]
-        self.cache = self._put(np.asarray(first, np.float32))
+        self.cache = self._put(
+            np.asarray(first, np.float32).astype(self._host_dtype))
         self._key = self._put(self._key)
 
         self._q: queue.Queue = queue.Queue(maxsize=2)
@@ -155,7 +170,8 @@ class DeviceShuffleCache:
                 # consumer-side upload was ~1 s per application, collapsing
                 # the through-cache step rate to the link rate. The queue
                 # bound (2) caps in-flight device-side staging buffers.
-                item = (self._put(np.asarray(rows, np.float32)),
+                item = (self._put(np.asarray(rows, np.float32)
+                                  .astype(self._host_dtype)),
                         self._put(slots))
                 while not self._stop.is_set():
                     # retry the SAME item: dropping it on a full queue would

@@ -277,7 +277,7 @@ class SAESweepTrainer:
                 params, opt_state, counters, key = carry
                 key, sub = jax.random.split(key)
                 idx = jax.random.randint(sub, (batch_size,), 0, cache.shape[0])
-                x = jnp.take(cache, idx, axis=0)
+                x = jnp.take(cache, idx, axis=0).astype(jnp.float32)
                 if constrain:
                     x = jax.lax.with_sharding_constraint(
                         x, mesh_lib.batch_sharding(mesh, x.ndim))

@@ -252,7 +252,9 @@ class SAETrainer:
                 params, opt_state, counter, key = carry
                 key, sub = jax.random.split(key)
                 idx = jax.random.randint(sub, (batch_size,), 0, cache.shape[0])
-                x = jnp.take(cache, idx, axis=0)
+                # a reduced-precision cache (cache_dtype) upcasts after the
+                # gather — the gather moves the small dtype, consumers see f32
+                x = jnp.take(cache, idx, axis=0).astype(jnp.float32)
                 if constrain:
                     # keep the step data-parallel: the gather from the
                     # replicated cache is local-per-device, the constraint
@@ -607,6 +609,7 @@ def train(
     verbose: bool = True,
     device_cache_files: int = 0,
     fused_steps: Optional[int] = None,
+    device_cache_dtype: str = "float32",
 ) -> dict:
     """``device_cache_files > 0`` (with ``from_disk``) trains from a
     device-resident shuffle cache of that many files — batches become
@@ -620,7 +623,10 @@ def train(
     boundaries; TB logging needs no alignment (interior steps log from the
     chunk's per-step metric stack). ``0``/``1`` disables fusion; an
     explicit value must divide save_every and val_every. Only active on
-    the single-process device-cache path."""
+    the single-process device-cache path.
+
+    ``device_cache_dtype="bfloat16"`` stores the cache window in bf16 (2×
+    capacity, half the gather/refresh bytes; samples upcast to f32)."""
     set_seeds(seed)
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
@@ -740,6 +746,7 @@ def train(
             process_shard=((jax.process_index(), jax.process_count())
                            if multihost else None),
             mesh=the_mesh,
+            cache_dtype=device_cache_dtype,
         )
 
     fused = 0

@@ -132,6 +132,41 @@ def test_fused_chunk_matches_per_step(store, variant, cfg):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_bf16_cache_storage(store):
+    """cache_dtype="bfloat16": storage is bf16 (half the HBM), samples come
+    out as f32 with exactly bf16-rounded values; the fused chunk consumes
+    the reduced-precision cache directly."""
+    import jax
+    import jax.numpy as jnp
+    from freud_tpu.train.trainer import SAETrainer
+
+    path, data = store
+    cache = DeviceShuffleCache(str(path), "L", capacity_files=20,
+                               refresh_files=0, cache_dtype="bfloat16")
+    try:
+        assert cache.cache.dtype == jnp.bfloat16
+        batch = cache.next_batch(6)
+        assert np.asarray(batch).dtype == np.float32
+        # every sampled row is a bf16-rounded store row: rounding then
+        # upcasting must reproduce the sample bit-for-bit
+        rounded = data.astype(jnp.bfloat16).astype(np.float32)
+        tags = np.asarray(batch)[:, 0, 0]
+        for row, tag in zip(np.asarray(batch), tags):
+            np.testing.assert_array_equal(row, rounded[int(tag)])
+
+        trainer = SAETrainer(
+            "l1", {"n_dict_components": 8, "recon_alpha": 1.0}, 6,
+            optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1}, lr=1e-3, steps=8)
+        m = trainer.train_chunk(cache, 4, 2)
+        assert np.all(np.isfinite(np.asarray(jax.device_get(m["loss"]))))
+    finally:
+        cache.close()
+    with pytest.raises(ValueError, match="cache_dtype"):
+        DeviceShuffleCache(str(path), "L", capacity_files=4,
+                           cache_dtype="float16")
+
+
 def test_train_fused_steps_validation(tmp_path, store):
     src, _ = store
     from freud_tpu.train.trainer import train
