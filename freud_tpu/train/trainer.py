@@ -468,6 +468,52 @@ class _NullTB:
 # Full training entry point (reference train(**config) surface)
 
 
+def _val_batches(loader, val_batch: int):
+    """Yield ``(x_padded, n_valid, filenames)`` per loader batch — ragged
+    tails zero-padded to the loader's bucket shape (one compiled program
+    for the whole set; padded files are sliced away by the caller)."""
+    bucket = getattr(loader, "batch_size", val_batch)
+    for batch in loader:
+        *arrays, filenames = batch
+        x = np.asarray(arrays[0], np.float32)
+        if loader.activation_type == "indexed":
+            # stores built from a TopK SAE hold (acts, indices); validation
+            # operates on dense activations only, as in the reference
+            raise ValueError("validation expects dense activation stores")
+        n_valid = x.shape[0]
+        if n_valid < bucket:
+            x = np.pad(x, ((0, bucket - n_valid), (0, 0), (0, 0)))
+        yield x, n_valid, list(filenames)
+
+
+class DeviceValSet:
+    """Device-resident validation set: the val store uploads ONCE and every
+    validation runs on the resident arrays. At the reference's real cadence
+    (val_every=100 → 1000 validations per tiny_l1 recipe) the per-call
+    H2D re-upload of the whole store dominates validation wall on slow
+    links (~13 s per 200-file call, tools/bench_cadence.py); resident it
+    is pure device compute. ``ok`` is False when the set exceeds
+    ``max_bytes`` — callers fall back to the streaming loader."""
+
+    def __init__(self, loader, val_batch: int = 8,
+                 max_bytes: int = 1 << 30):
+        self.batches = []
+        self.ok = False
+        if getattr(loader, "activation_type", "tensor") == "indexed":
+            return
+        if hasattr(loader, "set_position"):
+            loader.set_position(0)
+        total = 0
+        for x, n_valid, filenames in _val_batches(loader, val_batch):
+            total += x.nbytes
+            if total > max_bytes:
+                self.batches = []
+                return
+            self.batches.append((jnp.asarray(x), n_valid, filenames))
+        self.ok = True
+
+    def __iter__(self):
+        return iter(self.batches)
 
 
 def validate(
@@ -480,19 +526,26 @@ def validate(
     val_batch: int = 8,
     transcriber=None,
     loader=None,
+    device_set: Optional[DeviceValSet] = None,
 ):
     """Reference ``validate`` semantics (train_sae.py:121-221): per-file
     losses/MSE (batch-size-1 math, vmapped), per-feature magnitude maxes, and
     substituted transcripts for the first N_TRANSCRIPTS files. Pass a
     ``loader`` to reuse one across validation calls (a fresh fly loader
-    re-loads Whisper and re-jits its encode per call otherwise)."""
-    if loader is None:
-        loader, _, _ = init_dataloader(
-            from_disk, val_folder, whisper_model, None, layer_name,
-            batch_size=val_batch, shuffle=False,
-        )
-    if hasattr(loader, "set_position"):
-        loader.set_position(0)  # a reused loader must scan from the start
+    re-loads Whisper and re-jits its encode per call otherwise), or a
+    ``device_set`` (DeviceValSet) to validate on resident device arrays
+    with no per-call H2D at all."""
+    if device_set is not None and device_set.ok:
+        source = device_set
+    else:
+        if loader is None:
+            loader, _, _ = init_dataloader(
+                from_disk, val_folder, whisper_model, None, layer_name,
+                batch_size=val_batch, shuffle=False,
+            )
+        if hasattr(loader, "set_position"):
+            loader.set_position(0)  # a reused loader must scan from the start
+        source = _val_batches(loader, val_batch)
     sums: dict[str, float] = {}
     counts = 0
     mags = []
@@ -501,37 +554,47 @@ def validate(
     base_filenames: list[str] = []
     n_transcribed = 0
 
-    for batch in loader:
-        *arrays, filenames = batch
-        x = np.asarray(arrays[0], np.float32)
-        if loader.activation_type == "indexed":
-            # stores built from a TopK SAE hold (acts, indices); validation
-            # operates on dense activations only, as in the reference
-            raise ValueError("validation expects dense activation stores")
-        # pad a ragged tail batch to the LOADER's bucket shape — one
-        # compiled program for the whole set (a second remote compile costs
-        # minutes on the tunneled TPU); padded files are sliced away from
-        # every per-file output below. The bucket is whatever the loader
-        # actually yields, not the val_batch default — a caller-supplied
-        # loader with a different batch size must not defeat the guarantee.
-        bucket = getattr(loader, "batch_size", val_batch)
-        n_valid = x.shape[0]
-        if n_valid < bucket:
-            x = np.pad(x, ((0, bucket - n_valid), (0, 0), (0, 0)))
-        # ONE device→host transfer for the stats: per-key device slices/sums
-        # would each compile a fresh program remotely (CLAUDE.md's ad-hoc-
-        # indexing rule) — all post-processing is numpy. ``sae_out`` (the
-        # full (B, T, d) reconstruction, ~18 MB/batch) is EXCLUDED unless
-        # this batch actually feeds transcripts: fetching it for every batch
-        # dominated validation wall-clock on the tunneled link (measured
-        # ~35-45 s per 200-file validation; the reference cadence is
-        # val_every=100, so per-call cost is the whole ballgame)
-        out_dev = trainer.validate_files(x)
-        need_sae_out = (transcriber is not None
+    # (padding to the bucket shape happens in _val_batches / at DeviceValSet
+    # build: one compiled program for the whole set — a second remote
+    # compile costs minutes on the tunneled TPU; padded files are sliced
+    # away from every per-file output below)
+    # ``sae_out`` (the full (B, T, d) reconstruction, ~18 MB/batch) is
+    # EXCLUDED from fetches unless the batch actually feeds transcripts:
+    # fetching it for every batch dominated validation wall-clock on the
+    # tunneled link (measured ~35-45 s per 200-file validation; the
+    # reference cadence is val_every=100, so per-call cost is the whole
+    # ballgame). Per-key device slices/sums would each compile a fresh
+    # program remotely (CLAUDE.md's ad-hoc-indexing rule) — all
+    # post-processing is numpy.
+    def results():
+        if device_set is not None and device_set.ok:
+            # resident path: dispatch EVERY batch's program first (async),
+            # then one blocking device_get for all the stats — per-batch
+            # blocking fetches pay a link round-trip each
+            trios = list(device_set)
+            outs_dev = [trainer.validate_files(x) for x, _, _ in trios]
+            keeps, budget = [], 0
+            for _, n_valid, _ in trios:
+                # conservative transcript bound (load failures can't be
+                # known pre-fetch): keep sae_out while slots COULD remain
+                keeps.append(transcriber is not None
+                             and budget < N_TRANSCRIPTS)
+                budget += n_valid
+            outs_host = jax.device_get(
+                [{k: v for k, v in od.items() if k != "sae_out" or keep}
+                 for od, keep in zip(outs_dev, keeps)])
+            for out, (_, n_valid, fnames) in zip(outs_host, trios):
+                yield out, n_valid, fnames
+        else:
+            for x, n_valid, fnames in source:
+                out_dev = trainer.validate_files(x)
+                need = (transcriber is not None
                         and n_transcribed < N_TRANSCRIPTS)
-        out = jax.device_get(
-            {k: v for k, v in out_dev.items()
-             if k != "sae_out" or need_sae_out})
+                yield jax.device_get(
+                    {k: v for k, v in out_dev.items()
+                     if k != "sae_out" or need}), n_valid, fnames
+
+    for out, n_valid, filenames in results():
         out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
         for key in ("recon", "l1", "fvu", "auxk_loss", "multi_topk_fvu", "mse"):
             if key in out:
@@ -610,6 +673,7 @@ def train(
     device_cache_files: int = 0,
     fused_steps: Optional[int] = None,
     device_cache_dtype: str = "float32",
+    val_device_cache: Optional[bool] = None,
 ) -> dict:
     """``device_cache_files > 0`` (with ``from_disk``) trains from a
     device-resident shuffle cache of that many files — batches become
@@ -626,7 +690,13 @@ def train(
     the single-process device-cache path.
 
     ``device_cache_dtype="bfloat16"`` stores the cache window in bf16 (2×
-    capacity, half the gather/refresh bytes; samples upcast to f32)."""
+    capacity, half the gather/refresh bytes; samples upcast to f32).
+
+    ``val_device_cache``: keep the validation set resident on device so
+    each validation runs with no per-call H2D (at the reference cadence,
+    val_every=100, the re-upload dominates validation wall on slow links).
+    ``None`` auto-enables when the set fits in 1 GB; ``True`` forces
+    (no size cap); ``False`` streams from the loader every call."""
     set_seeds(seed)
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
@@ -729,6 +799,7 @@ def train(
 
     logged_base_transcripts = False
     val_loader = None
+    val_set = None
     t_start = time.perf_counter()
     steps_done_at_start = trainer.step
 
@@ -846,12 +917,19 @@ def train(
                         from_disk, val_folder, whisper_model, None,
                         layer_name, batch_size=8, shuffle=False,
                     )
+                    if val_device_cache is not False:
+                        vs = DeviceValSet(
+                            val_loader,
+                            max_bytes=((1 << 62) if val_device_cache
+                                       else (1 << 30)))
+                        if vs.ok:
+                            val_set = vs
                 (
                     losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
                 ) = validate(
                     trainer, val_folder, layer_name, whisper_model, from_disk,
                     not logged_base_transcripts, transcriber=transcriber,
-                    loader=val_loader,
+                    loader=val_loader, device_set=val_set,
                 )
                 logged_base_transcripts = True
                 # an EMPTY validation set leaves every loss None — warn and skip

@@ -396,6 +396,42 @@ def test_validate_transcripts_and_selective_fetch(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_device_val_set_matches_loader_validation(tmp_path):
+    """DeviceValSet validation (resident arrays, zero per-call H2D) must be
+    bit-identical to streaming the loader, including ragged tails; an
+    over-budget set reports ok=False and callers fall back."""
+    from freud_tpu.data.loaders import init_dataloader
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.train.trainer import DeviceValSet, SAETrainer, validate
+
+    rng = np.random.default_rng(2)
+    T, d = 12, 8
+    acts = rng.standard_normal((5, T, d)).astype(np.float32)  # ragged at bs=2
+    w = ActivationStoreWriter(tmp_path, "L", (T, d), (T, d))
+    w.append_batch([f"f{i}" for i in range(5)], acts, n_frames=[T] * 5)
+    w.close()
+
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 100.0}, d,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0)
+    loader, _, _ = init_dataloader(True, str(tmp_path), "test:tiny", None,
+                                   "L", batch_size=2, shuffle=False)
+    vs = DeviceValSet(loader, val_batch=2)
+    assert vs.ok and len(vs.batches) == 3
+    streamed = validate(tr, str(tmp_path), "L", "test:tiny", True, False,
+                        val_batch=2, loader=loader)
+    resident = validate(tr, str(tmp_path), "L", "test:tiny", True, False,
+                        val_batch=2, device_set=vs)
+    for a, b in zip(streamed[0].values(), resident[0].values()):
+        if a is not None:
+            np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(streamed[4], resident[4])  # mag maxes
+    np.testing.assert_array_equal(streamed[5], resident[5])  # mag stds
+
+    too_small = DeviceValSet(loader, val_batch=2, max_bytes=100)
+    assert not too_small.ok and not too_small.batches
+
+
 def test_schedule_host_mirror_matches_device():
     """make_schedule's .host (pure-Python logging evaluator) must equal the
     optax schedule at every step for both recipes."""
