@@ -367,6 +367,7 @@ def train_hparam_sweep(
     verbose: bool = True,
     device_cache_files: int = 0,
     fused_steps: int = 10,
+    device_cache_dtype: str = "float32",
 ) -> dict:
     """Hyperparameter-grid sweep over ONE layer store: every grid point is a
     model in a vmapped trainer, all fed the SAME batch stream (one mmap read
@@ -410,7 +411,8 @@ def train_hparam_sweep(
 
         fused = max(int(fused_steps), 1)
         cache = DeviceShuffleCache(
-            data_path, layer_name, device_cache_files, seed=seed)
+            data_path, layer_name, device_cache_files, seed=seed,
+            cache_dtype=device_cache_dtype)
         try:
             while step < steps:
                 if steps - step >= fused and fused > 1:
