@@ -258,7 +258,8 @@ def bench_sae_train_cached(batch: int = 100, chunks: int = 5,
         )
         cache = DeviceShuffleCache(tmp, "encoder.blocks.2", capacity)
         try:
-            for _ in range(warmup):
+            m = trainer.train_chunk(cache, batch, fused)  # compile
+            for _ in range(max(warmup - 1, 0)):
                 m = trainer.train_chunk(cache, batch, fused)
             float(np.asarray(m["loss"])[-1])
             t0 = time.perf_counter()

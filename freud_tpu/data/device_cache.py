@@ -29,16 +29,25 @@ from .loaders import MemoryMappedActivationLoader
 from ..parallel import mesh as mesh_lib
 
 
-@partial(jax.jit, static_argnames=("batch",), donate_argnums=())
-def _sample(cache: jnp.ndarray, key, batch: int):
-    """(batch rows as f32, advanced key) — the key advances INSIDE the
-    program: a host-side jax.random.split would be a second device dispatch
-    per train step (dispatch round-trips are the per-step floor on tunneled
-    backends; the compute itself is microseconds). A reduced-precision
+def sample_rows(cache: jnp.ndarray, key, batch: int):
+    """Traceable sampling body: (batch rows as f32, advanced key). This is
+    THE sampling sequence — ``_sample`` and the trainers' fused scan bodies
+    (SAETrainer.train_chunk, SAESweepTrainer.train_chunk_shared) all call
+    it, so the fused paths draw bit-identical streams to per-step
+    ``next_batch`` structurally, not by copy-paste. A reduced-precision
     cache (cache_dtype) upcasts here — storage dtype is internal."""
     key, sub = jax.random.split(key)
     idx = jax.random.randint(sub, (batch,), 0, cache.shape[0])
     return jnp.take(cache, idx, axis=0).astype(jnp.float32), key
+
+
+@partial(jax.jit, static_argnames=("batch",), donate_argnums=())
+def _sample(cache: jnp.ndarray, key, batch: int):
+    """One-dispatch sampler — the key advances INSIDE the program: a
+    host-side jax.random.split would be a second device dispatch per train
+    step (dispatch round-trips are the per-step floor on tunneled backends;
+    the compute itself is microseconds)."""
+    return sample_rows(cache, key, batch)
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.device_cache import sample_rows
 from ..data.loaders import MemoryMappedActivationLoader
 from ..data.prefetch import prefetch_iter as _prefetch
 from ..models.sae import config as sae_config
@@ -275,9 +276,9 @@ class SAESweepTrainer:
         def chunk_fn(params, opt_state, counters, cache, key, hp):
             def body(carry, _):
                 params, opt_state, counters, key = carry
-                key, sub = jax.random.split(key)
-                idx = jax.random.randint(sub, (batch_size,), 0, cache.shape[0])
-                x = jnp.take(cache, idx, axis=0).astype(jnp.float32)
+                # THE sampling sequence (device_cache.sample_rows): the
+                # fused stream is bit-identical to per-step next_batch
+                x, key = sample_rows(cache, key, batch_size)
                 if constrain:
                     x = jax.lax.with_sharding_constraint(
                         x, mesh_lib.batch_sharding(mesh, x.ndim))

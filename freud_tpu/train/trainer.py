@@ -39,6 +39,7 @@ from .. import profiling
 from ..constants import get_n_mels
 from ..audio.mel import mels_from_array
 from ..audio.decode import load_audio
+from ..data import device_cache as device_cache_mod
 from ..data.loaders import init_dataloader
 from ..data.prefetch import prefetch_iter as _prefetch
 from ..models.sae import config as sae_config
@@ -250,11 +251,9 @@ class SAETrainer:
         def chunk_fn(params, opt_state, counter, cache, key):
             def body(carry, _):
                 params, opt_state, counter, key = carry
-                key, sub = jax.random.split(key)
-                idx = jax.random.randint(sub, (batch_size,), 0, cache.shape[0])
-                # a reduced-precision cache (cache_dtype) upcasts after the
-                # gather — the gather moves the small dtype, consumers see f32
-                x = jnp.take(cache, idx, axis=0).astype(jnp.float32)
+                # THE sampling sequence (device_cache.sample_rows): the
+                # fused stream is bit-identical to per-step next_batch
+                x, key = device_cache_mod.sample_rows(cache, key, batch_size)
                 if constrain:
                     # keep the step data-parallel: the gather from the
                     # replicated cache is local-per-device, the constraint
@@ -575,26 +574,31 @@ def validate(
             outs_dev = [trainer.validate_files(x) for x, _, _ in trios]
             keeps, budget = [], 0
             for _, n_valid, _ in trios:
-                # conservative transcript bound (load failures can't be
-                # known pre-fetch): keep sae_out while slots COULD remain
+                # keep sae_out while slots could remain ASSUMING every
+                # offered file transcribes; load_audio failures can push
+                # the horizon further — the consumption loop re-fetches a
+                # dropped sae_out on demand from the live device handle
                 keeps.append(transcriber is not None
                              and budget < N_TRANSCRIPTS)
                 budget += n_valid
             outs_host = jax.device_get(
                 [{k: v for k, v in od.items() if k != "sae_out" or keep}
                  for od, keep in zip(outs_dev, keeps)])
-            for out, (_, n_valid, fnames) in zip(outs_host, trios):
-                yield out, n_valid, fnames
+            for out, od, (_, n_valid, fnames) in zip(outs_host, outs_dev,
+                                                     trios):
+                yield out, n_valid, fnames, od
         else:
             for x, n_valid, fnames in source:
                 out_dev = trainer.validate_files(x)
                 need = (transcriber is not None
                         and n_transcribed < N_TRANSCRIPTS)
+                # per-batch need check: sae_out is always present here
+                # whenever the transcript loop can run
                 yield jax.device_get(
                     {k: v for k, v in out_dev.items()
-                     if k != "sae_out" or need}), n_valid, fnames
+                     if k != "sae_out" or need}), n_valid, fnames, out_dev
 
-    for out, n_valid, filenames in results():
+    for out, n_valid, filenames, dev_out in results():
         out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
         for key in ("recon", "l1", "fvu", "auxk_loss", "multi_topk_fvu", "mse"):
             if key in out:
@@ -603,6 +607,12 @@ def validate(
         mags.append(np.asarray(out["mag"]))
 
         if transcriber is not None and n_transcribed < N_TRANSCRIPTS:
+            if "sae_out" not in out:
+                # load failures in earlier batches left transcript slots
+                # unfilled past the resident path's pre-fetch keep horizon:
+                # fetch this batch's reconstruction on demand
+                out["sae_out"] = np.asarray(
+                    jax.device_get(dev_out["sae_out"]))[:n_valid]
             # bound by the VALID file count, not the padded batch — indexing
             # filenames past n_valid would IndexError on a tiny val set
             for j in range(n_valid):
@@ -828,8 +838,12 @@ def train(
         # per-step metric stack and interior steps are logged from it);
         # save/val DO — they run host code against the trainer state. The
         # auto chunk is capped: scan length directly scales program size /
-        # compile time, and past ~100 the dispatch is fully amortized.
-        auto = min(math.gcd(save_every, val_every), 100)
+        # compile time, and past ~100 the dispatch is fully amortized. The
+        # cap must stay a DIVISOR of the cadence gcd — a plain min() could
+        # land chunk ends off the save/val steps and silently skip them.
+        g = math.gcd(save_every, val_every)
+        auto = g if g <= 100 else max(
+            d for d in range(1, 101) if g % d == 0)
         if fused_steps is None:
             fused = auto if auto > 1 else 0
         elif fused_steps and fused_steps > 1:

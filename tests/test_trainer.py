@@ -432,6 +432,90 @@ def test_device_val_set_matches_loader_validation(tmp_path):
     assert not too_small.ok and not too_small.batches
 
 
+def test_device_val_set_transcripts_past_keep_horizon(tmp_path):
+    """Resident validation with transcripts: when early files fail
+    load_audio (skipped without consuming slots), later batches whose
+    sae_out was dropped from the batched pre-fetch must re-fetch it on
+    demand instead of crashing (review finding r4)."""
+    import wave
+
+    from freud_tpu.data.loaders import init_dataloader
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.train.trainer import DeviceValSet, SAETrainer, validate
+
+    rng = np.random.default_rng(3)
+    T, d = 12, 8
+    names = [str(tmp_path / f"missing{i}.wav") for i in range(4)]
+    for i in range(4, 6):  # only the LAST batch's files exist on disk
+        p = tmp_path / f"real{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(4000) * 2000)
+                          .astype(np.int16).tobytes())
+        names.append(str(p))
+    store = tmp_path / "acts"
+    w = ActivationStoreWriter(store, "L", (T, d), (T, d))
+    w.append_batch(names, rng.standard_normal((6, T, d)).astype(np.float32),
+                   n_frames=[T] * 6)
+    w.close()
+
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 100.0}, d,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0)
+    loader, _, _ = init_dataloader(True, str(store), "test:tiny", None, "L",
+                                   batch_size=2, shuffle=False)
+    vs = DeviceValSet(loader, val_batch=2)
+    assert vs.ok
+    subs = []
+
+    def transcriber(mel, substitute_value=None):
+        if substitute_value is not None:
+            subs.append(np.asarray(substitute_value).shape)
+        return "text"
+
+    out = validate(tr, str(store), "L", "test:tiny", True, False,
+                   val_batch=2, device_set=vs, transcriber=transcriber)
+    # files 0-3 are unloadable: the two real files (batch 2, past the
+    # keep horizon of N_TRANSCRIPTS=4 offered files) must still transcribe
+    assert len(out[1]) == 2 and subs == [(1, T, d), (1, T, d)]
+
+
+def test_auto_fused_chunk_divides_cadences(tmp_path, ):
+    """The AUTO fused chunk must be a divisor of gcd(save_every, val_every)
+    even when the gcd exceeds the cap — a plain min() would land chunk
+    ends off the cadence steps and silently skip checkpoints/validations
+    (review finding r4)."""
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.train.trainer import train
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "acts"
+    w = ActivationStoreWriter(src, "L", (4, 6), (4, 6))
+    w.append_batch([f"f{i}" for i in range(12)],
+                   rng.standard_normal((12, 4, 6)).astype(np.float32))
+    w.close()
+    stats = train(
+        seed=0, train_folder=str(src), val_folder=str(src),
+        run_dir=str(tmp_path / "run"), lr=1e-3, weight_decay=0.0, steps=250,
+        clip_thresh=1.0, batch_size=4, log_tb_every=1000, save_every=125,
+        val_every=125,
+        whisper_config={"model": "test:tiny", "layer_name": "L"},
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": 1},
+        autoencoder_variant="l1",
+        autoencoder_config={"n_dict_components": 8, "recon_alpha": 1.0},
+        from_disk=True, enable_transcripts=False, verbose=False,
+        device_cache_files=12,
+    )
+    assert stats["steps"] == 250
+    # gcd(125,125)=125 > 100 → auto must pick 25 (largest divisor ≤ 100),
+    # so the step-125 checkpoint fires on a chunk boundary
+    assert (tmp_path / "run" / "checkpoints" / "step125.pth").exists()
+    assert stats["best_val_loss"] != float("inf")  # validation fired
+
+
 def test_schedule_host_mirror_matches_device():
     """make_schedule's .host (pure-Python logging evaluator) must equal the
     optax schedule at every step for both recipes."""
