@@ -11,8 +11,10 @@ treedef-free leaves restored against a freshly initialized state.
 
 from __future__ import annotations
 
+import queue
 import random
-from typing import Any
+import threading
+from typing import Any, Callable
 
 import jax
 import numpy as np
@@ -76,7 +78,14 @@ def save_trainer_checkpoint(
     best_val_loss: float,
     hparams: dict,
     extra: dict | None = None,
+    rng_states: tuple | None = None,
 ) -> None:
+    """``rng_states=(numpy_state, random_state)`` lets an asynchronous
+    writer capture the host RNGs at SUBMIT time on the training thread —
+    capturing them here, on a background thread, would race the training
+    loop's own RNG draws."""
+    if rng_states is None:
+        rng_states = (np.random.get_state(), random.getstate())
     state = {
         "model": state_dict_from_params(variant, params),
         "optimizer": {"leaves": opt_state_to_leaves(opt_state)},
@@ -86,12 +95,74 @@ def save_trainer_checkpoint(
         "hparams": hparams,
         # plain-typed (no ndarray) so the checkpoint stays loadable under
         # torch.load's weights_only=True default — see opt_state_to_leaves
-        "numpy_rng_state": _np_rng_to_plain(np.random.get_state()),
-        "random_rng_state": random.getstate(),
+        "numpy_rng_state": _np_rng_to_plain(rng_states[0]),
+        "random_rng_state": rng_states[1],
     }
     if extra:
         state.update(extra)
     save_checkpoint(path, state)
+
+
+class AsyncCheckpointWriter:
+    """Write-behind trainer checkpoints.
+
+    The slow halves of a checkpoint — the device→host parameter fetch and
+    the disk write — run on a background thread while training continues.
+    Submitters are responsible for snapshot consistency: the trainer's
+    steps DONATE their state buffers, so ``SAETrainer.save_async`` hands
+    the closure an on-device COPY, not the live references (a raw
+    reference would be a deleted array one step later). This matters most
+    at recipe cadence:
+    the reference loop writes ``bestval.pth`` on every improved validation
+    (train_sae.py:590-595), which in a converging run is EVERY validation —
+    measured on the tunneled v5e, a synchronous large_v1 bestval save
+    (~630 MB fetch) cost 30-60 s of the 100-step cycle, dominating the
+    whole campaign wall (ROADMAP round-4 close).
+
+    One save may be queued while one is in flight (bounded staging — at
+    most two parameter snapshots alive beyond the live state). A third
+    ``submit`` blocks: checkpoints are ordered, never dropped. Errors
+    surface on the next ``submit``/``flush`` — a silently dead writer
+    would end a 100k-step run with stale checkpoints."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue(maxsize=1)
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            work = self._q.get()
+            try:
+                if work is None:
+                    return
+                work()
+            except BaseException as e:
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def submit(self, work: Callable[[], None]) -> None:
+        self._raise_pending()
+        self._q.put(work)
+
+    def flush(self) -> None:
+        """Block until every submitted checkpoint is on disk."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        """Flush, stop the thread, and surface any pending error."""
+        self._q.join()
+        self._q.put(None)
+        self._thread.join(timeout=60)
+        self._raise_pending()
 
 
 def _np_rng_to_plain(state) -> list:

@@ -46,10 +46,23 @@ from ..models.sae import config as sae_config
 from ..models.sae import l1 as l1_mod
 from ..models.sae import topk as topk_mod
 from ..parallel import mesh as mesh_lib
-from .checkpoint import load_trainer_checkpoint, save_trainer_checkpoint
+from .checkpoint import (
+    AsyncCheckpointWriter,
+    load_trainer_checkpoint,
+    save_trainer_checkpoint,
+)
 from .optim import make_optimizer
 
 N_TRANSCRIPTS = 4
+
+
+@jax.jit
+def _snapshot_tree(tree):
+    """Fresh device buffers for every leaf (see SAETrainer.save_async).
+    ``jnp.copy`` under jit lowers to an XLA copy whose output cannot alias
+    the non-donated input, so the result survives a later step's buffer
+    donation."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
 def _to_torch(arr: np.ndarray):
@@ -431,6 +444,41 @@ class SAETrainer:
             },
         )
 
+    def save_async(self, paths: list[str], hparams: dict,
+                   writer: "AsyncCheckpointWriter") -> None:
+        """Queue a write-behind checkpoint of the CURRENT state to every
+        path in ``paths`` (one device fetch, N disk writes — the cadence
+        step where ``step_K.pth`` and ``bestval.pth`` coincide would
+        otherwise fetch the ~GB state twice).
+
+        The state is snapshotted as an ON-DEVICE copy first: the train
+        step DONATES its params/opt_state buffers, so holding the raw
+        references would hand the writer deleted arrays one step later.
+        The copy is one dispatched program executing in device-stream
+        order — i.e. before any later-dispatched donating step can reuse
+        the buffers — and costs HBM bandwidth, not a host round-trip.
+        Host RNG states are captured here, on the training thread."""
+        import random as _random
+
+        snap_params, snap_opt, snap_fired = _snapshot_tree(
+            (self.params, self.opt_state, self.num_frames_since_fired))
+        step, best = self.step, self.best_val_loss
+        variant = self.variant
+        rng_states = (np.random.get_state(), _random.getstate())
+
+        def work():
+            host_params = jax.device_get(snap_params)
+            host_opt = jax.device_get(snap_opt)
+            extra = {
+                "num_frames_since_fired": _to_torch(np.asarray(snap_fired))}
+            for path in paths:
+                save_trainer_checkpoint(
+                    path, variant, host_params, host_opt, step, best,
+                    hparams, extra=extra, rng_states=rng_states,
+                )
+
+        writer.submit(work)
+
     def load(self, path: str) -> None:
         params, opt_state, step, best, ckpt = load_trainer_checkpoint(
             path, self.variant, jax.device_get(self.opt_state)
@@ -533,7 +581,14 @@ def validate(
     ``loader`` to reuse one across validation calls (a fresh fly loader
     re-loads Whisper and re-jits its encode per call otherwise), or a
     ``device_set`` (DeviceValSet) to validate on resident device arrays
-    with no per-call H2D at all."""
+    with no per-call H2D at all.
+
+    ``transcriber`` is BATCHED: ``transcriber(mels, substitute_values=None)
+    -> list[str]`` over stacked ``(B, n_mels, T)`` mels (and ``(B, s, d)``
+    replacement activations) — all transcript slots decode in one device
+    program instead of B sequential batch-1 decodes (the reference loops
+    per file, train_sae.py:183-200; one batched decode is the TPU shape
+    of the same observability)."""
     if device_set is not None and device_set.ok:
         source = device_set
     else:
@@ -598,6 +653,7 @@ def validate(
                     {k: v for k, v in out_dev.items()
                      if k != "sae_out" or need}), n_valid, fnames, out_dev
 
+    pending_transcripts: list[tuple] = []  # (mel, sae_out_row, filename)
     for out, n_valid, filenames, dev_out in results():
         out = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
         for key in ("recon", "l1", "fvu", "auxk_loss", "multi_topk_fvu", "mse"):
@@ -623,15 +679,29 @@ def validate(
                 except RuntimeError:
                     continue  # store built from synthetic/moved files —
                     # skipped files must NOT consume transcript slots
-                mel = mels_from_array(audio, get_n_mels(whisper_model))
-                sae_out = np.asarray(out["sae_out"][j])
-                subbed_transcripts.append(
-                    transcriber(mel, substitute_value=sae_out[None])
-                )
-                if log_base_transcripts:
-                    base_transcripts.append(transcriber(mel))
-                    base_filenames.append(filenames[j])
+                mel = np.asarray(
+                    mels_from_array(audio, get_n_mels(whisper_model)))
+                pending_transcripts.append(
+                    (mel, np.asarray(out["sae_out"][j]), filenames[j]))
                 n_transcribed += 1
+
+    if pending_transcripts:
+        # ONE batched decode for all transcript slots instead of a
+        # sequential batch-1 decode per file: at recipe cadence the
+        # transcripts dominate validation wall-clock (large-v1: 4 × ~1.5 s
+        # sequential decodes per call, 250 validations per 25k-step recipe).
+        # Padded to the N_TRANSCRIPTS bucket so every validation reuses ONE
+        # compiled decode shape (a fresh remote compile costs minutes).
+        n_real = len(pending_transcripts)
+        padded = pending_transcripts + (
+            [pending_transcripts[-1]] * (N_TRANSCRIPTS - n_real))
+        mels_stack = np.stack([p[0] for p in padded])
+        subs_stack = np.stack([p[1] for p in padded])
+        subbed_transcripts = list(
+            transcriber(mels_stack, substitute_values=subs_stack))[:n_real]
+        if log_base_transcripts:
+            base_transcripts = list(transcriber(mels_stack))[:n_real]
+            base_filenames = [p[2] for p in pending_transcripts]
 
     mag_matrix = np.concatenate(mags, axis=0) if mags else np.zeros((0, 1))
     losses = {k: v / max(counts, 1) for k, v in sums.items()}
@@ -796,12 +866,14 @@ def train(
                 whisper_model, layer_name, max_new_tokens=max_transcript_tokens
             )
 
-            def transcriber(mel, substitute_value=None):
-                if substitute_value is None:
-                    return rt.transcribe_one(mel)
-                return rt.transcribe_one(
-                    mel, substitute_layer=layer_name,
-                    substitute_value=substitute_value,
+            def transcriber(mels, substitute_values=None):
+                # batched contract (see validate()): mels (B, n_mels, T),
+                # substitute_values (B, s, d) or None → list of B strings
+                if substitute_values is None:
+                    return rt.transcribe(mels)
+                return rt.transcribe(
+                    mels, substitute_layer=layer_name,
+                    substitute_value=substitute_values,
                 )
         except (FileNotFoundError, ValueError) as e:
             if verbose:
@@ -888,6 +960,7 @@ def train(
             print(f"step {step}: loss {m['loss']:.4f}")
 
     stream = batch_stream()
+    ckpt_writer = AsyncCheckpointWriter()
     try:
         while trainer.step < steps:
             if (fused and trainer.step % fused == 0
@@ -920,8 +993,9 @@ def train(
                                for k, v in jax.device_get(metrics).items()},
                               trainer.step)
 
+            ckpt_paths: list[str] = []
             if trainer.step % save_every == 0 and is_main:
-                trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
+                ckpt_paths.append(str(ckpt_dir / f"step{trainer.step}.pth"))
 
             if trainer.step % val_every == 0 and is_main:
                 if val_loader is None:
@@ -991,13 +1065,23 @@ def train(
                     print(f"{trainer.step} validation: {losses_dict}")
                 if save_loss is not None and save_loss < trainer.best_val_loss:
                     trainer.best_val_loss = float(save_loss)
-                    trainer.save(str(ckpt_dir / "bestval.pth"), hparam_dict)
+                    ckpt_paths.append(str(ckpt_dir / "bestval.pth"))
+
+            if ckpt_paths:
+                # write-behind: the fetch + disk write overlap the next
+                # chunk (the synchronous bestval save was 30-60 s of every
+                # 100-step cycle on the tunneled backend — see
+                # AsyncCheckpointWriter)
+                trainer.save_async(ckpt_paths, hparam_dict, ckpt_writer)
 
     finally:
         # exception-safe: a failed run must not leak the refresh
-        # thread (it would keep reading the store until process exit)
+        # thread (it would keep reading the store until process exit);
+        # close() flushes queued checkpoints so an interrupted run's
+        # resume point is whatever was last SUBMITTED, never a torn file
         if cache is not None:
             cache.close()
+        ckpt_writer.close()
     if is_main:
         trainer.save(str(ckpt_dir / f"step{trainer.step}.pth"), hparam_dict)
     elapsed = time.perf_counter() - t_start

@@ -378,11 +378,14 @@ def test_validate_transcripts_and_selective_fetch(tmp_path):
 
     calls = []
 
-    def transcriber(mel, substitute_value=None):
-        calls.append(substitute_value is not None)
-        if substitute_value is not None:
-            assert np.asarray(substitute_value).shape == (1, T, d)
-        return "text"
+    def transcriber(mels, substitute_values=None):
+        calls.append(substitute_values is not None)
+        mels = np.asarray(mels)
+        assert mels.ndim == 3  # batched contract: (B, n_mels, T)
+        if substitute_values is not None:
+            assert np.asarray(substitute_values).shape == (
+                mels.shape[0], T, d)
+        return ["text"] * mels.shape[0]
 
     plain = validate(tr, str(store), "encoder.blocks.1", "test:tiny",
                      True, False)
@@ -470,16 +473,17 @@ def test_device_val_set_transcripts_past_keep_horizon(tmp_path):
     assert vs.ok
     subs = []
 
-    def transcriber(mel, substitute_value=None):
-        if substitute_value is not None:
-            subs.append(np.asarray(substitute_value).shape)
-        return "text"
+    def transcriber(mels, substitute_values=None):
+        if substitute_values is not None:
+            subs.append(np.asarray(substitute_values).shape)
+        return ["text"] * np.asarray(mels).shape[0]
 
     out = validate(tr, str(store), "L", "test:tiny", True, False,
                    val_batch=2, device_set=vs, transcriber=transcriber)
     # files 0-3 are unloadable: the two real files (batch 2, past the
-    # keep horizon of N_TRANSCRIPTS=4 offered files) must still transcribe
-    assert len(out[1]) == 2 and subs == [(1, T, d), (1, T, d)]
+    # keep horizon of N_TRANSCRIPTS=4 offered files) must still transcribe;
+    # the batched call pads the 2 real slots to the N_TRANSCRIPTS bucket
+    assert len(out[1]) == 2 and subs == [(4, T, d)]
 
 
 def test_auto_fused_chunk_divides_cadences(tmp_path, ):
@@ -525,3 +529,62 @@ def test_schedule_host_mirror_matches_device():
             np.testing.assert_allclose(
                 float(s(step)), s.host(step), rtol=1e-6, atol=1e-10,
                 err_msg=f"{sched} step {step}")
+
+
+def test_async_checkpoint_writer_snapshot_and_coalesce(tmp_path):
+    """save_async must (a) snapshot the trainer state AT SUBMIT TIME — a
+    later train step must not leak into the queued checkpoint — and
+    (b) write every path from ONE device fetch (the save_every+bestval
+    coincidence step)."""
+    import torch
+
+    from freud_tpu.train.checkpoint import AsyncCheckpointWriter
+    from freud_tpu.train.trainer import SAETrainer
+
+    rng = np.random.default_rng(0)
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 1.0}, 8,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0)
+    w = AsyncCheckpointWriter()
+    a, b = str(tmp_path / "a.pth"), str(tmp_path / "b.pth")
+    tr.save_async([a, b], tr.hparams(), w)
+    # mutate the live state AFTER submit: the snapshot must not see it
+    tr.train_step(rng.standard_normal((4, 6, 8), dtype=np.float32) + 0.0)
+    tr.step = 777
+    w.flush()
+    ca = torch.load(a, weights_only=True)
+    cb = torch.load(b, weights_only=True)
+    assert ca["step"] == 0 and cb["step"] == 0
+    for k in ca["model"]:
+        np.testing.assert_array_equal(np.asarray(ca["model"][k]),
+                                      np.asarray(cb["model"][k]))
+    # round-trips through the normal loader
+    tr2 = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 1.0}, 8,
+                     optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                     clip_thresh=1.0)
+    tr2.load(a)
+    assert tr2.step == 0
+    w.close()
+
+
+def test_async_checkpoint_writer_error_propagates(tmp_path):
+    """A failed background write must raise on the next submit/flush —
+    a silently dead writer would end a long run with stale checkpoints."""
+    import pytest
+
+    from freud_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+
+    def boom():
+        raise OSError("disk full")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        w.flush()
+    # the writer stays usable after surfacing the error
+    ok = []
+    w.submit(lambda: ok.append(1))
+    w.flush()
+    assert ok == [1]
+    w.close()
