@@ -405,7 +405,15 @@ def train_hparam_sweep(
         for k, hps in groups.items()
     }
 
-    last = {}
+    # k-group -> device array of per-model last-step losses, held lazily
+    # (no fetch) every step; ONE device_get at the end feeds the returned
+    # per-model ``final_loss`` regardless of ``verbose``
+    last: dict = {}
+
+    def _shown() -> dict:
+        return {str(k): np.asarray(jax.device_get(v)).tolist()
+                for k, v in last.items()}
+
     step = 0
     if device_cache_files:
         from ..data.device_cache import DeviceShuffleCache
@@ -421,9 +429,7 @@ def train_hparam_sweep(
                     for k, tr in trainers.items():
                         m, new_key = tr.train_chunk_shared(
                             state, batch_size, fused)
-                        if verbose:
-                            last[str(k)] = np.asarray(
-                                jax.device_get(m["loss"])).tolist()
+                        last[k] = m["loss"]
                     cache.set_key(new_key)
                     step += fused
                 else:
@@ -432,12 +438,10 @@ def train_hparam_sweep(
                     x = cache.next_batch(batch_size)
                     for k, tr in trainers.items():
                         m = tr.train_step_shared(np.asarray(x))
-                        if verbose:
-                            last[str(k)] = np.asarray(
-                                jax.device_get(m["loss"])).tolist()
+                        last[k] = m["loss"]
                     step += 1
                 if verbose:
-                    print(f"hparam sweep step {step}: loss {last}")
+                    print(f"hparam sweep step {step}: loss {_shown()}")
         finally:
             cache.close()
     else:
@@ -451,16 +455,16 @@ def train_hparam_sweep(
             x = np.asarray(arrays[0], np.float32)
             for k, tr in trainers.items():
                 m = tr.train_step_shared(x)
-                if verbose and (step + 1) % 10 == 0:
-                    last[str(k)] = np.asarray(
-                        jax.device_get(m["loss"])).tolist()
+                last[k] = m["loss"]
             step += 1
             if verbose and step % 10 == 0:
-                print(f"hparam sweep step {step}: loss {last}")
+                print(f"hparam sweep step {step}: loss {_shown()}")
     from ..models.sae.serialize import save_checkpoint
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    final_losses = {k: np.asarray(jax.device_get(v)).reshape(-1)
+                    for k, v in last.items()}
     results = []
     for k, tr in trainers.items():
         for i, hp in enumerate(groups[k]):
@@ -485,7 +489,10 @@ def train_hparam_sweep(
                     },
                 },
             )
-            results.append({"tag": tag, **hp})
+            row = {"tag": tag, **hp}
+            if k in final_losses:
+                row["final_loss"] = float(final_losses[k][i])
+            results.append(row)
     return {"steps": step, "models": results, "out_dir": out_dir}
 
 

@@ -189,6 +189,8 @@ def test_train_hparam_sweep_grid_end_to_end(tmp_path):
             str(tmp_path / "grid" / f"{m['tag']}.pth"))
         assert v == "topk" and act == 8
         assert cfg.k == m["k"]  # the model's OWN grid value
+        # machine-consumable even under verbose=False
+        assert np.isfinite(m["final_loss"])
 
 
 def test_sweep_fused_chunk_matches_per_step(tmp_path):
@@ -258,6 +260,7 @@ def test_train_hparam_sweep_cached_end_to_end(tmp_path):
     )
     # 2 chunks of 2 + a per-step tail of 1
     assert stats["steps"] == 5 and len(stats["models"]) == 4
+    assert all(np.isfinite(m["final_loss"]) for m in stats["models"])
 
 
 def test_train_sweep_end_to_end(tmp_path):
