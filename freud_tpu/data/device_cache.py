@@ -29,6 +29,17 @@ from .loaders import MemoryMappedActivationLoader
 from ..parallel import mesh as mesh_lib
 
 
+def sample_rows_raw(cache: jnp.ndarray, key, batch: int):
+    """``sample_rows`` without the f32 upcast: rows come back in the cache's
+    storage dtype. The pod fused path stages a whole chunk's batches through
+    host assembly — keeping them in storage dtype halves the staging bytes
+    for bf16 caches; the global train program upcasts after slicing, which
+    is bit-identical to upcasting here (bf16→f32 is exact)."""
+    key, sub = jax.random.split(key)
+    idx = jax.random.randint(sub, (batch,), 0, cache.shape[0])
+    return jnp.take(cache, idx, axis=0), key
+
+
 def sample_rows(cache: jnp.ndarray, key, batch: int):
     """Traceable sampling body: (batch rows as f32, advanced key). This is
     THE sampling sequence — ``_sample`` and the trainers' fused scan bodies
@@ -36,9 +47,8 @@ def sample_rows(cache: jnp.ndarray, key, batch: int):
     it, so the fused paths draw bit-identical streams to per-step
     ``next_batch`` structurally, not by copy-paste. A reduced-precision
     cache (cache_dtype) upcasts here — storage dtype is internal."""
-    key, sub = jax.random.split(key)
-    idx = jax.random.randint(sub, (batch,), 0, cache.shape[0])
-    return jnp.take(cache, idx, axis=0).astype(jnp.float32), key
+    rows, key = sample_rows_raw(cache, key, batch)
+    return rows.astype(jnp.float32), key
 
 
 @partial(jax.jit, static_argnames=("batch",), donate_argnums=())

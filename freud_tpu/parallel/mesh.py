@@ -143,6 +143,37 @@ def put_host_batch(mesh: Mesh, local_batch):
         batch_sharding(mesh, local_batch.ndim), local_batch)
 
 
+def chunk_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 1 (batch) over ``data``, replicate the rest — the layout
+    of a fused-chunk batch stack ``(n_steps, batch, ...)``: the scan slices
+    axis 0, leaving each step's batch sharded exactly as ``batch_sharding``
+    places a single batch."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
+def put_host_chunk(mesh: Mesh, local_stack):
+    """``put_host_batch`` for a fused-chunk batch stack: assemble a GLOBAL
+    ``(n_steps, global_batch, ...)`` array from this host's
+    ``(n_steps, local_batch, ...)`` stack (axis 1 sharded over ``data``).
+    This is the pod fused-training input path — ONE assembly per chunk
+    instead of one per step; device-resident local stacks (the pod device
+    cache's fused samples) pass through without a host round-trip. On a
+    single-process mesh the local stack IS the global stack and divisible
+    batches shard in place."""
+    if not is_multiprocess(mesh):
+        if not isinstance(local_stack, jax.Array):
+            local_stack = np.asarray(local_stack)
+        divisible = local_stack.shape[1] % mesh.shape[DATA_AXIS] == 0
+        return jax.device_put(
+            local_stack,
+            chunk_sharding(mesh, local_stack.ndim) if divisible
+            else replicated(mesh))
+    if not isinstance(local_stack, jax.Array):
+        local_stack = np.asarray(local_stack)
+    return jax.make_array_from_process_local_data(
+        chunk_sharding(mesh, local_stack.ndim), local_stack)
+
+
 def host_shard_bounds(global_batch: int, mesh: Mesh) -> tuple[int, int]:
     """[lo, hi) rows of a global batch owned by THIS process under
     ``batch_sharding`` — derived from the sharding's own device→index map

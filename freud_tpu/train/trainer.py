@@ -180,6 +180,8 @@ class SAETrainer:
         self._step_fn = self._build_step_fn()
         self._train_step = jax.jit(self._step_fn, donate_argnums=(0, 1, 2))
         self._chunk_fns: dict = {}
+        self._pod_samplers: dict = {}
+        self._pod_chunk_fns: dict = {}
         self._val_step = self._build_val_step()
 
     # ------------------------------------------------------------- compile
@@ -394,6 +396,83 @@ class SAETrainer:
             self.params, self.opt_state, self.num_frames_since_fired,
             cache_arr, rng)
         cache.set_key(rng)
+        self.step += n_steps
+        return metrics
+
+    def _build_pod_sampler(self, n_steps: int, batch_size: int):
+        """HOST-LOCAL program: draw ``n_steps`` consecutive cache batches in
+        one dispatch — the identical split/randint/take chain as per-step
+        ``next_batch``, stacked on a leading step axis. Rows stay in the
+        cache's storage dtype (sample_rows_raw): a bf16 cache stages half
+        the bytes; the global chunk program upcasts after slicing."""
+
+        def sampler(cache, key):
+            def body(key, _):
+                x, key = device_cache_mod.sample_rows_raw(
+                    cache, key, batch_size)
+                return key, x
+
+            key, xs = jax.lax.scan(body, key, xs=None, length=n_steps)
+            return xs, key
+
+        return jax.jit(sampler)
+
+    def _build_train_chunk_pod(self, n_steps: int):
+        """GLOBAL program for pod fused training: scan the train step over a
+        pre-sampled ``(n_steps, global_batch, T, d)`` stack (axis 1 sharded
+        over ``data`` — mesh_lib.put_host_chunk). Sampling cannot fuse into
+        this program on a pod: each host's cache holds a DIFFERENT file
+        stratum (process-local data), so the sample runs in the host-local
+        sampler program and only the step loop is global."""
+        step_fn = self._step_fn
+        mesh = self.mesh
+
+        def chunk_fn(params, opt_state, counter, batches):
+            constrain = (
+                mesh is not None and mesh.size > 1
+                and batches.shape[1] % mesh.shape[mesh_lib.DATA_AXIS] == 0
+            )
+
+            def body(carry, x):
+                params, opt_state, counter = carry
+                x = x.astype(jnp.float32)
+                if constrain:
+                    x = jax.lax.with_sharding_constraint(
+                        x, mesh_lib.batch_sharding(mesh, x.ndim))
+                params, opt_state, counter, metrics = step_fn(
+                    params, opt_state, counter, x)
+                return (params, opt_state, counter), metrics
+
+            (params, opt_state, counter), ms = jax.lax.scan(
+                body, (params, opt_state, counter), xs=batches)
+            return params, opt_state, counter, ms
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1, 2))
+
+    def train_chunk_pod(self, cache, local_batch: int, n_steps: int) -> dict:
+        """Pod counterpart of ``train_chunk``: ONE host-local dispatch draws
+        this host's ``n_steps`` stratum batches, ONE global assembly per
+        chunk (put_host_chunk) and one scanned global step program — pod
+        training amortizes the per-step dispatch and per-step batch assembly
+        exactly like the single-host fused path. The per-host sample stream
+        is bit-identical to per-step ``next_batch``. Returns the stacked
+        per-step metrics like ``train_chunk``. Works on single-process
+        meshes too (the local stack IS the global stack)."""
+        sampler = self._pod_samplers.get((n_steps, local_batch))
+        if sampler is None:
+            sampler = self._pod_samplers[(n_steps, local_batch)] = (
+                self._build_pod_sampler(n_steps, local_batch))
+        cache_arr, rng = cache.sample_state()
+        stack, rng = sampler(cache_arr, rng)
+        cache.set_key(rng)
+        batches = mesh_lib.put_host_chunk(self.mesh, stack)
+        fn = self._pod_chunk_fns.get(n_steps)
+        if fn is None:
+            fn = self._pod_chunk_fns[n_steps] = (
+                self._build_train_chunk_pod(n_steps))
+        (self.params, self.opt_state, self.num_frames_since_fired,
+         metrics) = fn(self.params, self.opt_state,
+                       self.num_frames_since_fired, batches)
         self.step += n_steps
         return metrics
 
@@ -766,8 +845,10 @@ def train(
     capped at 100 — checkpoint/validation events must land on chunk
     boundaries; TB logging needs no alignment (interior steps log from the
     chunk's per-step metric stack). ``0``/``1`` disables fusion; an
-    explicit value must divide save_every and val_every. Only active on
-    the single-process device-cache path.
+    explicit value must divide save_every and val_every. On pods the fused
+    path samples per host and assembles ONE global batch stack per chunk
+    (SAETrainer.train_chunk_pod); the auto chunk is additionally capped so
+    the staging stack stays within ~1 GB of HBM per host.
 
     ``device_cache_dtype="bfloat16"`` stores the cache window in bf16 (2×
     capacity, half the gather/refresh bytes; samples upcast to f32).
@@ -902,8 +983,17 @@ def train(
             cache_dtype=device_cache_dtype,
         )
 
+    cache_batch = batch_size
+    if multihost and cache is not None:
+        pc = jax.process_count()
+        if batch_size % pc:
+            raise SystemExit(
+                f"batch_size {batch_size} must divide by the process "
+                f"count {pc} for pod device-cache training")
+        cache_batch = batch_size // pc
+
     fused = 0
-    if cache is not None and not multihost:
+    if cache is not None:
         import math
 
         # log events need no chunk alignment (the chunk returns the full
@@ -913,9 +1003,19 @@ def train(
         # compile time, and past ~100 the dispatch is fully amortized. The
         # cap must stay a DIVISOR of the cadence gcd — a plain min() could
         # land chunk ends off the save/val steps and silently skip them.
+        cap = 100
+        if multihost:
+            # the pod fused path stages a whole chunk's per-host samples
+            # (n_steps, local_batch, T, d) through one global assembly —
+            # cap the chunk so that staging stack stays within ~1 GB of
+            # HBM per host (it exists ALONGSIDE the resident cache window)
+            _, t_frames, d_feat = cache.cache.shape
+            step_bytes = (cache_batch * t_frames * d_feat
+                          * cache.cache.dtype.itemsize)
+            cap = min(cap, max(int((1 << 30) // max(step_bytes, 1)), 1))
         g = math.gcd(save_every, val_every)
-        auto = g if g <= 100 else max(
-            d for d in range(1, 101) if g % d == 0)
+        auto = g if g <= cap else max(
+            (k for k in range(1, cap + 1) if g % k == 0), default=1)
         if fused_steps is None:
             fused = auto if auto > 1 else 0
         elif fused_steps and fused_steps > 1:
@@ -927,15 +1027,6 @@ def train(
                         f"{cadence} (checkpoint/validation events must land "
                         "on chunk boundaries)")
             fused = fused_steps
-
-    cache_batch = batch_size
-    if multihost and cache is not None:
-        pc = jax.process_count()
-        if batch_size % pc:
-            raise SystemExit(
-                f"batch_size {batch_size} must divide by the process "
-                f"count {pc} for pod device-cache training")
-        cache_batch = batch_size // pc
 
     def batch_stream():
         if cache is not None:
@@ -971,7 +1062,10 @@ def train(
                 # per-step too
                 first = trainer.step + 1
                 with profiling.span("train_chunk"):
-                    metrics = trainer.train_chunk(cache, cache_batch, fused)
+                    metrics = (
+                        trainer.train_chunk_pod(cache, cache_batch, fused)
+                        if multihost
+                        else trainer.train_chunk(cache, cache_batch, fused))
                 log_steps = [s for s in range(first, trainer.step + 1)
                              if s % log_tb_every == 0]
                 if log_steps:

@@ -132,6 +132,52 @@ def test_fused_chunk_matches_per_step(store, variant, cfg):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_pod_fused_chunk_matches_per_step(store):
+    """train_chunk_pod (the pod fused path: one host-local dispatch samples
+    the chunk's batches, one global assembly, one scanned step program)
+    draws the identical split/randint/take stream as per-step next_batch/
+    train_step — and as the single-host fused train_chunk — and lands on
+    the same parameters. The bf16 cache pins the raw-dtype staging too:
+    staging in storage dtype then upcasting in the global program must be
+    bit-identical to next_batch's upcast-at-sample."""
+    import jax
+    from freud_tpu.train.trainer import SAETrainer
+
+    path, _ = store
+
+    def run(mode):
+        trainer = SAETrainer(
+            "l1", {"n_dict_components": 8, "recon_alpha": 1.0}, 6,
+            optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1}, lr=1e-3, steps=12,
+            seed=3)
+        cache = DeviceShuffleCache(str(path), "L", capacity_files=20,
+                                   refresh_files=0, seed=7,
+                                   cache_dtype="bfloat16")
+        try:
+            if mode == "pod":
+                for _ in range(2):
+                    trainer.train_chunk_pod(cache, 8, 3)
+            elif mode == "chunk":
+                for _ in range(2):
+                    trainer.train_chunk(cache, 8, 3)
+            else:
+                for _ in range(6):
+                    trainer.train_step(np.asarray(cache.next_batch(8)))
+            assert trainer.step == 6
+            return jax.device_get(trainer.params), np.asarray(cache._key)
+        finally:
+            cache.close()
+
+    ref_params, ref_key = run("step")
+    for mode in ("pod", "chunk"):
+        params, key = run(mode)
+        np.testing.assert_array_equal(ref_key, key)
+        for pa, pb in zip(jax.tree_util.tree_leaves(ref_params),
+                          jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(pa, pb, rtol=2e-5, atol=2e-6)
+
+
 def test_bf16_cache_storage(store):
     """cache_dtype="bfloat16": storage is bf16 (half the HBM), samples come
     out as f32 with exactly bf16-rounded values; the fused chunk consumes

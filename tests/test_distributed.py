@@ -100,6 +100,26 @@ stats_c = train(
 cache_ckpts = sorted(os.path.basename(p) for p in
                      glob.glob(run_dir + "_cache/checkpoints/*.pth"))
 
+# pod FUSED device-cache mode (train_chunk_pod): per-host fused sampling +
+# one global assembly per chunk. With the cache covering each host's whole
+# stratum (no refresh) the fused stream is bit-identical to the per-step
+# pod-cache run above — the parent compares their final checkpoints.
+stats_f = train(
+    seed=7, train_folder=store_dir, val_folder=store_dir,
+    run_dir=run_dir + "_fused", lr=1e-3, weight_decay=0.0, steps=4,
+    clip_thresh=1.0, batch_size=4, log_tb_every=100, save_every=100,
+    val_every=100,
+    whisper_config={"layer_name": "encoder.blocks.1", "model": "test:tiny"},
+    optimizer="adam", scheduler="linear",
+    scheduler_params={"num_warmup_steps": 1},
+    autoencoder_variant="l1",
+    autoencoder_config={"expansion_factor": 2, "recon_alpha": 2.0},
+    from_disk=True, enable_transcripts=False, verbose=False, mesh=mesh,
+    device_cache_files=2, fused_steps=2,
+)
+fused_ckpts = sorted(os.path.basename(p) for p in
+                     glob.glob(run_dir + "_fused/checkpoints/*.pth"))
+
 print("DISTJSON " + json.dumps({
     "pid": pid,
     "param_sum": param_sum,
@@ -111,6 +131,8 @@ print("DISTJSON " + json.dumps({
     "ckpts": ckpts,
     "cache_steps": stats_c["steps"],
     "cache_ckpts": cache_ckpts,
+    "fused_steps_done": stats_f["steps"],
+    "fused_ckpts": fused_ckpts,
 }), flush=True)
 '''
 
@@ -227,6 +249,25 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["cache_steps"] == results[1]["cache_steps"] == 4
     assert "step4.pth" in results[0]["cache_ckpts"]
     assert results[1]["cache_ckpts"] == []
+    # pod FUSED device-cache mode (train_chunk_pod): ran, process-0-only
+    # artifacts, and — with refresh disabled — the fused per-host sampling
+    # chain is bit-identical to per-step next_batch, so the two pod cache
+    # runs land on the same parameters
+    assert results[0]["fused_steps_done"] == results[1]["fused_steps_done"] == 4
+    assert "step4.pth" in results[0]["fused_ckpts"]
+    assert results[1]["fused_ckpts"] == []
+    import torch as _torch_mod
+
+    ck_step = _torch_mod.load(
+        run_root / "p0_cache" / "checkpoints" / "step4.pth",
+        weights_only=True)
+    ck_fused = _torch_mod.load(
+        run_root / "p0_fused" / "checkpoints" / "step4.pth",
+        weights_only=True)
+    for k in ck_step["model"]:
+        np.testing.assert_allclose(
+            ck_step["model"][k].numpy(), ck_fused["model"][k].numpy(),
+            rtol=2e-5, atol=2e-6)
     # ...and the per-host-sliced pod run equals a single-process run of the
     # SAME recipe over an identically-shaped (4-way data) mesh
     from freud_tpu.train.trainer import train as train_fn
