@@ -618,24 +618,42 @@ class DeviceValSet:
     (val_every=100 → 1000 validations per tiny_l1 recipe) the per-call
     H2D re-upload of the whole store dominates validation wall on slow
     links (~13 s per 200-file call, tools/bench_cadence.py); resident it
-    is pure device compute. ``ok`` is False when the set exceeds
-    ``max_bytes`` — callers fall back to the streaming loader."""
+    is pure device compute. ``ok`` is False when the set exceeds the
+    byte budget — callers fall back to the streaming loader.
+
+    ``mesh``: a multi-device single-process mesh SHARDS each resident batch
+    over the data axis (batch_sharding — the val program partitions the
+    per-file stats across chips), and ``max_bytes`` becomes a PER-DEVICE
+    cap: a large_v3-scale set (hundreds of 1500×1280 files, multi-GB) that
+    would blow a single chip's budget fits resident once it spreads over
+    the mesh. Pod validation runs on process 0 with a local program, so a
+    multiprocess mesh keeps the single-device placement."""
 
     def __init__(self, loader, val_batch: int = 8,
-                 max_bytes: int = 1 << 30):
+                 max_bytes: int = 1 << 30, mesh=None):
         self.batches = []
         self.ok = False
         if getattr(loader, "activation_type", "tensor") == "indexed":
             return
+        put = jnp.asarray
+        n_shards = 1
+        if (mesh is not None and mesh.size > 1
+                and not mesh_lib.is_multiprocess(mesh)):
+            bucket = getattr(loader, "batch_size", val_batch)
+            n_data = mesh.shape[mesh_lib.DATA_AXIS]
+            if bucket % n_data == 0:
+                put = lambda a: jax.device_put(  # noqa: E731
+                    a, mesh_lib.batch_sharding(mesh, a.ndim))
+                n_shards = n_data
         if hasattr(loader, "set_position"):
             loader.set_position(0)
         total = 0
         for x, n_valid, filenames in _val_batches(loader, val_batch):
             total += x.nbytes
-            if total > max_bytes:
+            if total > max_bytes * n_shards:
                 self.batches = []
                 return
-            self.batches.append((jnp.asarray(x), n_valid, filenames))
+            self.batches.append((put(x), n_valid, filenames))
         self.ok = True
 
     def __iter__(self):
@@ -1103,7 +1121,8 @@ def train(
                         vs = DeviceValSet(
                             val_loader,
                             max_bytes=((1 << 62) if val_device_cache
-                                       else (1 << 30)))
+                                       else (1 << 30)),
+                            mesh=the_mesh)
                         if vs.ok:
                             val_set = vs
                 (

@@ -435,6 +435,54 @@ def test_device_val_set_matches_loader_validation(tmp_path):
     assert not too_small.ok and not too_small.batches
 
 
+def test_device_val_set_sharded_over_mesh(tmp_path):
+    """A multi-device mesh shards each resident val batch over the data
+    axis (the val program partitions across chips) with max_bytes as a
+    PER-DEVICE cap — a set over the single-chip budget fits once spread —
+    and validation results equal the streamed path exactly."""
+    from freud_tpu.data.loaders import init_dataloader
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.parallel import mesh as mesh_lib
+    from freud_tpu.train.trainer import DeviceValSet, SAETrainer, validate
+
+    rng = np.random.default_rng(4)
+    T, d = 12, 8
+    acts = rng.standard_normal((16, T, d)).astype(np.float32)
+    w = ActivationStoreWriter(tmp_path, "L", (T, d), (T, d))
+    w.append_batch([f"f{i}" for i in range(16)], acts, n_frames=[T] * 16)
+    w.close()
+
+    mesh = mesh_lib.make_mesh()  # 8 virtual devices, data axis 8
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    assert n_data == 8
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 100.0}, d,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0, mesh=mesh)
+    loader, _, _ = init_dataloader(True, str(tmp_path), "test:tiny", None,
+                                   "L", batch_size=8, shuffle=False)
+    per_batch_bytes = 8 * T * d * 4
+    # under the per-device cap only BECAUSE it spreads over the mesh: the
+    # whole set (2 batches) exceeds the budget, a 1/8 shard does not
+    vs = DeviceValSet(loader, val_batch=8, mesh=mesh,
+                      max_bytes=per_batch_bytes // 2)
+    assert vs.ok and len(vs.batches) == 2
+    for x, _, _ in vs.batches:
+        assert len(x.sharding.device_set) == n_data, x.sharding
+    unsharded = DeviceValSet(loader, val_batch=8,
+                             max_bytes=per_batch_bytes // 2)
+    assert not unsharded.ok  # same budget, no mesh → over cap
+
+    streamed = validate(tr, str(tmp_path), "L", "test:tiny", True, False,
+                        val_batch=8, loader=loader)
+    resident = validate(tr, str(tmp_path), "L", "test:tiny", True, False,
+                        val_batch=8, device_set=vs)
+    for a, b in zip(streamed[0].values(), resident[0].values()):
+        if a is not None:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(streamed[4], resident[4], rtol=1e-6)
+    np.testing.assert_allclose(streamed[5], resident[5], rtol=1e-6)
+
+
 def test_device_val_set_transcripts_past_keep_horizon(tmp_path):
     """Resident validation with transcripts: when early files fail
     load_audio (skipped without consuming slots), later batches whose
