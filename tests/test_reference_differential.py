@@ -577,6 +577,104 @@ def _l1_convergence_curves(ref, steps, rows=(2, 64), d_act=384, n_dict=200,
     return np.asarray(losses), np.asarray(ref_losses)
 
 
+def _topk_convergence_curves(ref, steps, rows=(2, 64), d_act=384,
+                             expansion=16, k=32, auxk_alpha=1 / 32,
+                             dead_threshold=10_000.0, lr=1e-4,
+                             warmup=1000):
+    """The tiny_topk recipe's hyperparameters (Adam, linear schedule with
+    1k-step warmup, expansion 16, k=32, auxk_alpha=1/32, clip 1.0 —
+    configs/train/tiny_topk.json) at CPU-affordable batch shapes: run the
+    reference torch loop (train_sae.py:417-452, INCLUDING the dead-counter
+    did_fire/reset dynamics and the dead-mask AuxK term) and SAETrainer over
+    the SAME synthetic data stream from the SAME init. ``dead_threshold``
+    defaults to 10k frames instead of the recipe's 1e6 so dead features
+    actually appear within a 1k-step horizon (128 frames/step → first
+    possible death at step ~79) and the AuxK path stays LIVE for most of
+    the run — everything else is the recipe verbatim.
+    → (our losses, ref losses, our dead-pct curve) per step."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    n_dict = d_act * expansion
+    model, _ = _make_ref_topk(ref, d_act=d_act, n_dict=n_dict, k=k)
+    t_opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=0.0)
+    from torch.optim.lr_scheduler import LambdaLR
+
+    # the reference's get_linear_schedule_with_warmup formula
+    t_sched = LambdaLR(
+        t_opt,
+        lambda s: (s / warmup if s < warmup
+                   else max(0.0, (steps - s) / max(1, steps - warmup))))
+
+    trainer = SAETrainer(
+        "topk",
+        {"expansion_factor": expansion, "normalize_decoder": True, "k": k,
+         "multi_topk": False, "auxk_alpha": auxk_alpha,
+         "dead_feature_threshold": dead_threshold},
+        d_act,
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": warmup},
+        lr=lr, steps=steps, clip_thresh=1.0, amp=False,
+    )
+    trainer.params = _topk_params_from_ref(model)
+
+    gt_rng = np.random.default_rng(43)
+    gt = gt_rng.standard_normal((64, d_act)).astype(np.float32)
+    gt /= np.linalg.norm(gt, axis=1, keepdims=True)
+
+    def batch(step):
+        r = np.random.default_rng((43, step))
+        codes = r.exponential(1.0, (*rows, 64)).astype(np.float32)
+        codes[r.random((*rows, 64)) < 0.9] = 0.0
+        x = codes @ gt + 0.01 * r.standard_normal(
+            (*rows, d_act)).astype(np.float32)
+        return x.astype(np.float32)
+
+    counters = torch.zeros(n_dict, dtype=torch.long)
+    losses, ref_losses, dead_pct = [], [], []
+    for s in range(steps):
+        x = batch(s)
+        dead = counters > dead_threshold
+        did_fire = torch.zeros(n_dict, dtype=torch.bool)
+        t_opt.zero_grad()
+        out = model(torch.from_numpy(x), dead_mask=dead)
+        t_loss = out.fvu + out.auxk_loss + out.multi_topk_fvu / 8
+        t_loss.backward()
+        did_fire[out.encoded.top_indices.flatten()] = True
+        counters += x.shape[0] * x.shape[1]
+        counters[did_fire] = 0
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        t_opt.step()
+        t_sched.step()
+        ref_losses.append(t_loss.item())
+        m = trainer.train_step(x)
+        losses.append(float(m["loss"]))
+        dead_pct.append(float(m["dead_pct"]))
+    return (np.asarray(losses), np.asarray(ref_losses),
+            np.asarray(dead_pct))
+
+
+def test_topk_convergence_parity_recipe_scale(ref):
+    """Recipe-scale convergence parity for the TopK variant (VERDICT r4
+    weak-6): 1000 steps of the tiny_topk hyperparameters — the variant with
+    the most hand-written machinery (custom VJP, SWAR bisection,
+    dead-counter dynamics) must track the reference loop's loss CURVE, with
+    the AuxK/dead path live for most of the horizon, not just 5
+    parameter-exact steps. tools/convergence_parity_topk.py records the
+    curve artifact at the full tiny shapes (d_act=384, n_dict=6144); the
+    in-suite run shrinks only d_act (one CPU core — ~0.2 s/step at
+    n_dict=1536 vs ~6× that at 6144), every recipe hyperparameter and the
+    loop semantics identical."""
+    losses, ref_losses, dead_pct = _topk_convergence_curves(
+        ref, steps=1000, d_act=96)
+    # real convergence happened and the dead/AuxK dynamics actually engaged
+    assert ref_losses[-100:].mean() < 0.5 * ref_losses[:10].mean()
+    assert dead_pct[-1] > 0.0, "dead features never appeared — AuxK untested"
+    rel = np.abs(losses - ref_losses) / np.abs(ref_losses)
+    assert rel.max() < 0.02, f"per-step divergence {rel.max():.4f}"
+    final = abs(losses[-100:].mean() - ref_losses[-100:].mean())
+    assert final / ref_losses[-100:].mean() < 0.01
+
+
 def test_l1_convergence_parity_recipe_scale(ref):
     """Recipe-scale convergence parity (VERDICT r3 item 3): 1000 steps of
     the tiny_l1 hyperparameters (recon_alpha 1e4, RAdam eps 1e-5 + cosine,

@@ -6,11 +6,20 @@ Separates three candidate costs in the campaign's 45-75 s/100-step cycles
   b) background refresh contention (refresh on vs cache-covers-store)
   c) axon backend drift (compare within THIS process only)
 
-Run:  PYTHONPATH="/root/repo:$PYTHONPATH" python tools/bench_large_chunk.py
+Run:  PYTHONPATH="/root/repo:$PYTHONPATH" python tools/bench_large_chunk.py \
+          [--phase {1,2,3}]
+(no --phase: chunk phases 1-2 only; phase 3 — validation interleave with the
+large-v1 runtime resident — needs a FRESH process: on a 16 GB chip the
+phase-1/2 caches/trainers leave too little HBM for the whisper weights.)
+
+Measured (r5, v5e): phase 1 no-refresh 14.3 s/100-step chunk (the r3 floor
+exactly); phase 2 refresh-live 14.1-14.2 s — refresh contention ZERO (the
+producer-thread H2D fully overlaps). Phase 3: see ROADMAP round-5.
 """
 
 from __future__ import annotations
 
+import argparse
 import time
 
 import jax
@@ -19,6 +28,11 @@ import freud_tpu  # noqa: F401
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", type=int, default=0, choices=(0, 1, 2, 3))
+    args = ap.parse_args()
+    if args.phase == 3:
+        return phase3()
     from freud_tpu.data.device_cache import DeviceShuffleCache
     from freud_tpu.train.trainer import SAETrainer
 
@@ -28,8 +42,11 @@ def main():
               "multi_topk": False, "auxk_alpha": 0.03125,
               "dead_feature_threshold": 1e6}
 
-    for label, cap in (("no-refresh (cache=512=all files)", 512),
-                       ("refresh-live (cache=384 of 512)", 384)):
+    phases = [("no-refresh (cache=512=all files)", 512),
+              ("refresh-live (cache=384 of 512)", 384)]
+    if args.phase:
+        phases = [phases[args.phase - 1]]
+    for label, cap in phases:
         cache = DeviceShuffleCache(
             store, layer, capacity_files=cap, cache_dtype="bfloat16")
         d = cache.cache.shape[-1]
@@ -55,12 +72,21 @@ def main():
         cache.close()
         del trainer
 
-    # phase 3: the campaign condition — validation (DeviceValSet +
-    # random:large-v1 transcripts) interleaved between chunks, chunk time
-    # measured separately from validation time
+
+def phase3():
+    # the campaign condition — validation (DeviceValSet + random:large-v1
+    # transcripts) interleaved between chunks, chunk time measured
+    # separately from validation time
+    from freud_tpu.data.device_cache import DeviceShuffleCache
     from freud_tpu.models.whisper import WhisperRuntime
     from freud_tpu.train.trainer import DeviceValSet, init_dataloader, validate
+    from freud_tpu.train.trainer import SAETrainer
 
+    store = "/tmp/freud_large_recipe/train"
+    layer = "encoder.blocks.16"
+    ae_cfg = {"expansion_factor": 16, "normalize_decoder": True, "k": 32,
+              "multi_topk": False, "auxk_alpha": 0.03125,
+              "dead_feature_threshold": 1e6}
     cache = DeviceShuffleCache(
         store, layer, capacity_files=384, cache_dtype="bfloat16")
     trainer = SAETrainer(
@@ -93,6 +119,14 @@ def main():
         _ = float(metrics["loss"][-1])
         print(f"[interleaved] val {t_val:.1f} s, "
               f"chunk {time.perf_counter() - t0:.1f} s", flush=True)
+    # streamed-vs-resident at the large shapes: the same validation call
+    # re-uploading the whole val store per call (DeviceValSet disabled)
+    for it in range(2):
+        t0 = time.perf_counter()
+        validate(trainer, val_folder, layer, "random:large-v1", True,
+                 log_base_transcripts=False, transcriber=transcriber,
+                 loader=val_loader, device_set=None)
+        print(f"[streamed] val {time.perf_counter() - t0:.1f} s", flush=True)
     cache.close()
 
 
