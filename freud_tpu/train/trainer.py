@@ -546,15 +546,21 @@ class SAETrainer:
         rng_states = (np.random.get_state(), _random.getstate())
 
         def work():
-            host_params = jax.device_get(snap_params)
-            host_opt = jax.device_get(snap_opt)
-            extra = {
-                "num_frames_since_fired": _to_torch(np.asarray(snap_fired))}
-            for path in paths:
-                save_trainer_checkpoint(
-                    path, variant, host_params, host_opt, step, best,
-                    hparams, extra=extra, rng_states=rng_states,
-                )
+            # spanned so campaign decompositions see the background D2H
+            # volume (the fetch overlaps training but still serializes the
+            # host link — at recipe cadence the large_v1 bestval is ~630 MB
+            # per improving validation)
+            with profiling.span("checkpoint_write"):
+                host_params = jax.device_get(snap_params)
+                host_opt = jax.device_get(snap_opt)
+                extra = {
+                    "num_frames_since_fired": _to_torch(
+                        np.asarray(snap_fired))}
+                for path in paths:
+                    save_trainer_checkpoint(
+                        path, variant, host_params, host_opt, step, best,
+                        hparams, extra=extra, rng_states=rng_states,
+                    )
 
         writer.submit(work)
 
@@ -1125,13 +1131,16 @@ def train(
                             mesh=the_mesh)
                         if vs.ok:
                             val_set = vs
-                (
-                    losses_dict, subbed, base_ts, base_files, mag_maxes, mag_stds,
-                ) = validate(
-                    trainer, val_folder, layer_name, whisper_model, from_disk,
-                    not logged_base_transcripts, transcriber=transcriber,
-                    loader=val_loader, device_set=val_set,
-                )
+                with profiling.span("validate"):
+                    (
+                        losses_dict, subbed, base_ts, base_files,
+                        mag_maxes, mag_stds,
+                    ) = validate(
+                        trainer, val_folder, layer_name, whisper_model,
+                        from_disk, not logged_base_transcripts,
+                        transcriber=transcriber,
+                        loader=val_loader, device_set=val_set,
+                    )
                 logged_base_transcripts = True
                 # an EMPTY validation set leaves every loss None — warn and skip
                 # the scalar logging instead of crashing the run on

@@ -15,8 +15,9 @@ audio):
      the fused multi-step path, every cadence at the reference value
 
 Run:  python tools/run_large_recipe.py [--steps 2500] [--skip-collect]
-Record: prints a JSON summary; measured numbers live in ROADMAP.md's
-round-4 close section.
+Record: prints a JSON summary (train stats + the profiling-span stage
+decomposition: train_chunk / validate / checkpoint_write walls); measured
+numbers live in ROADMAP.md's round-5 summary.
 """
 
 from __future__ import annotations
@@ -108,11 +109,20 @@ def main():
     # weights (zero egress), so point validation transcripts at the seeded
     # random model the store was collected with.
     cfg["whisper_config"]["model"] = "random:large-v1"
+    from freud_tpu import profiling
+
     print("\n== train ==", flush=True)
+    profiling.reset()
     t0 = time.perf_counter()
     stats = train(**cfg)
     stats["wall_s"] = round(time.perf_counter() - t0, 1)
     summary["train"] = stats
+    summary["stages"] = {
+        k: {"total_s": round(v["total_s"], 1), "count": v["count"]}
+        for k, v in profiling.stats().items()
+        if k in ("train_chunk", "train_step", "validate", "checkpoint_write")
+    }
+    print(profiling.report(), flush=True)
     print(json.dumps(summary))
 
 
