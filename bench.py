@@ -224,7 +224,8 @@ def bench_sae_train(batch: int = 100, iters: int = 200, warmup: int = 5) -> dict
 
 def bench_sae_train_cached(batch: int = 100, chunks: int = 5,
                            fused: int = 100, warmup: int = 2,
-                           n_files: int = 128, capacity: int = 64) -> dict:
+                           n_files: int = 128, capacity: int = 64,
+                           cache_dtype: str = "float32") -> dict:
     """tiny_l1 recipe through the PRODUCTION input path: a device shuffle
     cache over a real on-disk store, sampled + stepped inside the fused
     multi-step program (SAETrainer.train_chunk — one dispatch per ``fused``
@@ -256,7 +257,8 @@ def bench_sae_train_cached(batch: int = 100, chunks: int = 5,
             optimizer="radam", scheduler="cosine", lr=4e-4, steps=100_000,
             clip_thresh=1.0,
         )
-        cache = DeviceShuffleCache(tmp, "encoder.blocks.2", capacity)
+        cache = DeviceShuffleCache(tmp, "encoder.blocks.2", capacity,
+                                   cache_dtype=cache_dtype)
         try:
             m = trainer.train_chunk(cache, batch, fused)  # compile
             for _ in range(max(warmup - 1, 0)):
@@ -288,6 +290,92 @@ def bench_sae_train_cached(batch: int = 100, chunks: int = 5,
         "fused": fused,
         "mfu_pct": _mfu(n_steps * step_flops, fused_elapsed),
     }
+
+
+def bench_large_topk_cached(batch: int = 32, chunks: int = 3,
+                            fused: int = 100, n_files: int = 64,
+                            capacity: int = 48) -> dict:
+    """large_v1_audioset through the PRODUCTION input path: d=1280,
+    n_dict=20480, k=32, bf16 device shuffle cache (the documented
+    production configuration), fused 100-step chunks, background refresh
+    LIVE (capacity < store). This is the row the round-4 campaign left
+    unevidenced: the r5 decomposition (tools/bench_large_chunk.py) measured
+    the bare chunk at 14.1-14.3 s/100 steps — the r3 per-step floor
+    exactly — with refresh contention ZERO; the campaign's 45-75 s cycles
+    were validation (~6.5 s steady-state per val_every=100 cycle) plus
+    first-compile amortization and cross-run backend drift."""
+    from freud_tpu.data.device_cache import DeviceShuffleCache
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.train.trainer import SAETrainer
+
+    d_in, T = 1280, 1500
+    tmp = tempfile.mkdtemp(prefix="freud_bench_lcache_")
+    try:
+        rng = np.random.default_rng(0)
+        w = ActivationStoreWriter(tmp, "encoder.blocks.16", (T, d_in),
+                                  (T, d_in), store_dtype="float16")
+        for i in range(0, n_files, 8):
+            n = min(8, n_files - i)
+            w.append_batch(
+                [f"f{i + j}.wav" for j in range(n)],
+                rng.standard_normal((n, T, d_in)).astype(np.float32))
+        w.close()
+
+        trainer = SAETrainer(
+            "topk",
+            {"expansion_factor": 16, "normalize_decoder": True, "k": 32,
+             "multi_topk": False, "auxk_alpha": 0.03125,
+             "dead_feature_threshold": 1e6},
+            d_in, optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1000}, lr=1e-4,
+            steps=25_000, clip_thresh=1.0,
+        )
+        cache = DeviceShuffleCache(tmp, "encoder.blocks.16", capacity,
+                                   cache_dtype="bfloat16")
+        try:
+            m = trainer.train_chunk(cache, batch, fused)  # compile
+            float(np.asarray(m["loss"])[-1])
+            t0 = time.perf_counter()
+            for _ in range(chunks):
+                m = trainer.train_chunk(cache, batch, fused)
+            float(np.asarray(m["loss"])[-1])
+            elapsed = time.perf_counter() - t0
+        finally:
+            cache.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_steps = chunks * fused
+    step_flops = flops_mod.sae_topk_step_flops(batch * T, d_in,
+                                               trainer.n_dict_components)
+    return {
+        "steps_per_sec_fused": n_steps / elapsed,
+        "fused": fused,
+        "mfu_pct": _mfu(n_steps * step_flops, elapsed),
+    }
+
+
+def bench_link(mb: int = 32) -> dict:
+    """Self-calibration of the host↔device link (VERDICT r4 weak-3): one
+    timed raw-bytes D2H fetch + a scalar round-trip. The e2e collection row
+    is link-bound on tunneled backends and its RTFx drifts 4-6× across
+    runs with the tunnel's state — carrying the measured link bandwidth in
+    the same JSON gives every round's e2e number its own drift context."""
+    n = mb * (1 << 20) // 4
+
+    @jax.jit
+    def make(x):
+        return x * 2.0, jnp.sum(x)
+
+    arr, s = make(jnp.arange(n, dtype=jnp.float32))
+    float(s)  # force execution so the fetch below times ONLY the transfer
+    t0 = time.perf_counter()
+    np.asarray(arr)
+    d2h_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(make(jnp.zeros((8,), jnp.float32))[1])
+    rtt_s = (time.perf_counter() - t0) / 5
+    return {"d2h_mbps": mb / d2h_s, "rtt_ms": rtt_s * 1e3}
 
 
 def bench_topk_train(batch: int = 50, iters: int = 60, warmup: int = 3) -> dict:
@@ -322,6 +410,177 @@ def bench_large_l1_train(batch: int = 16, iters: int = 30, warmup: int = 3) -> d
         "l1", {"expansion_factor": 16, "recon_alpha": 1e4}, 1280, batch,
         "radam", "cosine", iters, warmup, steps=25_000,
     )
+
+
+def bench_search(n_files: int = 1024, batch: int = 64, d: int = 384,
+                 T: int = 1500) -> dict:
+    """Analytics/search surface (VERDICT r4 weak-2): speed evidence for the
+    north star's "activation search runs as an on-device top-k scan".
+
+    (a) full-store scan: ``top_activations`` (the /top_files core,
+        server/app.py routes the endpoint straight to it) over a
+        1024-file dense f16 store with NO feature-major index — chunks
+        stream to the device, one jitted masked-reduction per chunk.
+        Link-bound on tunneled backends (the whole store crosses H2D);
+        reported as RTFx of audio-seconds covered per wall second.
+    (b) dense plane query: the same query through the transposed
+        feature-major index (data/feature_store.py) — reads ONE
+        (files, time) plane (~6 MB here) instead of the full store.
+    (c) sparse (TopK CSR) plane query over an indexed store.
+    Correctness for all three paths is pinned by tests/test_search.py;
+    these are the latency/throughput numbers."""
+    from freud_tpu.analysis.search import top_activations
+    from freud_tpu.data import feature_store as fs
+    from freud_tpu.data.loaders import MemoryMappedActivationLoader
+    from freud_tpu.data.store import ActivationStoreWriter
+
+    layer = "encoder.blocks.2"
+    rng = np.random.default_rng(0)
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="freud_bench_search_")
+    try:
+        w = ActivationStoreWriter(tmp, layer, (T, d), (T, d),
+                                  store_dtype="float16")
+        for i in range(0, n_files, 32):
+            n = min(32, n_files - i)
+            w.append_batch([f"f{i + j}.wav" for j in range(n)],
+                           rng.standard_normal((n, T, d)).astype(np.float32),
+                           n_frames=[T] * n)
+        w.close()
+        loader = MemoryMappedActivationLoader(
+            tmp, layer, batch, shuffle=False, drop_last=False)
+        top_activations(loader, 5, 10)  # compile warmup
+        t0 = time.perf_counter()
+        top_activations(loader, 7, 10)
+        scan_s = time.perf_counter() - t0
+        out["scan_s"] = round(scan_s, 3)
+        out["scan_rtfx"] = round(n_files * 30.0 / scan_s, 1)
+        out["scan_files"] = n_files
+
+        fs.build_feature_major_index(tmp, layer, verbose=False)
+        top_activations(loader, 5, 10)  # plane-path warmup
+        t0 = time.perf_counter()
+        top_activations(loader, 9, 10)
+        out["plane_query_s"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k, n_dict, n_sparse = 32, 6144, 512
+    tmp = tempfile.mkdtemp(prefix="freud_bench_sparse_")
+    try:
+        w = ActivationStoreWriter(tmp, layer, (T, k), (T, n_dict),
+                                  indexed=True, store_dtype="float16")
+        for i in range(0, n_sparse, 32):
+            n = min(32, n_sparse - i)
+            w.append_batch(
+                [f"f{i + j}.wav" for j in range(n)],
+                rng.standard_normal((n, T, k)).astype(np.float32),
+                rng.integers(0, n_dict, (n, T, k)),
+                n_frames=[T] * n)
+        w.close()
+        fs.build_sparse_feature_major_index(tmp, layer, verbose=False)
+        loader = MemoryMappedActivationLoader(
+            tmp, layer, batch, shuffle=False, drop_last=False)
+        top_activations(loader, 5, 10)  # warmup
+        t0 = time.perf_counter()
+        top_activations(loader, 9, 10)
+        out["sparse_plane_query_s"] = round(time.perf_counter() - t0, 3)
+        out["sparse_files"] = n_sparse
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def bench_server_analytics() -> dict:
+    """End-to-end latency of the serving analytics endpoints THROUGH
+    server/app.py (VERDICT r4 weak-2 c/d): a live threaded HTTP server over
+    a real collected store (random:tiny), timing steady-state (post-compile)
+    GET /top_files, POST /top_features and POST /manipulate_feature —
+    upload parsing, decode, mel, whisper capture, SAE-less raw-channel
+    analytics, transcript decodes and JSON serialization all included."""
+    import io
+    import threading
+    import urllib.request
+    from freud_tpu.scripts.collect_activations import get_activations
+    from freud_tpu.server.app import GuiState, create_server
+
+    tmp = tempfile.mkdtemp(prefix="freud_bench_srv_")
+    out: dict = {}
+    server = None
+    try:
+        audio_dir = Path(tmp) / "audio"
+        audio_dir.mkdir()
+        rng = np.random.default_rng(0)
+        sr = 16_000
+        for i in range(8):
+            x = np.clip(rng.standard_normal(sr * 5) * 0.15, -1, 1)
+            with wave.open(str(audio_dir / f"c{i}.wav"), "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(sr)
+                wv.writeframes((x * 32767.0).astype("<i2").tobytes())
+        store = Path(tmp) / "acts"
+        get_activations(
+            data_path=str(audio_dir), layer_name="encoder.blocks.2",
+            whisper_model="random:tiny", sae_model=None, batch_size=8,
+            out_folder=str(store), verbose=False)
+        state = GuiState(
+            {"whisper_model": "random:tiny", "sae_model": None,
+             "layer_name": "encoder.blocks.2", "batch_size": 8,
+             "data_path": str(audio_dir), "out_folder": str(store),
+             "dl_max_workers": 0},
+            from_disk=True)
+        server = create_server(state, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(sr)
+            wv.writeframes((np.clip(
+                rng.standard_normal(sr * 5) * 0.15, -1, 1)
+                * 32767.0).astype("<i2").tobytes())
+        wav_bytes = buf.getvalue()
+
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=1200) as r:
+                return r.read()
+
+        def post(path):
+            boundary = "benchboundary42"
+            body = (
+                f"--{boundary}\r\n"
+                'Content-Disposition: form-data; name="audio"; '
+                'filename="u.wav"\r\n'
+                "Content-Type: audio/wav\r\n\r\n"
+            ).encode() + wav_bytes + f"\r\n--{boundary}--\r\n".encode()
+            req = urllib.request.Request(
+                base + path, data=body,
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={boundary}"})
+            with urllib.request.urlopen(req, timeout=1200) as r:
+                return r.read()
+
+        for name, fn in (
+            ("top_files", lambda: get("/top_files?feature_idx=5&n_files=5")),
+            ("top_features", lambda: post("/top_features?top_n=16")),
+            ("manipulate_feature",
+             lambda: post("/manipulate_feature?feat_idx=3"
+                          "&manipulation_factor=1.5")),
+        ):
+            fn()  # compile/warmup call
+            t0 = time.perf_counter()
+            for _ in range(3):
+                fn()
+            out[f"{name}_s"] = round((time.perf_counter() - t0) / 3, 3)
+    finally:
+        if server is not None:
+            server.shutdown()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def bench_serving(batch: int = 8, max_new: int = 224, iters: int = 5,
@@ -422,13 +681,49 @@ def main():
     except Exception:  # the headline metrics must never die on the extra rows
         pass
     try:
-        cached = bench_sae_train_cached()
+        # bf16 cache window is the documented production configuration
+        # (docs/SCALING.md): headline cached row runs it; the f32 row stays
+        # for comparison
+        cached16 = bench_sae_train_cached(cache_dtype="bfloat16")
         extras["tiny_l1_cached_fused_steps_per_sec"] = round(
-            cached["steps_per_sec_fused"], 2)
+            cached16["steps_per_sec_fused"], 2)
         extras["tiny_l1_cached_per_step_steps_per_sec"] = round(
-            cached["steps_per_sec_per_step"], 2)
-        extras["tiny_l1_cached_fused_chunk"] = cached["fused"]
-        extras["tiny_l1_cached_mfu_pct"] = cached["mfu_pct"]
+            cached16["steps_per_sec_per_step"], 2)
+        extras["tiny_l1_cached_fused_chunk"] = cached16["fused"]
+        extras["tiny_l1_cached_mfu_pct"] = cached16["mfu_pct"]
+        extras["tiny_l1_cached_dtype"] = "bfloat16"
+        cached = bench_sae_train_cached()
+        extras["tiny_l1_cached_fused_f32_steps_per_sec"] = round(
+            cached["steps_per_sec_fused"], 2)
+    except Exception:
+        pass
+    try:
+        lcached = bench_large_topk_cached()
+        extras["large_v1_topk_cached_fused_steps_per_sec"] = round(
+            lcached["steps_per_sec_fused"], 2)
+        extras["large_v1_topk_cached_mfu_pct"] = lcached["mfu_pct"]
+    except Exception:
+        pass
+    try:
+        search = bench_search()
+        extras["search_scan_rtfx"] = search["scan_rtfx"]
+        extras["search_scan_s"] = search["scan_s"]
+        extras["search_scan_files"] = search["scan_files"]
+        extras["search_plane_query_s"] = search["plane_query_s"]
+        extras["search_sparse_plane_query_s"] = search["sparse_plane_query_s"]
+    except Exception:
+        pass
+    try:
+        srv = bench_server_analytics()
+        extras["server_top_files_s"] = srv["top_files_s"]
+        extras["server_top_features_s"] = srv["top_features_s"]
+        extras["server_manipulate_feature_s"] = srv["manipulate_feature_s"]
+    except Exception:
+        pass
+    try:
+        link = bench_link()
+        extras["link_d2h_mbps"] = round(link["d2h_mbps"], 1)
+        extras["link_rtt_ms"] = round(link["rtt_ms"], 1)
     except Exception:
         pass
     try:
