@@ -34,26 +34,39 @@ ROOT = Path("/tmp/freud_large_recipe")
 CORPUS = Path.home() / ".cache" / "freud_tpu" / "bench_corpus_v1"
 
 
-def _val_corpus(n_files: int = 64) -> Path:
-    """Synthetic val WAVs, disjoint from the train corpus (seed differs)."""
-    root = ROOT / "val_corpus"
+def _synth_corpus(root: Path, n_files: int, seed: int, prefix: str,
+                  stride: int) -> Path:
+    """Synthetic WAV corpus (16 kHz mono int16, durations cycling 5-15 s);
+    idempotent via a count marker. The train corpus matches bench.py's
+    `_ensure_corpus` layout/seed exactly so the two share the disk cache."""
     marker = root / ".complete"
     if marker.exists() and marker.read_text().strip() == str(n_files):
         return root
     root.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(9100)
+    rng = np.random.default_rng(seed)
     sr = 16_000
     for i in range(n_files):
-        dur = 5.0 + 10.0 * ((i * 53) % 101) / 100.0
-        x = np.clip(rng.standard_normal(int(sr * dur)) * 0.15, -1, 1)
+        dur = 5.0 + 10.0 * ((i * stride) % 101) / 100.0
+        x = np.clip(rng.standard_normal(int(sr * dur)).astype(np.float32)
+                    * 0.15, -1, 1)
         pcm = (x * 32767.0).astype("<i2")
-        with wave.open(str(root / f"val_{i:04d}.wav"), "wb") as w:
+        with wave.open(str(root / f"{prefix}_{i:05d}.wav"), "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
             w.setframerate(sr)
             w.writeframes(pcm.tobytes())
     marker.write_text(str(n_files))
     return root
+
+
+def _train_corpus() -> Path:
+    return _synth_corpus(CORPUS, 1024, seed=0, prefix="clip", stride=37)
+
+
+def _val_corpus(n_files: int = 64) -> Path:
+    """Synthetic val WAVs, disjoint from the train corpus (seed differs)."""
+    return _synth_corpus(ROOT / "val_corpus", n_files, seed=9100,
+                         prefix="val", stride=53)
 
 
 def collect(data_path: Path, subdir: str, collect_max: int) -> dict:
@@ -87,7 +100,7 @@ def main():
     summary: dict = {"recipe": "large_v1_audioset", "steps": args.steps}
     if not args.skip_collect:
         print("== collect: train store (512 files) ==", flush=True)
-        summary["collect_train"] = collect(CORPUS, "train", 512)
+        summary["collect_train"] = collect(_train_corpus(), "train", 512)
         print("\n== collect: val store (64 files, disjoint corpus) ==",
               flush=True)
         summary["collect_val"] = collect(_val_corpus(), "val", 64)
