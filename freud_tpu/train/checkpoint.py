@@ -11,7 +11,6 @@ treedef-free leaves restored against a freshly initialized state.
 
 from __future__ import annotations
 
-import queue
 import random
 import threading
 from typing import Any, Callable
@@ -121,46 +120,88 @@ class AsyncCheckpointWriter:
 
     One save may be queued while one is in flight (bounded staging — at
     most two parameter snapshots alive beyond the live state). A third
-    ``submit`` blocks: checkpoints are ordered, never dropped. Errors
-    surface on the next ``submit``/``flush`` — a silently dead writer
-    would end a 100k-step run with stale checkpoints."""
+    ``submit`` normally blocks: checkpoints are ordered, never silently
+    lost. The exception is COALESCING: a submit carrying the same
+    ``coalesce`` key as the still-queued (not yet started) item REPLACES
+    it — both writes target the same path(s) and the new snapshot is
+    strictly newer, so the final disk state is identical and only a
+    transient intermediate file is skipped. This is the bestval cadence
+    fix: a converging run improves on EVERY validation
+    (train_sae.py:590-595), and when the link is slower than the
+    validation cadence (the 2500-step large_v1 campaign measured 57 s per
+    630 MB bestval fetch against a ~70 s cycle — ROADMAP round-5) the
+    writer otherwise stalls training while superseded snapshots drain.
+    Dropping a queued snapshot also frees its on-device staging copy
+    immediately. Errors surface on the next ``submit``/``flush`` — a
+    silently dead writer would end a 100k-step run with stale
+    checkpoints."""
 
     def __init__(self):
-        self._q: queue.Queue = queue.Queue(maxsize=1)
+        self._cv = threading.Condition()
+        self._queued: tuple[object, Callable[[], None]] | None = None
+        self._busy = False
+        self._closed = False
         self._error: BaseException | None = None
+        self.dropped = 0  # superseded (coalesced-away) snapshots
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         while True:
-            work = self._q.get()
-            try:
-                if work is None:
+            with self._cv:
+                while self._queued is None and not self._closed:
+                    self._cv.wait()
+                if self._queued is None:
                     return
+                _, work = self._queued
+                self._queued = None
+                self._busy = True
+                self._cv.notify_all()
+            try:
                 work()
             except BaseException as e:
                 self._error = e
             finally:
-                self._q.task_done()
+                with self._cv:
+                    self._busy = False
+                    self._cv.notify_all()
 
     def _raise_pending(self):
         if self._error is not None:
             err, self._error = self._error, None
             raise RuntimeError("async checkpoint write failed") from err
 
-    def submit(self, work: Callable[[], None]) -> None:
+    def submit(self, work: Callable[[], None], coalesce=None) -> None:
+        """Queue a write. ``coalesce``: an optional key; if the queued
+        (unstarted) item carries the same key, it is superseded by this
+        one instead of being waited for. Only pass a key when the two
+        writes are interchangeable-except-newer (same target paths)."""
         self._raise_pending()
-        self._q.put(work)
+        with self._cv:
+            if (coalesce is not None and self._queued is not None
+                    and self._queued[0] == coalesce):
+                self._queued = (coalesce, work)
+                self.dropped += 1
+                return
+            while self._queued is not None:
+                self._cv.wait()
+            self._queued = (coalesce, work)
+            self._cv.notify_all()
 
     def flush(self) -> None:
         """Block until every submitted checkpoint is on disk."""
-        self._q.join()
+        with self._cv:
+            while self._queued is not None or self._busy:
+                self._cv.wait()
         self._raise_pending()
 
     def close(self) -> None:
         """Flush, stop the thread, and surface any pending error."""
-        self._q.join()
-        self._q.put(None)
+        with self._cv:
+            while self._queued is not None or self._busy:
+                self._cv.wait()
+            self._closed = True
+            self._cv.notify_all()
         self._thread.join(timeout=60)
         self._raise_pending()
 

@@ -337,7 +337,20 @@ class SAETrainer:
             def val_fn(params, batch):
                 return jax.vmap(lambda x: per_file(params, x))(batch)
 
-        return jax.jit(val_fn)
+        def val_full(params, batch):
+            out = val_fn(params, batch)
+            # transcript transport head: only the first N_TRANSCRIPTS files'
+            # reconstructions ever feed transcripts (validate()), so the
+            # fetchable copy is sliced ON DEVICE and cast to bf16 — at
+            # large_v1 val shapes this is 61 MB → 15 MB per validation on
+            # the host link. The full-precision ``sae_out`` stays available
+            # as a device handle for the on-demand fallback (load-audio
+            # failures pushing transcript slots past the head).
+            out["sae_out_head"] = (
+                out["sae_out"][:N_TRANSCRIPTS].astype(jnp.bfloat16))
+            return out
+
+        return jax.jit(val_full)
 
     # -------------------------------------------------------------- public
 
@@ -549,20 +562,29 @@ class SAETrainer:
             # spanned so campaign decompositions see the background D2H
             # volume (the fetch overlaps training but still serializes the
             # host link — at recipe cadence the large_v1 bestval is ~630 MB
-            # per improving validation)
+            # per improving validation); the d2h/disk sub-spans split the
+            # link cost from the torch.save cost
             with profiling.span("checkpoint_write"):
-                host_params = jax.device_get(snap_params)
-                host_opt = jax.device_get(snap_opt)
-                extra = {
-                    "num_frames_since_fired": _to_torch(
-                        np.asarray(snap_fired))}
-                for path in paths:
-                    save_trainer_checkpoint(
-                        path, variant, host_params, host_opt, step, best,
-                        hparams, extra=extra, rng_states=rng_states,
-                    )
+                with profiling.span("checkpoint_d2h"):
+                    host_params = jax.device_get(snap_params)
+                    host_opt = jax.device_get(snap_opt)
+                with profiling.span("checkpoint_disk"):
+                    extra = {
+                        "num_frames_since_fired": _to_torch(
+                            np.asarray(snap_fired))}
+                    for path in paths:
+                        save_trainer_checkpoint(
+                            path, variant, host_params, host_opt, step, best,
+                            hparams, extra=extra, rng_states=rng_states,
+                        )
 
-        writer.submit(work)
+        # pure-bestval writes coalesce: a queued superseded snapshot is
+        # replaced by the newer one (same path, strictly better loss — the
+        # final disk state is identical; see AsyncCheckpointWriter). Writes
+        # that include a step checkpoint are never dropped.
+        coalesce = ("bestval" if all(
+            p.endswith("bestval.pth") for p in paths) else None)
+        writer.submit(work, coalesce=coalesce)
 
     def load(self, path: str) -> None:
         params, opt_state, step, best, ckpt = load_trainer_checkpoint(
@@ -715,14 +737,17 @@ def validate(
     # build: one compiled program for the whole set — a second remote
     # compile costs minutes on the tunneled TPU; padded files are sliced
     # away from every per-file output below)
-    # ``sae_out`` (the full (B, T, d) reconstruction, ~18 MB/batch) is
-    # EXCLUDED from fetches unless the batch actually feeds transcripts:
-    # fetching it for every batch dominated validation wall-clock on the
-    # tunneled link (measured ~35-45 s per 200-file validation; the
-    # reference cadence is val_every=100, so per-call cost is the whole
-    # ballgame). Per-key device slices/sums would each compile a fresh
-    # program remotely (CLAUDE.md's ad-hoc-indexing rule) — all
-    # post-processing is numpy.
+    # ``sae_out`` (the full (B, T, d) f32 reconstruction, ~18 MB/batch tiny,
+    # 61 MB/batch large_v1) NEVER rides the batched fetch: batches that feed
+    # transcripts fetch ``sae_out_head`` — the first N_TRANSCRIPTS rows,
+    # bf16, sliced/cast inside the jitted val program (_build_val_step) —
+    # and everything else fetches stats only. Fetching the full f32 tensor
+    # per batch dominated validation wall-clock on the tunneled link
+    # (measured ~35-45 s per 200-file validation; the reference cadence is
+    # val_every=100, so per-call cost is the whole ballgame). Per-key
+    # device slices/sums OUTSIDE the jit would each compile a fresh program
+    # remotely (CLAUDE.md's ad-hoc-indexing rule) — all post-processing is
+    # numpy.
     def results():
         if device_set is not None and device_set.ok:
             # resident path: dispatch EVERY batch's program first (async),
@@ -739,9 +764,11 @@ def validate(
                 keeps.append(transcriber is not None
                              and budget < N_TRANSCRIPTS)
                 budget += n_valid
-            outs_host = jax.device_get(
-                [{k: v for k, v in od.items() if k != "sae_out" or keep}
-                 for od, keep in zip(outs_dev, keeps)])
+            with profiling.span("val_fetch"):
+                outs_host = jax.device_get(
+                    [{k: v for k, v in od.items()
+                      if k != "sae_out" and (k != "sae_out_head" or keep)}
+                     for od, keep in zip(outs_dev, keeps)])
             for out, od, (_, n_valid, fnames) in zip(outs_host, outs_dev,
                                                      trios):
                 yield out, n_valid, fnames, od
@@ -754,7 +781,8 @@ def validate(
                 # whenever the transcript loop can run
                 yield jax.device_get(
                     {k: v for k, v in out_dev.items()
-                     if k != "sae_out" or need}), n_valid, fnames, out_dev
+                     if k != "sae_out" and (k != "sae_out_head" or need)
+                     }), n_valid, fnames, out_dev
 
     pending_transcripts: list[tuple] = []  # (mel, sae_out_row, filename)
     for out, n_valid, filenames, dev_out in results():
@@ -766,12 +794,8 @@ def validate(
         mags.append(np.asarray(out["mag"]))
 
         if transcriber is not None and n_transcribed < N_TRANSCRIPTS:
-            if "sae_out" not in out:
-                # load failures in earlier batches left transcript slots
-                # unfilled past the resident path's pre-fetch keep horizon:
-                # fetch this batch's reconstruction on demand
-                out["sae_out"] = np.asarray(
-                    jax.device_get(dev_out["sae_out"]))[:n_valid]
+            head = out.get("sae_out_head")  # bf16 transport rows (≤4)
+            full = None
             # bound by the VALID file count, not the padded batch — indexing
             # filenames past n_valid would IndexError on a tiny val set
             for j in range(n_valid):
@@ -784,8 +808,19 @@ def validate(
                     # skipped files must NOT consume transcript slots
                 mel = np.asarray(
                     mels_from_array(audio, get_n_mels(whisper_model)))
-                pending_transcripts.append(
-                    (mel, np.asarray(out["sae_out"][j]), filenames[j]))
+                if head is not None and j < head.shape[0]:
+                    row = np.asarray(head[j], np.float32)
+                else:
+                    # transcript slots ran past the transport head: batches
+                    # whose head was dropped from the batched pre-fetch
+                    # (load failures earlier in the set), or failures within
+                    # this batch pushing slots past N_TRANSCRIPTS rows —
+                    # fetch the f32 reconstruction on demand
+                    if full is None:
+                        full = np.asarray(
+                            jax.device_get(dev_out["sae_out"]))[:n_valid]
+                    row = full[j]
+                pending_transcripts.append((mel, row, filenames[j]))
                 n_transcribed += 1
 
     if pending_transcripts:
@@ -800,11 +835,12 @@ def validate(
             [pending_transcripts[-1]] * (N_TRANSCRIPTS - n_real))
         mels_stack = np.stack([p[0] for p in padded])
         subs_stack = np.stack([p[1] for p in padded])
-        subbed_transcripts = list(
-            transcriber(mels_stack, substitute_values=subs_stack))[:n_real]
-        if log_base_transcripts:
-            base_transcripts = list(transcriber(mels_stack))[:n_real]
-            base_filenames = [p[2] for p in pending_transcripts]
+        with profiling.span("val_transcripts"):
+            subbed_transcripts = list(
+                transcriber(mels_stack, substitute_values=subs_stack))[:n_real]
+            if log_base_transcripts:
+                base_transcripts = list(transcriber(mels_stack))[:n_real]
+                base_filenames = [p[2] for p in pending_transcripts]
 
     mag_matrix = np.concatenate(mags, axis=0) if mags else np.zeros((0, 1))
     losses = {k: v / max(counts, 1) for k, v in sums.items()}
@@ -1093,8 +1129,13 @@ def train(
                 log_steps = [s for s in range(first, trainer.step + 1)
                              if s % log_tb_every == 0]
                 if log_steps:
-                    # ONE fetch of the whole (fused,) stack per chunk
-                    stack = jax.device_get(metrics)
+                    # ONE fetch of the whole (fused,) stack per chunk. This
+                    # fetch is where the chunk's device EXECUTION surfaces
+                    # on backends whose block_until_ready is a no-op (axon):
+                    # the train_chunk span above times only the dispatch, so
+                    # campaign decompositions read chunk wall from THIS span
+                    with profiling.span("train_chunk_wait"):
+                        stack = jax.device_get(metrics)
                     for s in log_steps:
                         log_train({k: float(v[s - first])
                                    for k, v in stack.items()}, s)

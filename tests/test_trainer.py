@@ -399,6 +399,62 @@ def test_validate_transcripts_and_selective_fetch(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_validate_transcript_head_transport(tmp_path):
+    """Transcript substitute values ride the bf16 device-side head slice
+    (``sae_out_head``, first N_TRANSCRIPTS rows) instead of a full f32
+    sae_out fetch — at large_v1 val shapes 61 MB → 15 MB per validation on
+    the host link. The values handed to the transcriber must be exactly
+    the bf16 rounding of the full-precision reconstruction."""
+    import wave
+
+    import jax
+    import ml_dtypes
+
+    from freud_tpu.data.loaders import init_dataloader
+    from freud_tpu.data.store import ActivationStoreWriter
+    from freud_tpu.train.trainer import DeviceValSet, SAETrainer, validate
+
+    rng = np.random.default_rng(7)
+    T, d = 16, 8
+    names = []
+    for i in range(4):
+        p = tmp_path / f"clip{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(4000) * 2000)
+                          .astype(np.int16).tobytes())
+        names.append(str(p))
+    acts = rng.standard_normal((4, T, d)).astype(np.float32)
+    store = tmp_path / "acts"
+    w = ActivationStoreWriter(store, "L", (T, d), (T, d))
+    w.append_batch(names, acts, n_frames=[T] * 4)
+    w.close()
+
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 100.0}, d,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0)
+    captured = {}
+
+    def transcriber(mels, substitute_values=None):
+        if substitute_values is not None:
+            captured["subs"] = np.asarray(substitute_values)
+        return ["t"] * np.asarray(mels).shape[0]
+
+    loader, _, _ = init_dataloader(True, str(store), "test:tiny", None, "L",
+                                   batch_size=4, shuffle=False)
+    vs = DeviceValSet(loader, val_batch=4)
+    assert vs.ok
+    out = validate(tr, str(store), "L", "test:tiny", True, False,
+                   val_batch=4, device_set=vs, transcriber=transcriber)
+    assert len(out[1]) == 4
+    full = np.asarray(
+        jax.device_get(tr.validate_files(acts)["sae_out"]))[:4]
+    want = full.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(captured["subs"], want)
+
+
 def test_device_val_set_matches_loader_validation(tmp_path):
     """DeviceValSet validation (resident arrays, zero per-call H2D) must be
     bit-identical to streaming the loader, including ragged tails; an
@@ -613,6 +669,69 @@ def test_async_checkpoint_writer_snapshot_and_coalesce(tmp_path):
     tr2.load(a)
     assert tr2.step == 0
     w.close()
+
+
+def test_async_checkpoint_writer_coalesces_superseded():
+    """A queued (unstarted) write is REPLACED by a newer submit carrying the
+    same coalesce key — the bestval cadence fix: when the link is slower
+    than the validation cadence, superseded bestval snapshots must not
+    stall training while they drain (they all target the same path; only
+    the newest matters)."""
+    import threading
+
+    from freud_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    gate = threading.Event()
+    started = threading.Event()
+
+    def slow():
+        started.set()
+        assert gate.wait(30)
+
+    order = []
+    w.submit(slow)
+    assert started.wait(30)  # slow is IN FLIGHT; the queue slot is free
+    w.submit(lambda: order.append("A"), coalesce="bestval")
+    # these would BLOCK without coalescing (slot occupied); with it they
+    # replace the queued superseded snapshot and return immediately
+    w.submit(lambda: order.append("B"), coalesce="bestval")
+    w.submit(lambda: order.append("C"), coalesce="bestval")
+    assert w.dropped == 2
+    gate.set()
+    w.flush()
+    assert order == ["C"]
+    # distinct keys never coalesce: normal ordered execution
+    w.submit(lambda: order.append("D"), coalesce="bestval")
+    w.submit(lambda: order.append("E"))
+    w.flush()
+    assert order == ["C", "D", "E"]
+    w.close()
+
+
+def test_save_async_coalesce_key_selection(tmp_path):
+    """save_async coalesces ONLY pure-bestval writes; any write that
+    includes a step checkpoint must never be dropped."""
+    from freud_tpu.train.trainer import SAETrainer
+
+    class Capture:
+        def __init__(self):
+            self.keys = []
+
+        def submit(self, work, coalesce=None):
+            self.keys.append(coalesce)
+            work()
+
+    tr = SAETrainer("l1", {"n_dict_components": 16, "recon_alpha": 1.0}, 8,
+                    optimizer="radam", scheduler="cosine", lr=1e-3, steps=10,
+                    clip_thresh=1.0)
+    w = Capture()
+    tr.save_async([str(tmp_path / "bestval.pth")], tr.hparams(), w)
+    tr.save_async([str(tmp_path / "step100.pth"),
+                   str(tmp_path / "bestval.pth")], tr.hparams(), w)
+    assert w.keys == ["bestval", None]
+    assert (tmp_path / "bestval.pth").exists()
+    assert (tmp_path / "step100.pth").exists()
 
 
 def test_async_checkpoint_writer_error_propagates(tmp_path):

@@ -133,7 +133,9 @@ def main():
     summary["stages"] = {
         k: {"total_s": round(v["total_s"], 1), "count": v["count"]}
         for k, v in profiling.stats().items()
-        if k in ("train_chunk", "train_step", "validate", "checkpoint_write")
+        if k in ("train_chunk", "train_chunk_wait", "train_step", "validate",
+                 "val_fetch", "val_transcripts", "checkpoint_write",
+                 "checkpoint_d2h", "checkpoint_disk")
     }
     print(profiling.report(), flush=True)
     print(json.dumps(summary))
