@@ -20,6 +20,10 @@ import jax
 _lock = threading.Lock()
 _totals: dict[str, float] = defaultdict(float)
 _counts: dict[str, int] = defaultdict(int)
+_durations: dict[str, list[float]] = defaultdict(list)
+# Per-call samples kept per span, enough to decompose low-cadence stages
+# (validate/checkpoint calls) without unbounded growth on per-batch spans.
+_MAX_CALLS_KEPT = 2048
 
 
 @contextlib.contextmanager
@@ -36,6 +40,8 @@ def span(name: str) -> Iterator[None]:
         with _lock:
             _totals[name] += dt
             _counts[name] += 1
+            if len(_durations[name]) < _MAX_CALLS_KEPT:
+                _durations[name].append(dt)
 
 
 def stats() -> dict[str, dict[str, float]]:
@@ -47,10 +53,21 @@ def stats() -> dict[str, dict[str, float]]:
         }
 
 
+def calls(name: str) -> list[float]:
+    """Per-call durations for ``name`` (first _MAX_CALLS_KEPT calls).
+
+    Lets campaign decompositions split one-time costs (remote first-compile)
+    from steady state, which the total/mean aggregates hide.
+    """
+    with _lock:
+        return list(_durations.get(name, ()))
+
+
 def reset() -> None:
     with _lock:
         _totals.clear()
         _counts.clear()
+        _durations.clear()
 
 
 def report() -> str:

@@ -18,8 +18,13 @@ def test_profiling_spans():
     assert s["unit_test_stage"]["count"] == 2
     assert s["unit_test_stage"]["total_s"] >= 0
     assert "unit_test_stage" in profiling.report()
+    per_call = profiling.calls("unit_test_stage")
+    assert len(per_call) == 2
+    assert abs(sum(per_call) - s["unit_test_stage"]["total_s"]) < 1e-6
+    assert profiling.calls("never_entered") == []
     profiling.reset()
     assert profiling.stats() == {}
+    assert profiling.calls("unit_test_stage") == []
 
 
 def test_mesh_shapes():

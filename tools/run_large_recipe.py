@@ -131,7 +131,9 @@ def main():
     stats["wall_s"] = round(time.perf_counter() - t0, 1)
     summary["train"] = stats
     summary["stages"] = {
-        k: {"total_s": round(v["total_s"], 1), "count": v["count"]}
+        k: {"total_s": round(v["total_s"], 1), "count": v["count"],
+            # per-call walls so steady state separates from first-compile
+            "calls_s": [round(c, 1) for c in profiling.calls(k)[:64]]}
         for k, v in profiling.stats().items()
         if k in ("train_chunk", "train_chunk_wait", "train_step", "validate",
                  "val_fetch", "val_transcripts", "checkpoint_write",
