@@ -59,8 +59,14 @@ class FeatureAnalyzer:
     def top_features_for_audio(self, audio: np.ndarray, top_n: int):
         """(feature_indices, traces): top-n features of an uploaded clip."""
         mel = mels_from_array(audio, self.runtime.dims.n_mels)
-        acts = self.runtime.activations(mel)[0]  # (T, width)
-        true_len = activation_length_from_samples(len(audio))
+        acts, n_valid = self.runtime.activations_with_lengths(mel)
+        acts = acts[0]  # (T, width)
+        if self.runtime.layer_name.startswith("decoder."):
+            # decode positions, not audio frames — the decode itself reports
+            # how many positions it processed (rows beyond are EOT-padding)
+            true_len = int(n_valid[0])
+        else:
+            true_len = activation_length_from_samples(len(audio))
 
         if self.sae is not None:
             variant, cfg, params = self.sae

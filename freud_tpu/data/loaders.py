@@ -5,11 +5,14 @@ Capability parity with the reference's two loaders
 pipeline:
 
 * ``FlyActivationLoader`` — audio batches stream through the native decoder →
-  on-device mel → **encoder-only** capture → (optional) SAE encode, entirely
-  on device. The reference instead runs a full autoregressive decode per
-  batch to trigger its hook and bounces activations device→CPU→device when an
-  SAE is attached (hooked_model.py:103-115, activations.py:95-101); here the
-  SAE encode consumes the captured activation without leaving the chip.
+  on-device mel → layer capture → (optional) SAE encode, entirely on device.
+  Encoder layers capture from one encoder forward; the reference instead runs
+  a full autoregressive decode per batch to trigger its hook and bounces
+  activations device→CPU→device when an SAE is attached
+  (hooked_model.py:103-115, activations.py:95-101) — here the SAE encode
+  consumes the captured activation without leaving the chip. ``decoder.*``
+  layers run greedy decode + teacher-forced capture in the same program
+  (``_fly_decode_impl``), with per-clip valid decode positions as n_frames.
 * ``MemoryMappedActivationLoader`` — host-side mmap gather of shuffled batch
   indices feeding jnp arrays; length = ⌊N/batch⌋ like the reference's
   DataLoader with drop_last.
@@ -55,24 +58,8 @@ def load_sae(checkpoint: str):
     return sae_serialize.sae_from_checkpoint(checkpoint)
 
 
-@partial(jax.jit, static_argnames=("dims", "layer_name", "variant",
-                                   "cfg_key", "from_audio", "compute_dtype",
-                                   "fetch_dtype"))
-def _fly_encode_impl(params, sae_params, mels, *, dims, layer_name, variant,
-                     cfg_key, from_audio, compute_dtype, fetch_dtype):
-    """Module-level collection encode: mel (mesh mode) → encoder capture →
-    optional SAE encode → optional fetch-dtype cast. Keyed on hashable
-    statics so EVERY FlyActivationLoader with the same geometry shares one
-    compiled executable (a per-instance closure reloads the program per
-    loader — seconds apiece on remote backends, and it defeated warmup-run
-    caching in bench.py)."""
-    if from_audio:  # mesh mode: mel computed inside the sharded jit
-        from ..audio.mel import batched_log_mel
-
-        mels = batched_log_mel(mels, dims.n_mels)
-    _, caps = encoder_forward_capture(params, dims, mels, layer_name,
-                                      compute_dtype)
-    acts = caps[layer_name]
+def _sae_fetch_tail(acts, sae_params, variant, cfg_key, fetch_dtype):
+    """Shared SAE-encode + fetch-cast tail of both collection programs."""
     if variant is None:
         outs = (acts,)
     elif variant == "l1":
@@ -92,6 +79,56 @@ def _fly_encode_impl(params, sae_params, mels, *, dims, layer_name, variant,
             for o in outs
         )
     return outs
+
+
+@partial(jax.jit, static_argnames=("dims", "layer_name", "variant",
+                                   "cfg_key", "from_audio", "compute_dtype",
+                                   "fetch_dtype"))
+def _fly_encode_impl(params, sae_params, mels, *, dims, layer_name, variant,
+                     cfg_key, from_audio, compute_dtype, fetch_dtype):
+    """Module-level collection encode: mel (mesh mode) → encoder capture →
+    optional SAE encode → optional fetch-dtype cast. Keyed on hashable
+    statics so EVERY FlyActivationLoader with the same geometry shares one
+    compiled executable (a per-instance closure reloads the program per
+    loader — seconds apiece on remote backends, and it defeated warmup-run
+    caching in bench.py)."""
+    if from_audio:  # mesh mode: mel computed inside the sharded jit
+        from ..audio.mel import batched_log_mel
+
+        mels = batched_log_mel(mels, dims.n_mels)
+    _, caps = encoder_forward_capture(params, dims, mels, layer_name,
+                                      compute_dtype)
+    return _sae_fetch_tail(caps[layer_name], sae_params, variant, cfg_key,
+                           fetch_dtype)
+
+
+@partial(jax.jit, static_argnames=("dims", "layer_name", "variant",
+                                   "cfg_key", "from_audio", "compute_dtype",
+                                   "fetch_dtype", "sot_seq", "lang_detect",
+                                   "lang_base", "max_new"))
+def _fly_decode_impl(params, sae_params, mels, *, dims, layer_name, variant,
+                     cfg_key, from_audio, compute_dtype, fetch_dtype,
+                     sot_seq, lang_detect, lang_base, max_new):
+    """Decoder-layer collection program: mel (mesh mode) → greedy decode →
+    teacher-forced capture (see ``whisper.runtime.decode_capture``) →
+    optional SAE encode → fetch cast. Returns ``(*outs, n_valid)`` — the
+    per-clip count of decode positions actually processed, which becomes the
+    store's ``n_frames`` (rows beyond it are EOT-padding). Capability parity:
+    the reference's hooks accept any named module incl. decoder blocks
+    (hooked_model.py:47-56)."""
+    from ..models.whisper.runtime import decode_capture
+
+    if from_audio:
+        from ..audio.mel import batched_log_mel
+
+        mels = batched_log_mel(mels, dims.n_mels)
+    acts, _, n_valid = decode_capture(
+        params, dims, mels, layer_name, sot_seq=sot_seq,
+        lang_detect=lang_detect, lang_base=lang_base, max_new=max_new,
+        compute_dtype=compute_dtype,
+    )
+    outs = _sae_fetch_tail(acts, sae_params, variant, cfg_key, fetch_dtype)
+    return (*outs, n_valid)
 
 
 def encoder_forward_capture(params, dims, mels, layer_name, compute_dtype):
@@ -120,6 +157,7 @@ class FlyActivationLoader:
         shard: tuple[int, int] | None = None,
         exclude: set | None = None,
         fetch_dtype=None,
+        max_new_tokens: int = 224,
     ):
         """``mesh``: a freud_tpu data×model Mesh shards collection over the
         ``data`` axis — the batch is device_put with the file dim partitioned,
@@ -132,7 +170,11 @@ class FlyActivationLoader:
         (process_index, process_count) so each host owns a disjoint file
         shard; merge the per-host stores with scripts/merge_stores.py)."""
         self.layer_name = layer_name
-        self.runtime = WhisperRuntime(whisper_model, layer_name, compute_dtype=compute_dtype)
+        # max_new_tokens sizes the decoder-layer capture buffer (ignored by
+        # encoder layers, which never decode during collection)
+        self.runtime = WhisperRuntime(whisper_model, layer_name,
+                                      compute_dtype=compute_dtype,
+                                      max_new_tokens=max_new_tokens)
         self.batch_size = batch_size
         # recorded so sequential-scan consumers (analysis.search) can verify
         # this loader yields the dataset completely and in order: shuffle is
@@ -179,13 +221,19 @@ class FlyActivationLoader:
         variant = self.sae[0] if self.sae else None
         cfg_key = (tuple(sorted(self.sae[1].to_dict().items()))
                    if self.sae and variant == "topk" else ())
-        self._encode_jit = partial(
-            _fly_encode_impl,
+        self._decoder_layer = layer_name.startswith("decoder.")
+        common = dict(
             dims=self.runtime.dims, layer_name=layer_name, variant=variant,
             cfg_key=cfg_key, from_audio=mesh is not None,
             compute_dtype=compute_dtype,
             fetch_dtype=None if fetch_dtype is None else jnp.dtype(fetch_dtype).type,
         )
+        if self._decoder_layer:
+            statics = self.runtime._decode_capture_statics()
+            statics.pop("compute_dtype")  # already in common
+            self._encode_jit = partial(_fly_decode_impl, **common, **statics)
+        else:
+            self._encode_jit = partial(_fly_encode_impl, **common)
         self.activation_shape = self._probe_shape()
 
     def _device_batch(self, buf):
@@ -202,8 +250,9 @@ class FlyActivationLoader:
         """Activation shape per sample, reported like the reference
         (fly loader shape probe, src/dataset/activations.py:73-88): dense →
         (T, width); L1 → (T, n_dict); TopK → (T, n_dict) even though stored
-        rows are (T, k) indexed pairs."""
-        t = 1500
+        rows are (T, k) indexed pairs. T is 1500 encoder frames, or the
+        fixed decode buffer (n_prompt + max_new) for decoder layers."""
+        t = self.runtime.activation_frames
         if self.sae is None:
             return (t, self.runtime.activation_width)
         variant, cfg, params = self.sae
@@ -273,6 +322,12 @@ class FlyActivationLoader:
             outs = tuple(np.asarray(o)[ok] for o in outs)
             filenames = [f for f, good in zip(filenames, ok) if good]
             lengths = lengths[ok]
+        if self._decoder_layer:
+            # decoder layers: true length is how many positions the decode
+            # processed (computed on device, last element of the program's
+            # outputs) — audio length says nothing about transcript length
+            *outs, n_valid = outs
+            return (*outs, filenames, np.asarray(n_valid, np.int64))
         from ..analysis.features import activation_length_from_samples
 
         n_frames = np.asarray(

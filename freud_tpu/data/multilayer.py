@@ -42,6 +42,14 @@ class MultiLayerActivationLoader:
         ``FlyActivationLoader`` does (mel+capture in one sharded jit);
         ``shard=(i, n)`` keeps every n-th file (the multi-host split)."""
         self.layer_names = tuple(layer_names)
+        bad = [n for n in self.layer_names if n.startswith("decoder.")]
+        if bad:
+            raise ValueError(
+                f"multi-layer collection captures from ONE encoder pass; "
+                f"decoder layers {bad} need a greedy decode per batch — "
+                "collect them one at a time (single-layer collection "
+                "supports decoder.* names)"
+            )
         self.runtime = WhisperRuntime(
             whisper_model, None,
             compute_dtype=compute_dtype if compute_dtype is not None

@@ -6,10 +6,14 @@ Functional replacement for the reference's hook-based trio
 object owns the params and a cache of jitted programs keyed by the static
 (capture, substitute, batch-shape) signature:
 
-* ``activations(mels)`` — **encoder-only** forward returning the captured
-  layer. The reference runs a full autoregressive ``model.decode`` just to
-  fire an encoder hook (hooked_model.py:103-110); collection here never
-  touches the decoder (the structural win called out in SURVEY.md §3.2).
+* ``activations(mels)`` — captured activations at the runtime's layer. For
+  encoder layers this is one encoder forward: the reference runs a full
+  autoregressive ``model.decode`` just to fire an encoder hook
+  (hooked_model.py:103-110); collection here never touches the decoder (the
+  structural win called out in SURVEY.md §3.2). ``decoder.*`` layers ARE
+  supported — greedy decode + one teacher-forced captured pass
+  (``decode_capture``), covering every decode step where the reference's
+  hook keeps only the last forward.
 * ``transcribe(mels, substitute=...)`` — encoder (optionally with a layer's
   output replaced) + greedy decoder, for transcript-bearing paths
   (validation, /manipulate_feature).
@@ -72,6 +76,74 @@ def _encode_impl(params, mels, sub_value=None, *, dims, capture,
     )
 
 
+def _check_encoder_layer(layer_name: str, what: str) -> None:
+    """Substitution (and any other encode-side splice) runs inside the
+    encoder forward only — a ``decoder.*`` name would silently no-op (the
+    tap never matches), so reject it loudly. Decoder-layer CAPTURE is
+    supported (``decode_capture``); decoder-layer substitution would need a
+    spliced autoregressive decode and is out of scope, as it is for the
+    reference's GUI/feature surfaces (manipulation configs are all
+    encoder-side, configs/features/*.json)."""
+    if layer_name.startswith("decoder."):
+        raise ValueError(
+            f"{what} supports encoder layers only, got {layer_name!r} — "
+            "decoder-layer capture works via activations(); decoder-layer "
+            "substitution is not supported"
+        )
+
+
+def decode_capture(params, dims, mels, layer_name, *, sot_seq, lang_detect,
+                   lang_base, max_new, compute_dtype):
+    """Decoder-layer activation capture for one mel batch (jit-composable).
+
+    The reference's ``WhisperActivationCache`` hooks ANY named module during
+    ``model.decode`` (hooked_model.py:47-56) — for decoder layers the hook
+    fires once per decode step. This is the fixed-shape equivalent: greedy
+    decode, then ONE teacher-forced captured pass over the decoded tokens —
+    causal masking makes position ``i``'s activation identical to what the
+    incremental step that processed token ``i`` produced (modulo fp
+    reassociation), so the capture covers EVERY decode step, not just the
+    hook's last overwrite (hooked_model.py:112-118 keeps only the final
+    forward).
+
+    → ``(acts (b, n_prompt+max_new, d), tokens, n_valid (b,))`` where
+    ``n_valid = n_prompt + n_text`` counts the positions the decode actually
+    processed (the forward at position n_valid−1 sampled the first EOT);
+    rows beyond it are EOT-padding garbage and are masked by the store's
+    per-file ``n_frames`` metadata.
+    """
+    from .model import decoder_forward
+
+    encoded, _ = encoder_forward(params, dims, mels,
+                                 compute_dtype=compute_dtype)
+    b = encoded.shape[0]
+    prompt = jnp.tile(jnp.asarray(sot_seq, jnp.int32)[None], (b, 1))
+    if lang_detect:
+        lang_idx = detect_language(params, dims, encoded,
+                                   compute_dtype=compute_dtype)
+        prompt = prompt.at[:, 1].set(lang_base + lang_idx)
+    n_prompt = len(sot_seq)
+    tokens, _, n_text, _ = sample_decode(
+        params, dims, encoded, prompt, n_prompt, max_new=max_new,
+        compute_dtype=compute_dtype,
+    )
+    _, caps = decoder_forward(params, dims, tokens, encoded,
+                              capture=(layer_name,),
+                              compute_dtype=compute_dtype)
+    n_valid = (n_prompt + n_text).astype(jnp.int32)
+    return caps[layer_name], tokens, n_valid
+
+
+@partial(jax.jit, static_argnames=("dims", "layer_name", "sot_seq",
+                                   "lang_detect", "lang_base", "max_new",
+                                   "compute_dtype"))
+def _decode_capture_impl(params, mels, *, dims, layer_name, sot_seq,
+                         lang_detect, lang_base, max_new, compute_dtype):
+    return decode_capture(params, dims, mels, layer_name, sot_seq=sot_seq,
+                          lang_detect=lang_detect, lang_base=lang_base,
+                          max_new=max_new, compute_dtype=compute_dtype)
+
+
 class WhisperRuntime:
     """Jit-cached Whisper forward passes for one model + capture layer."""
 
@@ -122,12 +194,56 @@ class WhisperRuntime:
     # -- capture ------------------------------------------------------------
 
     def activations(self, mels: jnp.ndarray) -> jnp.ndarray:
-        """Captured activations at ``layer_name`` for (b, n_mels, 3000) mels."""
+        """Captured activations at ``layer_name`` for (b, n_mels, 3000) mels.
+
+        Encoder layers: one captured encoder forward (b, 1500, d). Decoder
+        layers (``decoder.*``): greedy decode + one teacher-forced captured
+        pass → (b, n_prompt+max_new, d) EOT-padded; use
+        ``activations_with_lengths`` for the per-clip valid position counts
+        (capability parity with the reference's module-name-agnostic hooks,
+        hooked_model.py:47-56 — see ``decode_capture``)."""
         if self.layer_name is None:
             raise ValueError("runtime was built without a capture layer")
+        if self.layer_name.startswith("decoder."):
+            return self.activations_with_lengths(mels)[0]
         mels = self._batch(mels)
         _, caps = self._encode(self.params, mels)
         return caps[self.layer_name]
+
+    def activations_with_lengths(
+        self, mels: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """→ (activations, n_valid (b,) int32) — valid leading positions per
+        clip. Encoder layers: n_valid is the full frame axis (callers with
+        audio lengths refine it, see loaders); decoder layers: the number of
+        positions the greedy decode actually processed."""
+        if self.layer_name is None:
+            raise ValueError("runtime was built without a capture layer")
+        mels = self._batch(mels)
+        if self.layer_name.startswith("decoder."):
+            acts, _, n_valid = _decode_capture_impl(
+                self.params, mels, dims=self.dims,
+                layer_name=self.layer_name, **self._decode_capture_statics()
+            )
+            return acts, n_valid
+        _, caps = self._encode(self.params, mels)
+        acts = caps[self.layer_name]
+        return acts, jnp.full((acts.shape[0],), acts.shape[1], jnp.int32)
+
+    def _decode_capture_statics(self) -> dict:
+        """Static (sot_seq, lang handling) kwargs for ``decode_capture`` —
+        a pinned ``language`` bakes the token into the prompt; otherwise
+        multilingual models detect per clip inside the same program."""
+        st = self._st
+        lang_detect = st.multilingual and self.language is None
+        lang_index = (language_index(self.language, self.dims.n_vocab)
+                      if (st.multilingual and self.language) else 0)
+        sot_seq = st.sot_sequence(
+            lang_index=lang_index,
+            task_translate=self.task == "translate", timestamps=True)
+        return dict(sot_seq=tuple(sot_seq), lang_detect=lang_detect,
+                    lang_base=st.lang_base, max_new=self.max_new_tokens,
+                    compute_dtype=self.compute_dtype)
 
     def encode(self, mels: jnp.ndarray) -> jnp.ndarray:
         return self._encode(self.params, self._batch(mels))[0]
@@ -171,6 +287,7 @@ class WhisperRuntime:
         """
         mels = self._batch(mels)
         if substitute_layer is not None:
+            _check_encoder_layer(substitute_layer, "substitution")
             sub = self._batched_substitute(substitute_value, mels.shape[0])
             encoded, _ = self._encode(
                 self.params, mels, sub_layer=substitute_layer, sub_value=sub
@@ -218,6 +335,7 @@ class WhisperRuntime:
         the transcription-quality extension beyond that parity line.)"""
         mels = self._batch(mels)
         if substitute_layer is not None:
+            _check_encoder_layer(substitute_layer, "substitution")
             sub = self._batched_substitute(substitute_value, mels.shape[0])
             encoded, _ = self._encode(
                 self.params, mels, sub_layer=substitute_layer, sub_value=sub
@@ -424,9 +542,22 @@ class WhisperRuntime:
     @property
     def activation_width(self) -> int:
         """Feature dimension at the capture layer (d_model or 4·d_model)."""
-        if self.layer_name and self.layer_name.endswith((".mlp.0", ".mlp.1")):
-            return 4 * self.dims.n_audio_state
-        return self.dims.n_audio_state
+        name = self.layer_name or ""
+        d = (self.dims.n_text_state if name.startswith("decoder.")
+             else self.dims.n_audio_state)
+        if name.endswith((".mlp.0", ".mlp.1")):
+            return 4 * d
+        return d
+
+    @property
+    def activation_frames(self) -> int:
+        """Padded frame-axis length of ``activations()`` rows: encoder
+        layers 1500 (= n_audio_ctx), decoder layers the fixed decode
+        buffer (n_prompt + max_new_tokens)."""
+        if self.layer_name and self.layer_name.startswith("decoder."):
+            return (len(self._decode_capture_statics()["sot_seq"])
+                    + self.max_new_tokens)
+        return self.dims.n_audio_ctx
 
 
 def init_runtime(model_name: str, layer_name: Optional[str] = None, **kw) -> WhisperRuntime:

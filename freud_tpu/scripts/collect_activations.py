@@ -67,6 +67,7 @@ def get_activations(
     resume: bool = False,
     flush_every_s: float = 30.0,
     store_dtype: str = "float32",
+    max_new_tokens: int = 224,
 ) -> dict:
     """``precision="bfloat16"`` runs the encoder in bf16 (≈1e-2 relative on
     captured activations, substantially higher throughput); the default keeps
@@ -115,6 +116,9 @@ def get_activations(
         # bytes (the dominant e2e stage on link-bound hosts; the store
         # would down-cast host-side anyway)
         fetch_dtype=np.float16 if store_dtype == "float16" else None,
+        # decoder.* layers: greedy-decode buffer size (n_prompt + max_new
+        # rows per file); encoder layers ignore it
+        max_new_tokens=max_new_tokens,
     )
 
     # Write-behind store thread: the e2e stage decomposition (bench.py
@@ -299,6 +303,7 @@ def main(argv=None):
         data_parallel=bool(config.get("data_parallel", False)),
         resume=bool(args.resume or config.get("resume", False)),
         store_dtype=config.get("store_dtype", "float32"),
+        max_new_tokens=int(config.get("max_new_tokens", 224)),
     )
     print(json.dumps(stats))
 

@@ -174,3 +174,47 @@ def test_mesh_loader_rejects_indivisible_batch():
             data_path="/tmp", whisper_model="test:tiny", sae_checkpoint=None,
             layer_name="encoder.blocks.1", batch_size=3, mesh=make_mesh(),
         )
+
+
+def test_collect_decoder_layer(tmp_path):
+    """decoder.* collection: greedy decode + teacher-forced capture per batch
+    (capability parity with the reference's hooks on any named module,
+    hooked_model.py:47-56). The store's n_frames records the per-clip decode
+    positions actually processed — not audio-derived frame counts."""
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 3)
+    out = tmp_path / "acts"
+    stats = get_activations(
+        data_path=str(audio), layer_name="decoder.blocks.1",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(out), verbose=False, max_new_tokens=4,
+    )
+    assert stats["n_files"] == 3
+    r = ActivationStoreReader(out, "decoder.blocks.1")
+    assert r.activation_type == "tensor"
+    n_prompt = 3  # <|sot|><|lang|><|transcribe|> (timestamps on)
+    assert r.tensor_shape == (n_prompt + 4, 384)
+    assert r.n_frames is not None and len(r.n_frames) == 3
+    assert all(n_prompt <= n <= n_prompt + 4 for n in r.n_frames)
+    arr, _ = r[0]
+    assert np.abs(arr[: r.n_frames[0]]).max() > 0
+
+
+def test_collect_decoder_layer_with_sae(tmp_path):
+    """An SAE stacks on decoder activations inside the same program."""
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 2)
+    cfg = TopKAutoEncoderConfig(expansion_factor=2, k=3)
+    ckpt = tmp_path / "sae.pth"
+    _save_ckpt(ckpt, "topk", cfg, 384, init_topk(384, cfg, seed=0))
+    out = tmp_path / "acts"
+    get_activations(
+        data_path=str(audio), layer_name="decoder.blocks.0",
+        whisper_model="test:tiny", sae_model=str(ckpt), batch_size=2,
+        out_folder=str(out), verbose=False, max_new_tokens=4,
+    )
+    r = ActivationStoreReader(out, "decoder.blocks.0")
+    assert r.activation_type == "indexed"
+    assert r.tensor_shape == (7, 3)  # (n_prompt+max_new, k) indexed pairs
+    vals, idx, _ = r[0]
+    assert idx.min() >= 0 and idx.max() < 768

@@ -114,3 +114,62 @@ def test_special_token_layout():
     assert st3.timestamp_begin == 50365
     sten = special_tokens(51864)
     assert sten.sot_sequence() == [sten.sot]
+
+
+def test_runtime_decoder_capture():
+    """decoder.* layers: greedy decode + teacher-forced captured pass
+    (capability parity with the reference's module-name-agnostic hooks,
+    hooked_model.py:47-56 — our runtime.decode_capture)."""
+    rt = WhisperRuntime("test:tiny", "decoder.blocks.1", max_new_tokens=4)
+    mels = _mels(batch=2)
+    T = rt.activation_frames  # n_prompt + max_new
+    n_prompt = T - 4
+    assert n_prompt == 3  # <|sot|><|lang|><|transcribe|> (timestamps on)
+    acts, n_valid = rt.activations_with_lengths(mels)
+    assert acts.shape == (2, T, 384)
+    nv = np.asarray(n_valid)
+    assert nv.shape == (2,) and (nv >= n_prompt).all() and (nv <= T).all()
+    # activations() is the same tensor
+    assert np.array_equal(np.asarray(rt.activations(mels)), np.asarray(acts))
+    assert rt.activation_width == 384
+
+
+def test_runtime_decoder_capture_causal_prefix():
+    """Teacher-forced capture is causal: a longer decode buffer must not
+    change the activations at the shared leading positions (this is what
+    makes the single captured pass equivalent to per-step incremental
+    hooks)."""
+    mels = _mels(batch=1, seed=3)
+    rt4 = WhisperRuntime("test:tiny", "decoder.blocks.0", max_new_tokens=4)
+    rt8 = WhisperRuntime("test:tiny", "decoder.blocks.0", max_new_tokens=8)
+    a4 = np.asarray(rt4.activations(mels))
+    a8 = np.asarray(rt8.activations(mels))
+    # greedy decode is deterministic, so the first n_prompt+4 tokens agree
+    # and causal masking makes their activations agree too
+    np.testing.assert_allclose(a4, a8[:, : a4.shape[1]], rtol=1e-4, atol=1e-5)
+
+
+def test_runtime_decoder_mlp_width():
+    rt = WhisperRuntime("test:tiny", "decoder.blocks.0.mlp.1", max_new_tokens=2)
+    assert rt.activation_width == 4 * 384
+    acts = rt.activations(_mels(batch=1))
+    assert acts.shape == (1, rt.activation_frames, 4 * 384)
+
+
+def test_decoder_substitution_rejected():
+    rt = WhisperRuntime("test:tiny", "decoder.blocks.1", max_new_tokens=2)
+    mels = _mels(batch=1)
+    acts = rt.activations(mels)
+    with pytest.raises(ValueError, match="encoder layers only"):
+        rt.transcribe_one(mels, substitute_layer="decoder.blocks.1",
+                          substitute_value=np.asarray(acts[0]))
+
+
+def test_multilayer_rejects_decoder_layers():
+    from freud_tpu.data.multilayer import MultiLayerActivationLoader
+
+    with pytest.raises(ValueError, match="decoder layers"):
+        MultiLayerActivationLoader(
+            "/nonexistent", "test:tiny",
+            ["encoder.blocks.0", "decoder.blocks.0"], batch_size=2,
+        )
