@@ -5,9 +5,10 @@ Config-schema parity with the reference (src/scripts/collect_activations.py:
 sae_model / batch_size / device / out_folder / dl_max_workers / collect_max)
 and identical output artifacts ({layer}_metadata.json + dense or indexed
 ``.npy`` stores). The pipeline itself is the TPU redesign: native batched
-decode → on-device mel → encoder-only capture (no autoregressive decode, no
-host round trip before the SAE) → streamed append to the memory-mappable
-store. ``device`` is accepted for config compatibility and ignored — placement
+decode → on-device mel → layer capture (encoder layers: one forward, no
+autoregressive decode, no host round trip before the SAE; ``decoder.*``
+layers: greedy decode + teacher-forced capture, ``max_new_tokens`` sizes the
+position buffer) → streamed append to the memory-mappable store. ``device`` is accepted for config compatibility and ignored — placement
 is JAX's.
 
 Usage: python -m freud_tpu.scripts.collect_activations --config cfg.json

@@ -999,6 +999,14 @@ def train(
             loader.set_position(trainer.step)
 
     transcriber = None
+    if enable_transcripts and is_main and layer_name.startswith("decoder."):
+        # substituted transcripts splice the ENCODER forward; a decoder-layer
+        # run would crash at the first validation otherwise (decoder-layer
+        # substitution is unsupported — see whisper.runtime)
+        enable_transcripts = False
+        if verbose:
+            print("transcript logging disabled: decoder-layer substitution "
+                  "is not supported")
     if enable_transcripts and is_main:
         try:
             from ..models.whisper import WhisperRuntime

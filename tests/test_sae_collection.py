@@ -218,3 +218,47 @@ def test_collect_decoder_layer_with_sae(tmp_path):
     assert r.tensor_shape == (7, 3)  # (n_prompt+max_new, k) indexed pairs
     vals, idx, _ = r[0]
     assert idx.min() >= 0 and idx.max() < 768
+
+
+def test_decoder_store_train_and_search(tmp_path):
+    """Full decoder-layer loop: collect → train an SAE on the store → search.
+    Decoder stores are ordinary stores (per-clip n_frames = decode positions
+    actually processed), so the training and analysis surfaces consume them
+    unchanged; enable_transcripts self-disables (substituted transcripts are
+    an encoder-side splice)."""
+    from freud_tpu.analysis.search import top_activations
+    from freud_tpu.train.trainer import train
+
+    audio = tmp_path / "audio"
+    _write_wavs(audio, 4)
+    out = tmp_path / "acts"
+    get_activations(
+        data_path=str(audio), layer_name="decoder.blocks.0",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(out), verbose=False, max_new_tokens=4,
+    )
+    stats = train(
+        seed=0, train_folder=str(out), val_folder=str(out),
+        run_dir=str(tmp_path / "run"), lr=1e-3, weight_decay=0.0, steps=4,
+        clip_thresh=1.0, batch_size=2, log_tb_every=2, save_every=4,
+        val_every=4,
+        whisper_config={"model": "test:tiny", "layer_name": "decoder.blocks.0"},
+        optimizer="adam", scheduler="linear",
+        scheduler_params={"num_warmup_steps": 1},
+        autoencoder_variant="topk",
+        autoencoder_config={"expansion_factor": 2, "k": 3},
+        from_disk=True, enable_transcripts=True,  # must self-disable, not crash
+        verbose=False,
+    )
+    assert stats["steps"] == 4
+
+    loader = MemoryMappedActivationLoader(str(out), "decoder.blocks.0",
+                                          batch_size=2)
+    results, per_file = top_activations(loader, feature_idx=5, n_files=2)
+    assert len(results) == 2 and len(per_file) == 4
+    r = ActivationStoreReader(out, "decoder.blocks.0")
+    names = list(r.filenames)
+    for fname, trace, value, max_t in results:
+        nf = r.n_frames[names.index(fname)]
+        assert trace.shape[0] == nf  # trimmed to decode positions, not 1500
+        assert np.isclose(trace.max(), value, rtol=1e-5)
