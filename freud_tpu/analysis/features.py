@@ -18,6 +18,8 @@ device-side programs:
 
 from __future__ import annotations
 
+import re
+from functools import partial
 from typing import Optional
 
 import jax
@@ -35,6 +37,49 @@ from ..models.whisper import WhisperRuntime
 def activation_length_from_samples(n_samples: int) -> int:
     """Encoder frames covering an audio clip (reference activations.py:32-38)."""
     return min(int(n_samples / SAMPLE_RATE / TIMESTEP_S), 1500)
+
+
+# --------------------------------------------------------------- steering taps
+# Online per-position transforms for decoder-layer feature manipulation:
+# applied to the block's residual-stream output at each decode position as it
+# is generated (decoding._decode_step tap_fn). Module-level and reused via
+# instance-cached partials so the jitted decode program is shared across
+# calls. Each takes (tap_params, x) with x (b, 1, d); feat_idx and factor ride
+# in tap_params as TRACED values, so the standard (factor=1) and manipulated
+# transcripts share one compiled program.
+
+
+def _l1_steer_tap(tap, x):
+    """SAE roundtrip with one latent feature scaled (L1 variant).
+
+    ``tap = (normalized_params, feat_idx, factor)`` — pass
+    ``l1.normalize_columns(params)`` so the per-step work is the two matmuls.
+    """
+    nparams, feat_idx, factor = tap
+    latent = l1_mod.encode(nparams, x, pre_normalized=True).latent
+    scale = 1.0 + (factor - 1.0) * jax.nn.one_hot(
+        feat_idx, latent.shape[-1], dtype=latent.dtype
+    )
+    return l1_mod.decode(nparams, latent * scale)
+
+
+def _topk_steer_tap(tap, x, *, k):
+    """SAE roundtrip with one feature scaled where it appears in the top-k
+    (TopK variant; ``k`` is static — bind with functools.partial)."""
+    params, feat_idx, factor = tap
+    enc = topk_mod.select_topk(topk_mod.pre_acts(params, x), k)
+    hit = enc.top_indices == feat_idx
+    acts = jnp.where(hit, enc.top_acts * factor, enc.top_acts)
+    return topk_mod.decode(params, acts, enc.top_indices)
+
+
+def _raw_steer_tap(tap, x):
+    """No-SAE channel scaling: multiply one residual-stream channel."""
+    feat_idx, factor = tap
+    scale = 1.0 + (factor - 1.0) * jax.nn.one_hot(
+        feat_idx, x.shape[-1], dtype=x.dtype
+    )
+    return x * scale
 
 
 class FeatureAnalyzer:
@@ -102,6 +147,8 @@ class FeatureAnalyzer:
                 f"feat_idx {feat_idx} out of range [0, {self.n_features})"
             )
         rt = self.runtime
+        if rt.layer_name.startswith("decoder."):
+            return self._manipulate_decoder(audio, feat_idx, manipulation_factor)
         mel = mels_from_array(audio, rt.dims.n_mels)
         acts = rt.activations(mel)  # (1, T, width)
         true_len = activation_length_from_samples(len(audio))
@@ -154,6 +201,77 @@ class FeatureAnalyzer:
         standard_text = rt.transcribe_one(
             mel, substitute_layer=layer, substitute_value=standard_decoded
         )
+        return (
+            baseline_text,
+            manipulated_text,
+            standard_text,
+            standard_trace[:true_len],
+            manipulated_trace[:true_len],
+        )
+
+    # ------------------------------------------------- decoder-layer steering
+
+    def _decoder_tap(self, feat_idx, factor):
+        """(layer_idx, fn, tap_params) steering the runtime's decoder layer.
+
+        ``fn`` is cached on the instance so repeated requests (and the
+        standard/manipulated pair within one request) share the jitted
+        decode program; feat_idx and factor are traced members of
+        tap_params."""
+        layer = self.runtime.layer_name
+        m = re.fullmatch(r"decoder\.blocks\.(\d+)", layer)
+        if m is None:
+            raise ValueError(
+                "online decoder steering operates on block outputs "
+                f"(decoder.blocks.N), got {layer!r}"
+            )
+        idx = int(m.group(1))
+        fi = jnp.int32(feat_idx)
+        fac = jnp.float32(factor)
+        if self.sae is None:
+            return idx, _raw_steer_tap, (fi, fac)
+        variant, cfg, params = self.sae
+        if variant == "l1":
+            return idx, _l1_steer_tap, (l1_mod.normalize_columns(params), fi, fac)
+        if getattr(self, "_topk_tap_fn", None) is None:
+            self._topk_tap_fn = partial(_topk_steer_tap, k=cfg.k)
+        return idx, self._topk_tap_fn, (params, fi, fac)
+
+    def _manipulate_decoder(self, audio, feat_idx, manipulation_factor):
+        """Decoder-layer ``manipulate``: same contract as the encoder path,
+        but the substitution happens ONLINE inside the autoregressive decode
+        (each steered position influences every later token) — beyond the
+        reference, whose precomputed-tensor hook cannot substitute into
+        KV-cached incremental steps. Traces come from the captured
+        teacher-forced pass over the UNsteered greedy decode, trimmed to the
+        positions that decode actually processed."""
+        rt = self.runtime
+        mel = mels_from_array(audio, rt.dims.n_mels)
+        acts, n_valid = rt.activations_with_lengths(mel)  # (1, T, width)
+        true_len = int(n_valid[0])
+
+        if self.sae is not None:
+            variant, cfg, params = self.sae
+            if variant == "l1":
+                latent = l1_mod.encode(params, acts).latent
+                standard_trace = np.asarray(latent[0, :, feat_idx])
+            else:
+                enc = topk_mod.encode(params, acts, cfg)
+                hit = enc.top_indices == feat_idx
+                standard_trace = np.asarray(
+                    jnp.sum(jnp.where(hit, enc.top_acts, 0.0), axis=-1)[0]
+                )
+        else:
+            standard_trace = np.asarray(acts[0, :, feat_idx])
+        manipulated_trace = standard_trace * manipulation_factor
+
+        baseline_text = rt.transcribe_one(mel)
+        layer_idx, fn, tap_m = self._decoder_tap(feat_idx, manipulation_factor)
+        _, _, tap_s = self._decoder_tap(feat_idx, 1.0)
+        manipulated_text = rt.transcribe_one(
+            mel, decoder_tap=(layer_idx, fn, tap_m)
+        )
+        standard_text = rt.transcribe_one(mel, decoder_tap=(layer_idx, fn, tap_s))
         return (
             baseline_text,
             manipulated_text,

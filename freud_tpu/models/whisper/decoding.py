@@ -108,7 +108,7 @@ def _cross_kv_stacks(params, dims, encoded, kv_dtype=None):
 
 
 def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
-                 start=None):
+                 start=None, tap_layer=None, tap_fn=None, tap_params=None):
     """One decoder step at position ``pos``: (b,) token → (b, vocab) logits.
 
     self_k/self_v: per-layer ring buffers, each (L, b, ctx, d).
@@ -118,6 +118,18 @@ def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
     indexed at ``pos − start`` — the fixed-shape mechanism behind
     variable-length conditioned prompts (condition_on_previous_text): one
     compiled program serves every history length.
+
+    ``tap_layer``/``tap_fn``/``tap_params`` (optional): an ONLINE per-position
+    transform applied to block ``tap_layer``'s output (the residual stream
+    after its MLP) — ``x ← tap_fn(tap_params, x)`` with x (b, 1, d) — before
+    downstream blocks consume it and before its value enters their K/V
+    caches. This is the autoregressive analog of the reference's
+    substituted-forward hook on a decoder module (hooked_model.py:58-69):
+    the hook fires per incremental forward, but can only replay a fixed
+    precomputed tensor (shape-mismatched against KV-cached steps); a
+    per-position FUNCTION (e.g. an SAE roundtrip with one feature scaled)
+    steers the decode causally — each substituted position influences every
+    later token. Backs /manipulate_feature for decoder-layer SAEs.
     """
     p = params["decoder"]
     heads = dims.n_text_head
@@ -202,6 +214,8 @@ def _decode_step(params, dims, token, pos, self_k, self_v, cross_kv,
         h = _linear(block["mlp"]["fc2"], jax.nn.gelu(_linear(block["mlp"]["fc1"], h),
                                                      approximate=False))
         x = x + h
+        if tap_fn is not None and i == tap_layer:
+            x = tap_fn(tap_params, x).astype(x.dtype)
 
     x = _layer_norm(p["ln"], x)
     logits = jnp.einsum("bqd,vd->bqv", x, p["tok_emb"],
@@ -330,8 +344,15 @@ def sample_decode(
     compute_dtype=jnp.float32,
     kv_dtype: str | None = None,
     early_exit: bool = True,
+    decoder_tap: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode token ids with optional temperature sampling.
+
+    ``decoder_tap=(layer_idx, fn, fn_params)`` applies ``fn(fn_params, x)``
+    to block ``layer_idx``'s output at every decode position, online (see
+    ``_decode_step``) — ``layer_idx`` and ``fn`` are static (reuse the SAME
+    fn object across calls to share the compiled program); ``fn_params`` is
+    a traced pytree.
 
     ``temperature`` is a TRACED scalar (one compiled program serves the whole
     whisper.transcribe fallback schedule 0.0 → 1.0): 0 means argmax, > 0
@@ -366,21 +387,24 @@ def sample_decode(
         and float(temperature) == 0.0
     if key is None:
         key = jax.random.PRNGKey(0)
+    tap_layer, tap_fn, tap_params = decoder_tap or (None, None, None)
     return _sample_decode_impl(
-        params, encoded, prompt, temperature, key, start,
+        params, encoded, prompt, temperature, key, start, tap_params,
         dims=dims, n_prompt=n_prompt, max_new=max_new,
         compute_dtype=compute_dtype, greedy_only=greedy_only,
         kv_dtype=kv_dtype, early_exit=early_exit,
+        tap_layer=tap_layer, tap_fn=tap_fn,
     )
 
 
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new",
                                    "compute_dtype", "greedy_only",
-                                   "kv_dtype", "early_exit"))
+                                   "kv_dtype", "early_exit",
+                                   "tap_layer", "tap_fn"))
 def _sample_decode_impl(
-    params, encoded, prompt, temperature, key, start,
+    params, encoded, prompt, temperature, key, start, tap_params=None,
     *, dims, n_prompt, max_new, compute_dtype, greedy_only, kv_dtype,
-    early_exit=True,
+    early_exit=True, tap_layer=None, tap_fn=None,
 ):
     st = special_tokens(dims.n_vocab)
     b = encoded.shape[0]
@@ -400,7 +424,8 @@ def _sample_decode_impl(
     def step(carry, pos):
         token, prev, max_ts, sk, sv, finished, sum_lp, n_text, nsp = carry
         logits, sk, sv = _decode_step(
-            params, dims, token, pos, sk, sv, cross_kv, start=start
+            params, dims, token, pos, sk, sv, cross_kv, start=start,
+            tap_layer=tap_layer, tap_fn=tap_fn, tap_params=tap_params,
         )
         # no_speech prob from the RAW logits at the SOT step, before any
         # suppression (whisper decoding.py probs_at_sot → no_speech_probs);
@@ -501,10 +526,12 @@ def greedy_decode(
     max_new: int = 224,
     compute_dtype=jnp.float32,
     kv_dtype: str | None = None,
+    decoder_tap: tuple | None = None,
 ) -> jnp.ndarray:
     """Greedy-decode token ids: (b, n_prompt + max_new), EOT-padded."""
     return sample_decode(params, dims, encoded, prompt, n_prompt, max_new,
-                         compute_dtype=compute_dtype, kv_dtype=kv_dtype)[0]
+                         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
+                         decoder_tap=decoder_tap)[0]
 
 
 @partial(jax.jit, static_argnames=("dims", "n_prompt", "max_new", "beam_size",

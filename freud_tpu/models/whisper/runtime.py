@@ -77,18 +77,22 @@ def _encode_impl(params, mels, sub_value=None, *, dims, capture,
 
 
 def _check_encoder_layer(layer_name: str, what: str) -> None:
-    """Substitution (and any other encode-side splice) runs inside the
-    encoder forward only — a ``decoder.*`` name would silently no-op (the
-    tap never matches), so reject it loudly. Decoder-layer CAPTURE is
-    supported (``decode_capture``); decoder-layer substitution would need a
-    spliced autoregressive decode and is out of scope, as it is for the
-    reference's GUI/feature surfaces (manipulation configs are all
-    encoder-side, configs/features/*.json)."""
+    """Tensor substitution (an encode-side splice) runs inside the encoder
+    forward only — a ``decoder.*`` name would silently no-op (the tap never
+    matches), so reject it loudly. Decoder-layer CAPTURE is supported
+    (``decode_capture``), and decoder-layer STEERING is supported as an
+    online per-position transform (``transcribe(decoder_tap=…)``) — a fixed
+    precomputed tensor is the one interface that cannot work for an
+    autoregressive decode (the positions don't exist yet), which is also why
+    the reference's hook-based substitution only ever runs on encoder
+    modules (manipulation configs are all encoder-side,
+    configs/features/*.json)."""
     if layer_name.startswith("decoder."):
         raise ValueError(
             f"{what} supports encoder layers only, got {layer_name!r} — "
-            "decoder-layer capture works via activations(); decoder-layer "
-            "substitution is not supported"
+            "decoder-layer capture works via activations(); for decoder-"
+            "layer steering pass decoder_tap=(layer_idx, fn, fn_params) "
+            "(an online per-position transform) instead of a tensor"
         )
 
 
@@ -278,12 +282,18 @@ class WhisperRuntime:
         mels: jnp.ndarray,
         substitute_layer: Optional[str] = None,
         substitute_value: Optional[jnp.ndarray] = None,
+        decoder_tap: Optional[tuple] = None,
     ) -> list[str]:
         """Greedy transcripts; optionally splice a replacement activation in.
 
         Capability parity with ``WhisperSubbedActivation.forward``
         (hooked_model.py:137-149): when ``substitute_layer`` is given, that
-        layer's output is replaced by ``substitute_value`` for the encode.
+        (encoder) layer's output is replaced by ``substitute_value`` for the
+        encode. ``decoder_tap=(layer_idx, fn, fn_params)`` steers DECODER
+        block ``layer_idx`` online: ``fn(fn_params, x)`` replaces the block's
+        output at every decode position as it is generated (see
+        decoding._decode_step) — pass the SAME fn object across calls to
+        share the compiled decode program.
         """
         mels = self._batch(mels)
         if substitute_layer is not None:
@@ -298,6 +308,7 @@ class WhisperRuntime:
         tokens = greedy_decode(
             self.params, self.dims, encoded, prompt, n_prompt,
             max_new=self.max_new_tokens, compute_dtype=self.compute_dtype,
+            decoder_tap=decoder_tap,
         )
         tokens = np.asarray(tokens)
         return [decode_text(row, self.dims.n_vocab) for row in tokens]

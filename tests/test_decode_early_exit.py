@@ -29,7 +29,8 @@ def scripted_decode_step(monkeypatch):
     st = special_tokens(dims.n_vocab)
     ts0 = st.timestamp_begin
 
-    def stub(params, dims_, token, pos, self_k, self_v, cross_kv, start=None):
+    def stub(params, dims_, token, pos, self_k, self_v, cross_kv, start=None,
+             **tap_kwargs):
         b = token.shape[0]
         fav = jnp.where(
             pos < 3, ts0 + 5, jnp.where(pos == 3, TEXT_TOK, st.eot)
