@@ -82,6 +82,24 @@ def _raw_steer_tap(tap, x):
     return x * scale
 
 
+def sae_steer_fn(variant: str, cfg):
+    """The static tap fn for an SAE (variant, cfg) — reuse the RETURNED
+    OBJECT across calls: the jitted decode program is keyed on it."""
+    if variant == "l1":
+        return _l1_steer_tap
+    return partial(_topk_steer_tap, k=cfg.k)
+
+
+def sae_roundtrip_tap_params(variant: str, params):
+    """Tap params for the plain SAE roundtrip (no feature edited — the
+    factor-1 case): the trainer's 'substitute the reconstruction' validation
+    transcript, online. Params are TRACED: pass the current training params
+    each call without recompiling."""
+    if variant == "l1":
+        params = l1_mod.normalize_columns(params)
+    return (params, jnp.int32(0), jnp.float32(1.0))
+
+
 class FeatureAnalyzer:
     """Owns a WhisperRuntime + optional SAE for the upload/manipulate paths."""
 

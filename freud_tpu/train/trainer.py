@@ -946,6 +946,15 @@ def train(
         batch_size=batch_size, shuffle=True, drop_last=True, seed=seed,
         host_bounds=host_bounds,
     )
+    if getattr(loader, "activation_type", "tensor") == "indexed":
+        # an indexed (acts, indices) store comes from collecting WITH an SAE
+        # attached — there is nothing to train on; without this check the
+        # (T, k) pair rows reach the model as if dense and die in a shape
+        # error deep inside the first step
+        raise SystemExit(
+            f"{train_folder!r} holds an SAE-indexed store (TopK pairs), not "
+            "raw activations — training needs a store collected WITHOUT "
+            "sae_model")
 
     trainer = SAETrainer(
         autoencoder_variant, autoencoder_config, feat_dim,
@@ -999,14 +1008,23 @@ def train(
             loader.set_position(trainer.step)
 
     transcriber = None
+    decoder_steer_layer = None
     if enable_transcripts and is_main and layer_name.startswith("decoder."):
-        # substituted transcripts splice the ENCODER forward; a decoder-layer
-        # run would crash at the first validation otherwise (decoder-layer
-        # substitution is unsupported — see whisper.runtime)
-        enable_transcripts = False
-        if verbose:
-            print("transcript logging disabled: decoder-layer substitution "
-                  "is not supported")
+        import re as _re
+
+        m = _re.fullmatch(r"decoder\.blocks\.(\d+)", layer_name)
+        if m is None:
+            # sub-module decoder layers (mlp.0, attn_ln, …) have no online
+            # steering point in the decode loop; tensor substitution splices
+            # the ENCODER forward only, so a run here would crash at the
+            # first validation — disable instead
+            enable_transcripts = False
+            if verbose:
+                print("transcript logging disabled: decoder-layer "
+                      "transcripts steer block outputs (decoder.blocks.N) "
+                      f"only, got {layer_name!r}")
+        else:
+            decoder_steer_layer = int(m.group(1))
     if enable_transcripts and is_main:
         try:
             from ..models.whisper import WhisperRuntime
@@ -1015,15 +1033,40 @@ def train(
                 whisper_model, layer_name, max_new_tokens=max_transcript_tokens
             )
 
-            def transcriber(mels, substitute_values=None):
-                # batched contract (see validate()): mels (B, n_mels, T),
-                # substitute_values (B, s, d) or None → list of B strings
-                if substitute_values is None:
-                    return rt.transcribe(mels)
-                return rt.transcribe(
-                    mels, substitute_layer=layer_name,
-                    substitute_value=substitute_values,
+            if decoder_steer_layer is not None:
+                from ..analysis.features import (
+                    sae_roundtrip_tap_params,
+                    sae_steer_fn,
                 )
+
+                # ONE fn object for the whole run — the decode program is
+                # keyed on it (see decoding.sample_decode)
+                steer_fn = sae_steer_fn(trainer.variant, trainer.cfg)
+
+                def transcriber(mels, substitute_values=None):
+                    # decoder stores: the "substituted" transcript splices
+                    # the CURRENT SAE's reconstruction ONLINE inside the
+                    # decode (per position, as generated) — the stored
+                    # sae_out rows are encoder-splice transport and carry no
+                    # meaning for autoregressive steps, so they are ignored
+                    if substitute_values is None:
+                        return rt.transcribe(mels)
+                    tp = sae_roundtrip_tap_params(
+                        trainer.variant, trainer.params)
+                    return rt.transcribe(
+                        mels,
+                        decoder_tap=(decoder_steer_layer, steer_fn, tp),
+                    )
+            else:
+                def transcriber(mels, substitute_values=None):
+                    # batched contract (see validate()): mels (B, n_mels, T),
+                    # substitute_values (B, s, d) or None → list of B strings
+                    if substitute_values is None:
+                        return rt.transcribe(mels)
+                    return rt.transcribe(
+                        mels, substitute_layer=layer_name,
+                        substitute_value=substitute_values,
+                    )
         except (FileNotFoundError, ValueError) as e:
             if verbose:
                 print(f"transcript logging disabled: {e}")

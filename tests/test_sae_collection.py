@@ -3,6 +3,7 @@
 import wave
 
 import numpy as np
+import pytest
 
 from freud_tpu.data.loaders import MemoryMappedActivationLoader
 from freud_tpu.data.store import ActivationStoreReader
@@ -219,13 +220,34 @@ def test_collect_decoder_layer_with_sae(tmp_path):
     vals, idx, _ = r[0]
     assert idx.min() >= 0 and idx.max() < 768
 
+    # pointing the TRAINER at an indexed store must die loudly up front
+    # (the (T, k) pair rows would otherwise reach the model as if dense and
+    # fail in a shape error deep inside the first step)
+    from freud_tpu.train.trainer import train
+
+    with pytest.raises(SystemExit, match="indexed store"):
+        train(
+            seed=0, train_folder=str(out), val_folder=str(out),
+            run_dir=str(tmp_path / "run"), lr=1e-3, weight_decay=0.0,
+            steps=2, clip_thresh=1.0, batch_size=2, log_tb_every=2,
+            save_every=2, val_every=2,
+            whisper_config={"model": "test:tiny",
+                            "layer_name": "decoder.blocks.0"},
+            optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1},
+            autoencoder_variant="topk",
+            autoencoder_config={"expansion_factor": 2, "k": 3},
+            from_disk=True, enable_transcripts=False, verbose=False,
+        )
+
 
 def test_decoder_store_train_and_search(tmp_path):
     """Full decoder-layer loop: collect → train an SAE on the store → search.
     Decoder stores are ordinary stores (per-clip n_frames = decode positions
     actually processed), so the training and analysis surfaces consume them
-    unchanged; enable_transcripts self-disables (substituted transcripts are
-    an encoder-side splice)."""
+    unchanged; validation transcripts steer the block output ONLINE with the
+    current SAE's reconstruction (decoder_tap) instead of the encoder-side
+    tensor splice."""
     from freud_tpu.analysis.search import top_activations
     from freud_tpu.train.trainer import train
 
@@ -247,7 +269,8 @@ def test_decoder_store_train_and_search(tmp_path):
         scheduler_params={"num_warmup_steps": 1},
         autoencoder_variant="topk",
         autoencoder_config={"expansion_factor": 2, "k": 3},
-        from_disk=True, enable_transcripts=True,  # must self-disable, not crash
+        from_disk=True, enable_transcripts=True,  # online-steered transcripts
+        max_transcript_tokens=3,
         verbose=False,
     )
     assert stats["steps"] == 4
