@@ -19,7 +19,7 @@ device-side programs:
 from __future__ import annotations
 
 import re
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -82,12 +82,21 @@ def _raw_steer_tap(tap, x):
     return x * scale
 
 
+@lru_cache(maxsize=None)
+def _topk_steer_fn(k: int):
+    return partial(_topk_steer_tap, k=k)
+
+
 def sae_steer_fn(variant: str, cfg):
-    """The static tap fn for an SAE (variant, cfg) — reuse the RETURNED
-    OBJECT across calls: the jitted decode program is keyed on it."""
+    """The static tap fn for an SAE (variant, cfg).
+
+    Returns the SAME object for equal (variant, k) across all callers — the
+    jitted decode program is keyed on the fn's identity, so a fresh partial
+    per call would miss the jit cache and recompile the whole decode
+    (minutes on remote backends)."""
     if variant == "l1":
         return _l1_steer_tap
-    return partial(_topk_steer_tap, k=cfg.k)
+    return _topk_steer_fn(int(cfg.k))
 
 
 def sae_roundtrip_tap_params(variant: str, params):
@@ -126,8 +135,11 @@ class FeatureAnalyzer:
         acts = acts[0]  # (T, width)
         if self.runtime.layer_name.startswith("decoder."):
             # decode positions, not audio frames — the decode itself reports
-            # how many positions it processed (rows beyond are EOT-padding)
-            true_len = int(n_valid[0])
+            # how many positions it processed (rows beyond are EOT-padding).
+            # np.asarray first: int(dev_array[0]) is ad-hoc device indexing,
+            # which compiles a fresh gather program per call on remote
+            # backends (CLAUDE.md — minutes on the tunneled TPU)
+            true_len = int(np.asarray(n_valid)[0])
         else:
             true_len = activation_length_from_samples(len(audio))
 
@@ -251,9 +263,10 @@ class FeatureAnalyzer:
         variant, cfg, params = self.sae
         if variant == "l1":
             return idx, _l1_steer_tap, (l1_mod.normalize_columns(params), fi, fac)
-        if getattr(self, "_topk_tap_fn", None) is None:
-            self._topk_tap_fn = partial(_topk_steer_tap, k=cfg.k)
-        return idx, self._topk_tap_fn, (params, fi, fac)
+        # sae_steer_fn caches per (variant, k): every analyzer instance (and
+        # the trainer's validation transcriber) shares ONE fn object → ONE
+        # compiled decode program
+        return idx, sae_steer_fn(variant, cfg), (params, fi, fac)
 
     def _manipulate_decoder(self, audio, feat_idx, manipulation_factor):
         """Decoder-layer ``manipulate``: same contract as the encoder path,
@@ -265,8 +278,13 @@ class FeatureAnalyzer:
         positions that decode actually processed."""
         rt = self.runtime
         mel = mels_from_array(audio, rt.dims.n_mels)
-        acts, n_valid = rt.activations_with_lengths(mel)  # (1, T, width)
-        true_len = int(n_valid[0])
+        # ONE capture program yields the traces' activations AND the
+        # baseline greedy decode (decode_capture's settings mirror
+        # transcribe exactly) — rendering its tokens saves a second full
+        # encode+decode per request; np.asarray before indexing (ad-hoc
+        # device indexing compiles a fresh program per call, CLAUDE.md)
+        acts, n_valid, base_tokens = rt.activations_with_decode(mel)
+        true_len = int(np.asarray(n_valid)[0])
 
         if self.sae is not None:
             variant, cfg, params = self.sae
@@ -283,7 +301,7 @@ class FeatureAnalyzer:
             standard_trace = np.asarray(acts[0, :, feat_idx])
         manipulated_trace = standard_trace * manipulation_factor
 
-        baseline_text = rt.transcribe_one(mel)
+        baseline_text = rt.decode_tokens_text(base_tokens)[0]
         layer_idx, fn, tap_m = self._decoder_tap(feat_idx, manipulation_factor)
         _, _, tap_s = self._decoder_tap(feat_idx, 1.0)
         manipulated_text = rt.transcribe_one(

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .loaders import MemoryMappedActivationLoader
+from .loaders import MemoryMappedActivationLoader, resample_padding_rows
 from ..parallel import mesh as mesh_lib
 
 
@@ -123,6 +123,14 @@ class DeviceShuffleCache:
         )
         if self.loader.activation_type != "tensor":
             raise ValueError("device cache supports dense activation stores")
+        # decoder-layer stores are EOT-padded past each file's valid decode
+        # positions; the cache exists only to feed training, so padding rows
+        # are always resampled from valid ones at fill/refresh time (see
+        # loaders.resample_padding_rows — per-file-deterministic, so every
+        # refresh of a file reproduces identical rows)
+        self._resample = (layer_name.startswith("decoder.")
+                          and self.loader.reader.n_frames is not None)
+        self._store_seed = seed
         n_store = self.loader.dataset_length
         if process_shard is not None:
             pi, pc = process_shard
@@ -150,8 +158,9 @@ class DeviceShuffleCache:
         # capacity into this order) would skip a random non-resident subset
         # for a whole epoch
         self._order0 = self._rng.permutation(n)
-        first = reader.batch(
-            np.sort(self._files[self._order0[: self.capacity]]))[0]
+        fill_idx = np.sort(self._files[self._order0[: self.capacity]])
+        first = reader.batch(fill_idx)[0]
+        first = self._resample_rows(first, fill_idx)
         self.cache = self._put(
             np.asarray(first, np.float32).astype(self._host_dtype))
         self._key = self._put(self._key)
@@ -164,6 +173,13 @@ class DeviceShuffleCache:
             self._thread.start()
         else:
             self._thread = None
+
+    def _resample_rows(self, rows: np.ndarray, file_idx: np.ndarray):
+        if not self._resample:
+            return rows
+        nf = self.loader.reader.n_frames
+        return resample_padding_rows(
+            rows, file_idx, [nf[i] for i in file_idx], self._store_seed)
 
     def _producer(self):
         try:
@@ -181,7 +197,9 @@ class DeviceShuffleCache:
                         cursor = 0
                     take.append(order[cursor])
                     cursor += 1
-                rows = reader.batch(self._files[np.asarray(take)])[0]
+                refresh_idx = self._files[np.asarray(take)]
+                rows = reader.batch(refresh_idx)[0]
+                rows = self._resample_rows(rows, refresh_idx)
                 slots = self._rng.integers(0, self.capacity, self.refresh_files)
                 # device_put HERE, on the producer thread: the H2D upload
                 # (tens of MB per refresh) overlaps training instead of

@@ -58,6 +58,40 @@ def load_sae(checkpoint: str):
     return sae_serialize.sae_from_checkpoint(checkpoint)
 
 
+def resample_padding_rows(
+    x: np.ndarray,
+    file_indices,
+    n_frames,
+    seed: int,
+) -> np.ndarray:
+    """Replace each file's padding rows with draws from its VALID rows.
+
+    Decoder-layer stores are EOT-padded: row ``t >= n_frames[f]`` of file
+    ``f`` is teacher-forced garbage past the position where greedy decode
+    sampled EOT (see whisper/runtime.decode_capture) — often the majority of
+    the (n_prompt + max_new) buffer for short transcripts. Training consumes
+    full fixed-shape (B, T, d) batches (static shapes are what keep the step
+    one compiled program), so instead of masking inside every loss/kernel,
+    the padding rows are RESAMPLED uniformly from the file's valid rows at
+    load time: each file still contributes exactly T frames (the same
+    per-file weighting the encoder path has), every frame is a real decode
+    position, and the entire train/val stack downstream is untouched.
+
+    Deterministic per (seed, file index): reloading a file — any epoch, any
+    host slice, any cache refresh — reproduces the identical rows, so pod
+    host slicing and fused-vs-per-step streams stay bit-identical. Mutates
+    and returns ``x`` (callers pass freshly-gathered batches). Files with
+    ``n_frames == 0`` (undecodable audio stored as zeros) are left as-is.
+    """
+    t = x.shape[1]
+    for row, (fi, n) in enumerate(zip(file_indices, n_frames)):
+        n = int(n)
+        if 0 < n < t:
+            rng = np.random.default_rng((seed, int(fi)))
+            x[row, n:] = x[row, rng.integers(0, n, t - n)]
+    return x
+
+
 def _sae_fetch_tail(acts, sae_params, variant, cfg_key, fetch_dtype):
     """Shared SAE-encode + fetch-cast tail of both collection programs."""
     if variant is None:
@@ -349,8 +383,15 @@ class MemoryMappedActivationLoader:
         drop_last: bool = False,
         seed: int = 0,
         host_bounds: Optional[tuple] = None,
+        resample_padding: bool = False,
     ):
-        """``host_bounds=(lo, hi)``: the pod input path — every process
+        """``resample_padding``: replace EOT-padding rows of decoder-layer
+        stores with per-file-deterministic draws from the valid rows (see
+        ``resample_padding_rows``) — training/validation callers enable it
+        for ``decoder.*`` stores; positional consumers (search masks via
+        n_frames itself) leave it off.
+
+        ``host_bounds=(lo, hi)``: the pod input path — every process
         computes the SAME (seed, epoch)-derived global shuffle order, but
         this loader yields only rows [lo, hi) of each global batch (the
         slice this host's chips own under the mesh's data sharding; see
@@ -376,6 +417,11 @@ class MemoryMappedActivationLoader:
         self.tensor_shape = self.reader.tensor_shape
         self.dataset_length = len(self.reader)
         self.seed = seed
+        self.resample_padding = bool(
+            resample_padding
+            and self.activation_type == "tensor"
+            and self.reader.n_frames is not None
+        )
         # Position state for deterministic resume: the shuffle order is a
         # pure function of (seed, epoch), so a checkpointed batch count fully
         # determines the remaining data stream (the reference gets the same
@@ -420,7 +466,14 @@ class MemoryMappedActivationLoader:
             if self.host_bounds is not None:
                 idx = idx[self.host_bounds[0]:self.host_bounds[1]]
             with profiling.span("mmap_batch"):
-                yield self.reader.batch(idx)
+                batch = self.reader.batch(idx)
+            if self.resample_padding:
+                # reader.batch gathers fresh arrays (fancy indexing copies
+                # out of the mmap), so in-place resampling is safe
+                resample_padding_rows(
+                    batch[0], idx,
+                    [self.reader.n_frames[i] for i in idx], self.seed)
+            yield batch
         self.epoch += 1
         self.cursor = 0
 
@@ -437,16 +490,21 @@ def init_dataloader(
     drop_last: bool = False,
     seed: int = 0,
     host_bounds: Optional[tuple] = None,
+    resample_padding: bool = False,
 ):
     """(loader, feat_dim, dataset_len) — reference init_dataloader shape
     (src/scripts/train_sae.py:32-67). ``seed`` drives the shuffle stream
     (the reference gets this through its global torch/numpy seeding).
-    ``host_bounds`` is the pod input slice (mmap loader only)."""
+    ``host_bounds`` is the pod input slice (mmap loader only);
+    ``resample_padding`` replaces decoder-store EOT-padding rows with valid
+    ones (mmap loader — training/validation callers; fly mode handles its
+    own lengths)."""
     if from_disk:
         loader = MemoryMappedActivationLoader(
             data_path, layer_name, batch_size,
             subset_size=subset_size, shuffle=shuffle, drop_last=drop_last,
             seed=seed, host_bounds=host_bounds,
+            resample_padding=resample_padding,
         )
     else:
         if host_bounds is not None:

@@ -388,6 +388,14 @@ def sample_decode(
     if key is None:
         key = jax.random.PRNGKey(0)
     tap_layer, tap_fn, tap_params = decoder_tap or (None, None, None)
+    if tap_layer is not None and not (0 <= tap_layer < dims.n_text_layer):
+        # an out-of-range layer would make the tap a silent no-op: the
+        # "steered" decode would be byte-identical to baseline with no error
+        # (e.g. an SAE trained on decoder.blocks.5 served against a 4-layer
+        # model)
+        raise ValueError(
+            f"decoder_tap layer {tap_layer} out of range for a model with "
+            f"{dims.n_text_layer} decoder layers")
     return _sample_decode_impl(
         params, encoded, prompt, temperature, key, start, tap_params,
         dims=dims, n_prompt=n_prompt, max_new=max_new,

@@ -223,16 +223,42 @@ class WhisperRuntime:
         positions the greedy decode actually processed."""
         if self.layer_name is None:
             raise ValueError("runtime was built without a capture layer")
-        mels = self._batch(mels)
         if self.layer_name.startswith("decoder."):
-            acts, _, n_valid = _decode_capture_impl(
-                self.params, mels, dims=self.dims,
-                layer_name=self.layer_name, **self._decode_capture_statics()
-            )
+            acts, n_valid, _ = self.activations_with_decode(mels)
             return acts, n_valid
+        mels = self._batch(mels)
         _, caps = self._encode(self.params, mels)
         acts = caps[self.layer_name]
         return acts, jnp.full((acts.shape[0],), acts.shape[1], jnp.int32)
+
+    def activations_with_decode(
+        self, mels: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Decoder layers only: → (activations, n_valid, tokens) where
+        ``tokens`` (b, n_prompt+max_new) are the greedy-decoded ids the
+        teacher-forced capture pass ran over. The capture program already
+        decodes the clip (decode_capture), and its settings mirror
+        ``transcribe`` exactly (same sot sequence, language handling,
+        max_new, greedy sampling) — callers that also want the baseline
+        transcript should render THESE tokens instead of paying a second
+        full encode+decode program (see FeatureAnalyzer._manipulate_decoder).
+        """
+        if self.layer_name is None or not self.layer_name.startswith("decoder."):
+            raise ValueError(
+                "activations_with_decode needs a decoder.* capture layer, "
+                f"got {self.layer_name!r}")
+        mels = self._batch(mels)
+        acts, tokens, n_valid = _decode_capture_impl(
+            self.params, mels, dims=self.dims,
+            layer_name=self.layer_name, **self._decode_capture_statics()
+        )
+        return acts, n_valid, tokens
+
+    def decode_tokens_text(self, tokens) -> list[str]:
+        """Render decoded token rows to transcripts — the same
+        ``decode_text`` post-processing ``transcribe`` applies."""
+        return [decode_text(row, self.dims.n_vocab)
+                for row in np.asarray(tokens)]
 
     def _decode_capture_statics(self) -> dict:
         """Static (sot_seq, lang handling) kwargs for ``decode_capture`` —

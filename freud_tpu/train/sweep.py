@@ -389,7 +389,7 @@ def train_hparam_sweep(
 
     loader = MemoryMappedActivationLoader(
         data_path, layer_name, batch_size, shuffle=True, drop_last=True,
-        seed=seed)
+        seed=seed, resample_padding=layer_name.startswith("decoder."))
     if len(loader) == 0:
         raise ValueError(
             f"layer store yields no batches at batch_size={batch_size}")
@@ -514,7 +514,8 @@ def train_sweep(
     """Train one SAE per layer store (all under ``data_path``) concurrently."""
     loaders = [
         MemoryMappedActivationLoader(
-            data_path, layer, batch_size, shuffle=True, drop_last=True, seed=seed
+            data_path, layer, batch_size, shuffle=True, drop_last=True,
+            seed=seed, resample_padding=layer.startswith("decoder."),
         )
         for layer in layer_names
     ]

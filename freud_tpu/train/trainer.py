@@ -40,7 +40,7 @@ from ..constants import get_n_mels
 from ..audio.mel import mels_from_array
 from ..audio.decode import load_audio
 from ..data import device_cache as device_cache_mod
-from ..data.loaders import init_dataloader
+from ..data.loaders import init_dataloader, resample_padding_rows
 from ..data.prefetch import prefetch_iter as _prefetch
 from ..models.sae import config as sae_config
 from ..models.sae import l1 as l1_mod
@@ -699,6 +699,7 @@ def validate(
     transcriber=None,
     loader=None,
     device_set: Optional[DeviceValSet] = None,
+    substitute_rows: bool = True,
 ):
     """Reference ``validate`` semantics (train_sae.py:121-221): per-file
     losses/MSE (batch-size-1 math, vmapped), per-feature magnitude maxes, and
@@ -713,7 +714,13 @@ def validate(
     replacement activations) — all transcript slots decode in one device
     program instead of B sequential batch-1 decodes (the reference loops
     per file, train_sae.py:183-200; one batched decode is the TPU shape
-    of the same observability)."""
+    of the same observability).
+
+    ``substitute_rows=False``: the transcriber rebuilds the reconstruction
+    itself (decoder-layer online steering) and only needs subbed-vs-baseline
+    signalling — no ``sae_out``/``sae_out_head`` rows are fetched from the
+    device (they are the dominant validation transport otherwise) and
+    ``substitute_values`` is passed as a bare ``True`` sentinel."""
     if device_set is not None and device_set.ok:
         source = device_set
     else:
@@ -721,6 +728,7 @@ def validate(
             loader, _, _ = init_dataloader(
                 from_disk, val_folder, whisper_model, None, layer_name,
                 batch_size=val_batch, shuffle=False,
+                resample_padding=layer_name.startswith("decoder."),
             )
         if hasattr(loader, "set_position"):
             loader.set_position(0)  # a reused loader must scan from the start
@@ -761,7 +769,7 @@ def validate(
                 # offered file transcribes; load_audio failures can push
                 # the horizon further — the consumption loop re-fetches a
                 # dropped sae_out on demand from the live device handle
-                keeps.append(transcriber is not None
+                keeps.append(transcriber is not None and substitute_rows
                              and budget < N_TRANSCRIPTS)
                 budget += n_valid
             with profiling.span("val_fetch"):
@@ -775,7 +783,7 @@ def validate(
         else:
             for x, n_valid, fnames in source:
                 out_dev = trainer.validate_files(x)
-                need = (transcriber is not None
+                need = (transcriber is not None and substitute_rows
                         and n_transcribed < N_TRANSCRIPTS)
                 # per-batch need check: sae_out is always present here
                 # whenever the transcript loop can run
@@ -808,7 +816,12 @@ def validate(
                     # skipped files must NOT consume transcript slots
                 mel = np.asarray(
                     mels_from_array(audio, get_n_mels(whisper_model)))
-                if head is not None and j < head.shape[0]:
+                if not substitute_rows:
+                    # online-steering transcribers rebuild the
+                    # reconstruction from the live SAE params — no row
+                    # transport at all
+                    row = None
+                elif head is not None and j < head.shape[0]:
                     row = np.asarray(head[j], np.float32)
                 else:
                     # transcript slots ran past the transport head: batches
@@ -834,7 +847,8 @@ def validate(
         padded = pending_transcripts + (
             [pending_transcripts[-1]] * (N_TRANSCRIPTS - n_real))
         mels_stack = np.stack([p[0] for p in padded])
-        subs_stack = np.stack([p[1] for p in padded])
+        subs_stack = (np.stack([p[1] for p in padded])
+                      if substitute_rows else True)
         with profiling.span("val_transcripts"):
             subbed_transcripts = list(
                 transcriber(mels_stack, substitute_values=subs_stack))[:n_real]
@@ -921,6 +935,12 @@ def train(
     set_seeds(seed)
     layer_name = whisper_config["layer_name"]
     whisper_model = whisper_config["model"]
+    # decoder-layer stores are EOT-padded past each file's valid decode
+    # positions (runtime.decode_capture): training must not consume the
+    # padding rows as data — loaders resample them from valid rows
+    # (loaders.resample_padding_rows); search/analysis mask positionally
+    # via n_frames instead
+    decoder_store = layer_name.startswith("decoder.")
 
     # Pod input path (jax.process_count() > 1 after
     # parallel.distributed.initialize): every host computes the same
@@ -944,7 +964,7 @@ def train(
     loader, feat_dim, dset_len = init_dataloader(
         from_disk, train_folder, whisper_model, None, layer_name,
         batch_size=batch_size, shuffle=True, drop_last=True, seed=seed,
-        host_bounds=host_bounds,
+        host_bounds=host_bounds, resample_padding=decoder_store,
     )
     if getattr(loader, "activation_type", "tensor") == "indexed":
         # an indexed (acts, indices) store comes from collecting WITH an SAE
@@ -955,6 +975,18 @@ def train(
             f"{train_folder!r} holds an SAE-indexed store (TopK pairs), not "
             "raw activations — training needs a store collected WITHOUT "
             "sae_model")
+    if (from_disk and val_folder
+            and not (Path(val_folder)
+                     / f"{layer_name}_tensors.npy").exists()
+            and (Path(val_folder)
+                 / f"{layer_name}_activation_values.npy").exists()):
+        # same guard for the VALIDATION store, checked NOW: the val loader
+        # is built lazily at the first val_every step, which would burn
+        # val_every steps of training before dying on the dense-store check
+        # in _val_batches
+        raise SystemExit(
+            f"{val_folder!r} holds an SAE-indexed store (TopK pairs) — "
+            "validation needs a store collected WITHOUT sae_model")
 
     trainer = SAETrainer(
         autoencoder_variant, autoencoder_config, feat_dim,
@@ -1046,13 +1078,23 @@ def train(
                 def transcriber(mels, substitute_values=None):
                     # decoder stores: the "substituted" transcript splices
                     # the CURRENT SAE's reconstruction ONLINE inside the
-                    # decode (per position, as generated) — the stored
-                    # sae_out rows are encoder-splice transport and carry no
-                    # meaning for autoregressive steps, so they are ignored
+                    # decode (per position, as generated) — validate()
+                    # passes substitute_values as a bare subbed-vs-baseline
+                    # flag here (substitute_rows=False): stored sae_out rows
+                    # are encoder-splice transport and carry no meaning for
+                    # autoregressive steps
                     if substitute_values is None:
                         return rt.transcribe(mels)
+                    sae_params = trainer.params
+                    if multihost:
+                        # the decode is a LOCAL jit (transcripts run on
+                        # process 0 only) — params committed to the global
+                        # multi-process mesh cannot feed it; take the host
+                        # copy (replicated → fully addressable) and let the
+                        # jit re-put it on local devices
+                        sae_params = jax.device_get(sae_params)
                     tp = sae_roundtrip_tap_params(
-                        trainer.variant, trainer.params)
+                        trainer.variant, sae_params)
                     return rt.transcribe(
                         mels,
                         decoder_tap=(decoder_steer_layer, steer_fn, tp),
@@ -1143,6 +1185,18 @@ def train(
         if cache is not None:
             while True:
                 yield cache.next_batch(cache_batch)
+        if decoder_store and not from_disk:
+            # fly-mode decoder training: the capture program EOT-pads each
+            # file's rows past its valid decode positions (n_frames, last
+            # yield element) — resample them from valid rows exactly like
+            # the disk loaders, keyed per filename for determinism
+            import zlib
+
+            while True:
+                for b in _prefetch(loader.iter_with_lengths()):
+                    x = np.asarray(b[0], np.float32)
+                    ids = [zlib.crc32(str(n).encode()) for n in b[-2]]
+                    yield resample_padding_rows(x, ids, b[-1], seed)
         while True:
             for b in _prefetch(iter(loader)):
                 yield np.asarray(b[0], np.float32)
@@ -1214,6 +1268,7 @@ def train(
                     val_loader, _, _ = init_dataloader(
                         from_disk, val_folder, whisper_model, None,
                         layer_name, batch_size=8, shuffle=False,
+                        resample_padding=decoder_store,
                     )
                     if val_device_cache is not False:
                         vs = DeviceValSet(
@@ -1232,6 +1287,7 @@ def train(
                         from_disk, not logged_base_transcripts,
                         transcriber=transcriber,
                         loader=val_loader, device_set=val_set,
+                        substitute_rows=decoder_steer_layer is None,
                     )
                 logged_base_transcripts = True
                 # an EMPTY validation set leaves every loss None — warn and skip

@@ -54,6 +54,25 @@ def test_identity_tap_is_noop():
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(tapped))
 
 
+def test_out_of_range_tap_layer_rejected():
+    # an out-of-range layer index would otherwise be a SILENT no-op: the
+    # "steered" decode would equal baseline with no error (e.g. an SAE
+    # trained on decoder.blocks.5 served against a 4-layer model)
+    import pytest
+
+    params = init_params(DIMS, seed=0)
+    rng = np.random.default_rng(0)
+    encoded = jnp.asarray(
+        rng.standard_normal((1, 30, DIMS.n_audio_state)).astype(np.float32)
+    )
+    prompt = jnp.asarray(rng.integers(0, 100, (1, 3)).astype(np.int32))
+    with pytest.raises(ValueError, match="out of range"):
+        greedy_decode(
+            params, DIMS, encoded, prompt, 3, max_new=2,
+            decoder_tap=(DIMS.n_text_layer, _identity_tap, ()),
+        )
+
+
 def test_online_tap_matches_teacher_forced_oracle():
     """Incremental tapped steps == full-sequence forward with the tap applied
     to the captured block output and substituted back (same tokens, no

@@ -240,6 +240,30 @@ def test_collect_decoder_layer_with_sae(tmp_path):
             from_disk=True, enable_transcripts=False, verbose=False,
         )
 
+    # same guard for the VAL folder, and it must fire NOW — the val loader
+    # is otherwise built lazily at the first val_every step, burning that
+    # much training before dying
+    raw = tmp_path / "raw"
+    get_activations(
+        data_path=str(audio), layer_name="decoder.blocks.0",
+        whisper_model="test:tiny", sae_model=None, batch_size=2,
+        out_folder=str(raw), verbose=False, max_new_tokens=4,
+    )
+    with pytest.raises(SystemExit, match="indexed store"):
+        train(
+            seed=0, train_folder=str(raw), val_folder=str(out),
+            run_dir=str(tmp_path / "run2"), lr=1e-3, weight_decay=0.0,
+            steps=2, clip_thresh=1.0, batch_size=2, log_tb_every=2,
+            save_every=2, val_every=2,
+            whisper_config={"model": "test:tiny",
+                            "layer_name": "decoder.blocks.0"},
+            optimizer="adam", scheduler="linear",
+            scheduler_params={"num_warmup_steps": 1},
+            autoencoder_variant="topk",
+            autoencoder_config={"expansion_factor": 2, "k": 3},
+            from_disk=True, enable_transcripts=False, verbose=False,
+        )
+
 
 def test_decoder_store_train_and_search(tmp_path):
     """Full decoder-layer loop: collect → train an SAE on the store → search.
